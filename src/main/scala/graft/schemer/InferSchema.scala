@@ -1,0 +1,99 @@
+package graft.schemer
+
+import org.apache.spark.sql.{Column, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions
+
+/**
+ * Distributed execution of the schema-witness fold — the Spark-native form
+ * of the reference's only aggregate (the sequential constructor loop at
+ * `/root/reference/Schemer.scala:10-14`).
+ *
+ * Scale design: each task streams its partition through a LOCAL witness fold
+ * (O(witness) memory, exactly like the reference's single pass), emitting one
+ * tiny witness per partition. Only witnesses — bytes, not data — cross the
+ * wire. At 100 TB / ~100k partitions that is ~100k small objects to the
+ * driver, folded in partition order so first-seen column order is
+ * deterministic and equal to a sequential read of the file.
+ */
+object InferSchema {
+
+  /** Per-partition local fold; returns (partitionIndex, witness). */
+  private def foldPartition(idx: Int, it: Iterator[String]): Iterator[(Int, Witness)] = {
+    var rec = 0L
+    var acc: Witness = Witness.bottom
+    while (it.hasNext) {
+      val line = it.next()
+      rec += 1
+      if (line.nonEmpty) {
+        val ctx = s"partition $idx record $rec"
+        acc = Witness.merge(acc, Witness.ofJson(line, ctx), ctx)
+      }
+    }
+    Iterator.single(idx -> acc)
+  }
+
+  /** Infer the witness of a dataset of NDJSON lines. Fail-fast on malformed
+   *  or shape-conflicting rows, like the reference; diagnostics carry
+   *  partition + record index instead of a global line number (documented
+   *  deviation, SURVEY.md §7.4). */
+  def inferWitness(ds: Dataset[String]): Witness = {
+    val parts = ds.rdd
+      .mapPartitionsWithIndex(foldPartition, preservesPartitioning = true)
+      .collect()
+    parts.sortBy(_._1).iterator.map(_._2)
+      .foldLeft(Witness.bottom)(Witness.merge(_, _, "final reduce"))
+  }
+
+  /** Infer from an NDJSON file/directory path (reference O1: file scan). */
+  def inferPath(spark: SparkSession, path: String): Witness =
+    inferWitness(spark.read.textFile(path))
+
+  // ---- SQL-function form ---------------------------------------------------
+
+  /** Buffer encoder for the recursive Witness ADT: Kryo (SURVEY.md §7.4). */
+  implicit private val witnessEnc: Encoder[Witness] = Encoders.kryo[Witness]
+
+  /** `Aggregator[String, Witness, String]`: feed it a column of JSON strings,
+   *  get the rendered Hive type of their unified schema. The partial+final
+   *  split (reduce per partition, merge across) is exactly the witness
+   *  semilattice, so map-side combine applies and the shuffle carries only
+   *  witnesses. */
+  class HiveTypeAggregator extends Aggregator[String, Witness, String] {
+    def zero: Witness = Witness.bottom
+    def reduce(b: Witness, a: String): Witness =
+      if (a == null || a.isEmpty) b else Witness.merge(b, Witness.ofJson(a))
+    def merge(b1: Witness, b2: Witness): Witness = Witness.merge(b1, b2)
+    def finish(r: Witness): String = HiveRender.renderType(r)
+    def bufferEncoder: Encoder[Witness] = witnessEnc
+    def outputEncoder: Encoder[String] = Encoders.STRING
+  }
+
+  /** Same aggregator, finishing to the top-level column-definition block
+   *  (reference `definition`, Schemer.scala:99-105). */
+  class ColumnDefsAggregator extends Aggregator[String, Witness, String] {
+    def zero: Witness = Witness.bottom
+    def reduce(b: Witness, a: String): Witness =
+      if (a == null || a.isEmpty) b else Witness.merge(b, Witness.ofJson(a))
+    def merge(b1: Witness, b2: Witness): Witness = Witness.merge(b1, b2)
+    def finish(r: Witness): String = HiveRender.definition(r)
+    def bufferEncoder: Encoder[Witness] = witnessEnc
+    def outputEncoder: Encoder[String] = Encoders.STRING
+  }
+
+  /** Column function: unified Hive type of a column of JSON documents.
+   *  Usable inside arbitrary queries, e.g.
+   *  `events.groupBy($"event_type").agg(infer_hive_type($"props"))`. */
+  def infer_hive_type(c: Column): Column =
+    functions.udaf(new HiveTypeAggregator).apply(c)
+
+  /** Column function: Hive column-definition block of a JSON column. */
+  def infer_column_defs(c: Column): Column =
+    functions.udaf(new ColumnDefsAggregator).apply(c)
+
+  /** Register both as SQL functions (`infer_hive_type`, `infer_column_defs`). */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("infer_hive_type", functions.udaf(new HiveTypeAggregator))
+    spark.udf.register("infer_column_defs", functions.udaf(new ColumnDefsAggregator))
+  }
+}

@@ -1,0 +1,151 @@
+package graft.schemer
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, JsonNode, ObjectMapper}
+
+import scala.jdk.CollectionConverters._
+
+/**
+ * The schema *witness* — the core data model of the engine.
+ *
+ * The reference engine (`/root/reference/Schemer.scala:10`) represents an
+ * inferred schema as a maximal exemplar VALUE in the JSON domain itself and
+ * folds every row into it. We keep the same idea but make the witness an
+ * explicit ADT that stores only the summary statistics the renderer needs:
+ *
+ *  - strings  → max length seen                 (Schemer.scala:49-50)
+ *  - numbers  → min/max value + max scale       (Schemer.scala:52; min added
+ *               as the documented fix for the reference's negative-number
+ *               unsoundness, see SURVEY.md §1.2)
+ *  - arrays   → single merged element witness   (Schemer.scala:32-41)
+ *  - objects  → key-union of field witnesses    (Schemer.scala:55-59), in
+ *               deterministic first-seen order (documented determinism fix)
+ *  - null     → lattice bottom                  (Schemer.scala:45-46)
+ *
+ * `merge` is a commutative-up-to-rendered-type, associative semilattice join
+ * with `WNull` as bottom — exactly the shape Spark needs for a distributed
+ * partial+final aggregation (map-side fold per partition, tiny witnesses
+ * reduced at the driver).
+ */
+sealed trait Witness extends Serializable
+
+case object WNull extends Witness
+case object WBool extends Witness
+
+/** String witness: length of the longest string seen (UTF-16 code units,
+ *  matching the reference's `String.size`, Schemer.scala:50). */
+final case class WStr(maxLen: Int) extends Witness
+
+/** Numeric witness. The reference keeps only the max value re-scaled to the
+ *  max scale (Schemer.scala:52); we track min too so that negative values
+ *  can't be typed into a bucket that can't hold them (SURVEY.md §1.2). */
+final case class WNum(min: BigDecimal, max: BigDecimal, maxScale: Int) extends Witness {
+  /** min/max widened to the common scale — mirrors `setScale` widening in
+   *  the reference so precision comes out identically for its corpus. */
+  def minW: BigDecimal = widen(min)
+  def maxW: BigDecimal = widen(max)
+  private def widen(x: BigDecimal): BigDecimal =
+    if (x.scale >= maxScale) x else x.setScale(maxScale)
+  /** Rendered precision: max magnitude precision after widening. */
+  def precision: Int = math.max(minW.precision, maxW.precision)
+}
+
+/** Array witness: a single merged element witness. An empty array is
+ *  `WArr(WNull)` ⇒ rendered `ARRAY<???>` (Schemer.scala:34-36). */
+final case class WArr(elem: Witness) extends Witness
+
+/** Object witness: fields in deterministic first-seen order. */
+final case class WObj(fields: Vector[(String, Witness)]) extends Witness {
+  def get(key: String): Option[Witness] = fields.collectFirst { case (k, w) if k == key => w }
+}
+
+object WObj {
+  val empty: WObj = WObj(Vector.empty)
+}
+
+/** Raised when two rows disagree on a column's structural kind — e.g. an
+ *  array in one row, an object in the next (Schemer.scala:16-25,61). */
+final case class RowMismatch(a: Witness, b: Witness, context: String) extends Exception {
+  override def getMessage: String = Seq(
+    s"$context: attempted to merge a value with schema:",
+    HiveRender.renderType(b),
+    "into the schema with this signature:",
+    HiveRender.renderType(a)
+  ).mkString("\n")
+}
+
+/** Raised for arrays mixing incompatible element types, e.g. `["a",{"b":1}]`
+ *  (Schemer.scala:27-41). `[1, 12.345]` is fine ⇒ `ARRAY<FLOAT>`. */
+final case class InconsistentArray(context: String) extends Exception {
+  override def getMessage: String =
+    s"$context: array contains incompatible datatypes"
+}
+
+object Witness {
+
+  /** Lattice bottom — the fold seed (reference seed is `Json.obj()`,
+   *  Schemer.scala:10; we use WNull so `merge` is a true bottomed join and
+   *  top-level non-objects still witness correctly; rendering a definition
+   *  still requires an object top level, as in the reference). */
+  val bottom: Witness = WNull
+
+  /**
+   * Semilattice join of two witnesses — the distributed form of the
+   * reference `merge` (Schemer.scala:43-63). Associative; commutative up to
+   * rendered type (string ties keep the left operand).
+   */
+  def merge(a: Witness, b: Witness, context: => String = ""): Witness = (a, b) match {
+    case (WNull, x) => x
+    case (x, WNull) => x
+    case (WBool, WBool) => WBool
+    case (WStr(x), WStr(y)) => WStr(math.max(x, y))
+    case (x: WNum, y: WNum) =>
+      WNum(x.min.min(y.min), x.max.max(y.max), math.max(x.maxScale, y.maxScale))
+    case (WArr(x), WArr(y)) =>
+      WArr(try merge(x, y, context) catch { case RowMismatch(_, _, c) => throw InconsistentArray(c) })
+    case (WObj(ax), WObj(bx)) =>
+      // key-union, left operand's order first, unseen right keys appended in
+      // their own order — deterministic first-seen order under an ordered fold
+      val leftKeys = ax.iterator.map(_._1).toSet
+      val merged = ax.map { case (k, aw) =>
+        bx.collectFirst { case (`k`, bw) => k -> merge(aw, bw, context) }.getOrElse(k -> aw)
+      }
+      WObj(merged ++ bx.filterNot { case (k, _) => leftKeys(k) })
+    case _ => throw RowMismatch(a, b, context)
+  }
+
+  // ---- JSON row → witness -------------------------------------------------
+
+  /** Jackson, configured so fractional literals become BigDecimal — play-json
+   *  semantics; without it `12345678901234.5` loses its p16 witness. */
+  @transient private lazy val mapper: ObjectMapper =
+    new ObjectMapper().configure(DeserializationFeature.USE_BIG_DECIMAL_FOR_FLOATS, true)
+
+  /** Parse one NDJSON line into its witness. Malformed JSON throws
+   *  (fail-fast, like the reference's `Json.parse` at Schemer.scala:13). */
+  def ofJson(line: String, context: => String = ""): Witness =
+    ofNode(mapper.readTree(line), context)
+
+  /** Convert a parsed Jackson tree to a witness. Array canonicalization
+   *  (reference `prepare`, Schemer.scala:32-41) happens here: elements are
+   *  fold-merged into one witness; empty arrays become `WArr(WNull)`. */
+  def ofNode(n: JsonNode, context: => String = ""): Witness = {
+    import com.fasterxml.jackson.databind.node.JsonNodeType._
+    n.getNodeType match {
+      case NULL | MISSING => WNull
+      case BOOLEAN => WBool
+      case STRING => WStr(n.textValue().length)
+      case NUMBER =>
+        val d = BigDecimal(n.decimalValue())
+        WNum(d, d, d.scale)
+      case ARRAY =>
+        val elems = n.elements().asScala.map(ofNode(_, context))
+        WArr(
+          try elems.foldLeft(bottom)((acc, w) => merge(acc, w, context))
+          catch { case RowMismatch(_, _, c) => throw InconsistentArray(c) }
+        )
+      case OBJECT =>
+        WObj(n.properties().asScala.iterator.map(e => e.getKey -> ofNode(e.getValue, context)).toVector)
+      case other => throw new IllegalArgumentException(s"$context: unsupported JSON node type $other")
+    }
+  }
+}
