@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.Tables
+import graft.Tables.QueryDef
+import graft.schemer.InferSchema
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The schema-inference engine exposed as harness queries.
+ *
+ * The full DDL string is not SQL-expressible, so per the contract the
+ * inference queries are registered without oracles (rows-only check) and the
+ * decomposed witness SUB-RULES (SURVEY.md §2.1) get exact DuckDB oracles:
+ * longest-string witness, numeric min/max/scale witness, null-only
+ * detection, and integral-fit bucketing.
+ */
+object SchemerQueries {
+
+  /** Witness sub-rule: string-column witnesses over documents — the
+   *  `VARCHAR(maxlen)` leaf rule (reference Schemer.scala:49-50,73-74). */
+  def wStringWitness(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(
+        max(length(col("text"))).as("text_maxlen"),
+        max(length(col("source"))).as("source_maxlen"),
+        count(lit(1)).as("n_docs"),
+        (count(lit(1)) - count(col("text"))).as("text_nulls"))
+      .orderBy("lang")
+
+  /** Witness sub-rule: numeric min/max witness over lineitem — the
+   *  number-merge rule with the documented min-tracking fix. */
+  def wNumericWitness(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        min(col("l_quantity").cast("decimal(12,2)")).as("qty_min"),
+        max(col("l_quantity").cast("decimal(12,2)")).as("qty_max"),
+        min(col("l_extendedprice").cast("decimal(12,2)")).as("price_min"),
+        max(col("l_extendedprice").cast("decimal(12,2)")).as("price_max"),
+        max(col("l_linenumber")).as("linenumber_max"),
+        count(lit(1)).as("n_rows"))
+
+  /** Witness sub-rule: integral-fit bucketing (TINYINT…BIGINT) driven by
+   *  min/max aggregates — the render rule Schemer.scala:77-82 as SQL. */
+  def wTypeBucket(spark: SparkSession, dir: String): DataFrame = {
+    val stats = Tables.events(spark, dir).agg(
+      min(col("user_id")).as("mn"), max(col("user_id")).as("mx"))
+    stats.select(
+      col("mn"), col("mx"),
+      when(col("mn") >= -128 && col("mx") <= 127, "TINYINT")
+        .when(col("mn") >= -32768 && col("mx") <= 32767, "SMALLINT")
+        .when(col("mn") >= -2147483648L && col("mx") <= 2147483647L, "INT")
+        .otherwise("BIGINT").as("bucket"))
+  }
+
+  /** The engine itself, grouped: unified Hive type of the `props` JSON
+   *  column per event type. Partial aggregation applies — each map task
+   *  folds its rows into one witness per group, only witnesses shuffle. */
+  def schemaPropsByType(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(InferSchema.infer_hive_type(col("props")).as("hive_type"))
+      .orderBy("event_type")
+
+  /** The engine over a synthesized NDJSON projection of a whole table —
+   *  exercises nested struct/array witnesses end-to-end inside a query. */
+  def schemaEventsFull(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(to_json(struct(col("event_id"), col("event_type"), col("value"))).as("j"))
+      .agg(InferSchema.infer_hive_type(col("j")).as("hive_type"))
+
+  val defs: Vector[QueryDef] = Vector(
+    QueryDef("w_string_witness", wStringWitness, Some("""
+      SELECT lang, max(length(text)) AS text_maxlen,
+             max(length(source)) AS source_maxlen,
+             count(*) AS n_docs,
+             count(*) - count(text) AS text_nulls
+      FROM documents GROUP BY lang ORDER BY lang""")),
+    QueryDef("w_numeric_witness", wNumericWitness, Some("""
+      SELECT min(cast(l_quantity as decimal(12,2))) AS qty_min,
+             max(cast(l_quantity as decimal(12,2))) AS qty_max,
+             min(cast(l_extendedprice as decimal(12,2))) AS price_min,
+             max(cast(l_extendedprice as decimal(12,2))) AS price_max,
+             max(l_linenumber) AS linenumber_max,
+             count(*) AS n_rows
+      FROM lineitem""")),
+    QueryDef("w_type_bucket", wTypeBucket, Some("""
+      SELECT mn, mx,
+             CASE WHEN mn >= -128 AND mx <= 127 THEN 'TINYINT'
+                  WHEN mn >= -32768 AND mx <= 32767 THEN 'SMALLINT'
+                  WHEN mn >= -2147483648 AND mx <= 2147483647 THEN 'INT'
+                  ELSE 'BIGINT' END AS bucket
+      FROM (SELECT min(user_id) AS mn, max(user_id) AS mx FROM events) s""")),
+    QueryDef("schema_props_by_type", schemaPropsByType, None),
+    QueryDef("schema_events_full", schemaEventsFull, None)
+  )
+}
