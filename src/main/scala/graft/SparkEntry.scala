@@ -14,7 +14,10 @@ object SparkEntry {
   /** All query modules, concatenated. Names must stay unique. */
   private lazy val allDefs: Vector[QueryDef] =
     graft.operators.RelationalQueries.defs ++
-    graft.operators.SchemerQueries.defs
+    graft.operators.SchemerQueries.defs ++
+    graft.operators.TextQueries.defs ++
+    graft.dedup.Dedup.defs ++
+    graft.similarity.Ann.defs
 
   /** Flagship: the schema-inference engine end-to-end on sf0.001 — the
    *  unified Hive DDL of the events.props JSON column as a 1-row frame. */

