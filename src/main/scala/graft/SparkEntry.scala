@@ -17,7 +17,9 @@ object SparkEntry {
     graft.operators.SchemerQueries.defs ++
     graft.operators.TextQueries.defs ++
     graft.dedup.Dedup.defs ++
-    graft.similarity.Ann.defs
+    graft.similarity.Ann.defs ++
+    graft.multimodal.Media.defs ++
+    graft.streaming.EventStreams.defs
 
   /** Flagship: the schema-inference engine end-to-end on sf0.001 — the
    *  unified Hive DDL of the events.props JSON column as a 1-row frame. */

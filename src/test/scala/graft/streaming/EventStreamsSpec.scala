@@ -1,0 +1,59 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming semantics under controlled input: MemoryStream lets us advance
+ *  the watermark batch by batch and observe exactly which sessions close. */
+class EventStreamsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import EventStreams._
+
+  private val us = 1000000L
+  private def ev(id: Long, tSec: Long, user: Long): Event =
+    Event(id, tSec * 1000 * us, user, "click", 1.0) // ts in nanos
+
+  test("sessionize closes a session when the gap exceeds 30 minutes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // session 1: two events 10 s apart; then a 31-min gap opens session 2
+      input.addData(ev(1, 1000, 7), ev(2, 1010, 7))
+      q.processAllAvailable()
+      input.addData(ev(3, 1010 + 31 * 60, 7))
+      q.processAllAvailable()
+      // the gap event closes session 1 immediately (emitted on arrival)
+      val out = spark.table("sess_test").as[SessionOut].collect()
+      assert(out.toSeq == Seq(SessionOut(7, 1000 * us, 2)))
+      // a later user advances the watermark past user 7's timeout
+      input.addData(ev(4, 1010 + 120 * 60, 9))
+      q.processAllAvailable()
+      input.addData(ev(5, 1010 + 121 * 60, 9))
+      q.processAllAvailable()
+      val out2 = spark.table("sess_test").as[SessionOut].collect()
+      assert(out2.exists(s => s.user_id == 7 && s.n_events == 1), s"timeout flush missing: ${out2.toSeq}")
+    } finally q.stop()
+  }
+
+  test("hourlyCounts windows and counts by event type") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = hourlyCounts(input.toDS().toDF())
+      .writeStream.format("memory").queryName("hourly_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(ev(1, 3600, 1), ev(2, 3700, 1), ev(3, 7300, 2))
+      q.processAllAvailable()
+      val rows = spark.table("hourly_test")
+        .select("hour_start_us", "n").as[(Long, Long)].collect().toMap
+      assert(rows == Map(3600L * us -> 2L, 7200L * us -> 1L))
+    } finally q.stop()
+  }
+}
