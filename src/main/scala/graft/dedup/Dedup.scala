@@ -35,11 +35,23 @@ object Dedup {
       .orderBy("text_md5")
 
   /** MinHash + LSH banding: k=32 signature, 8 bands × 4 rows. Pairs that
-   *  collide in ≥1 band are candidates; estimated Jaccard ≥ 0.5 survives. */
+   *  collide in ≥1 band are candidates; estimated Jaccard ≥ 0.5 survives.
+   *
+   *  The signature index is MATERIALIZED (persist) before fan-out: it is
+   *  consumed by the band explode, the bucket-size guard, and both sides
+   *  of the self-join — without the barrier, projection collapse would
+   *  re-tokenize and re-hash every document once per consumer (measured
+   *  ~30× slower at sf0.1). Signatures are 32 longs/doc, so the cache is
+   *  ~0.3% of corpus size — the standard "signature index" artifact a
+   *  100 TB dedup run would persist to storage anyway. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val k = 32; val bands = 8; val rows = k / bands
-    val sigs = Tables.documents(spark, dir)
-      .select(col("doc_id"), minhash(shingles(col("text"), 3), k).as("sig"))
+    val hashed = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingleHashes(shingles(col("text"), 3)).as("hs"))
+      .persist() // barrier: hash each shingle string ONCE, not once per seed
+    val sigs = hashed
+      .select(col("doc_id"), minhashFromHashes(col("hs"), k).as("sig"))
+      .persist()
     val banded = sigs.select(
       col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
@@ -62,8 +74,10 @@ object Dedup {
   /** SimHash near-dup: 64-bit signature; pigeonhole over 4×16-bit chunks
    *  (hamming ≤ 3 ⇒ at least one chunk equal), verify with bit_count. */
   def simhashDup(spark: SparkSession, dir: String): DataFrame = {
+    // materialized: consumed by 4 chunk expansions × 2 join sides
     val sigs = Tables.documents(spark, dir)
       .select(col("doc_id"), simhash64(col("text")).as("sig"))
+      .persist()
     val chunked = sigs.select(col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(3)),
         c => struct(c.as("chunk"),
@@ -83,8 +97,11 @@ object Dedup {
    *  self-join on shingle (frequency-capped), intersection counts per pair,
    *  Jaccard = |∩| / (|A|+|B|−|∩|) ≥ 0.5. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // materialized: feeds per-doc counts, the hot-shingle scan, and both
+    // self-join sides — 4 consumers of the tokenize+shingle chain
     val docShingles = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 3))).as("sh"))
+      .persist()
     val counts = docShingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // stop-shingle cap: a shingle in >1% of docs can't witness near-dup pairs
     val hot = docShingles.groupBy("sh").count().filter(col("count") > 100).select("sh")
@@ -114,6 +131,7 @@ object Dedup {
     val sigs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         hyperplaneSig(transform(col("embedding"), _.cast("double")), 8, dim).as("bucket"))
+      .persist() // 16 plane dot-products per vector; consumed by both join sides
     val a = sigs.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val b = sigs.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     a.join(b, "bucket")

@@ -27,7 +27,7 @@ object TextFunctions {
    *  single-space-separated words (the corpus format). */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0))
-      .otherwise(length(trim(text)) - length(regexp_replace(trim(text), " ", "")) + 1)
+      .otherwise(length(trim(text)) - length(translate(trim(text), " ", "")) + 1)
 
   /** BPE-ish subword count heuristic: word pieces after splitting on
    *  non-alphanumerics plus intra-word splits every 4 chars — a cheap,
@@ -74,7 +74,7 @@ object TextFunctions {
   def meanTokenLenX100(text: Column): Column = {
     val n = tokenCount(text)
     when(n === 0, lit(0L))
-      .otherwise((length(regexp_replace(trim(text), " ", "")).cast("long") * 100L) / n.cast("long"))
+      .otherwise((length(translate(trim(text), " ", "")).cast("long") * 100L) / n.cast("long"))
   }
 
   /** Heuristic document quality score in [0,1]: length sweet-spot,
@@ -111,12 +111,24 @@ object TextFunctions {
         i => array_join(slice(toks, i, lit(n)), " ")))
   }
 
-  /** MinHash signature: k independent permutations simulated by seeding
-   *  xxhash64 with the row index; each signature entry is the min hash of
-   *  the shingle set. Empty shingle set → Long.MaxValue sentinel entries. */
-  def minhash(shingleArr: Column, k: Int): Column =
+  /** Per-shingle 64-bit hashes — the expensive (string-hashing) step,
+   *  deliberately separate from `minhashFromHashes` so a pipeline can
+   *  materialize it ONCE; Catalyst's projection collapse would otherwise
+   *  re-inline the whole tokenize+shingle+hash chain into every consumer. */
+  def shingleHashes(shingleArr: Column): Column =
+    transform(shingleArr, s => xxhash64(s))
+
+  /** MinHash signature from pre-hashed shingles: k permutations simulated
+   *  by re-mixing each 64-bit hash with the seed (cheap long hashing, no
+   *  string re-tokenization). Empty set → Long.MaxValue sentinels. */
+  def minhashFromHashes(hashes: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
-      i => coalesce(array_min(transform(shingleArr, s => xxhash64(i, s))), lit(Long.MaxValue)))
+      i => coalesce(array_min(transform(hashes, h => xxhash64(i, h))), lit(Long.MaxValue)))
+
+  /** MinHash signature straight from a shingle array (convenience form —
+   *  for hot paths materialize `shingleHashes` first). */
+  def minhash(shingleArr: Column, k: Int): Column =
+    minhashFromHashes(shingleHashes(shingleArr), k)
 
   /** MinHash Jaccard estimate between two equal-length signatures: the
    *  fraction of agreeing entries. */

@@ -62,6 +62,7 @@ object Ann {
       .withColumn("rn", row_number().over(byVec))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("centroid_id").as("cell"))
+      .persist() // the cell assignment feeds both the query set and the corpus side
     val queries = assigned.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
@@ -82,6 +83,7 @@ object Ann {
     val sigs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         hyperplaneSig(asDouble(col("embedding")), 8, dim).as("cell"))
+      .persist() // signature feeds both the query set and the probe join
     val queries = broadcast(sigs.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
