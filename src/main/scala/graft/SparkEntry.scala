@@ -14,6 +14,7 @@ object SparkEntry {
   /** All query modules, concatenated. Names must stay unique. */
   private lazy val allDefs: Vector[QueryDef] =
     graft.operators.RelationalQueries.defs ++
+    graft.operators.RelationalQueries2.defs ++
     graft.operators.SchemerQueries.defs ++
     graft.operators.TextQueries.defs ++
     graft.dedup.Dedup.defs ++

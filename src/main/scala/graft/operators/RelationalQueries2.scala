@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.Tables
+import graft.Tables.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Second relational batch: pivot, date/time buckets, string functions,
+ * moment statistics from exact decimal sums, deterministic hash sampling,
+ * median, CUBE grouping sets, conditional aggregation.
+ *
+ * Float discipline (same as batch 1): anything summed is cast to decimal
+ * first; derived doubles (corr, median) are computed from exact sums or
+ * exactly-represented inputs so both engines agree bit-for-bit.
+ */
+object RelationalQueries2 {
+
+  private def dec(c: String) = col(c).cast("decimal(12,2)")
+
+  /** Pivot: quantity by return flag × line status. Spark's relational
+   *  pivot; the oracle spells it as conditional aggregation (what the
+   *  pivot lowers to — grouping stays a single pass either way). */
+  def q16Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(dec("l_quantity")))
+      .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+      .orderBy("l_returnflag")
+
+  /** Date-part bucketing: order counts and revenue by (year, month). */
+  def q17Monthly(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n_orders"), sum(dec("o_totalprice")).as("revenue"))
+      .orderBy("y", "m")
+
+  /** String function suite over part names: upper/substring/concat/
+   *  replace/instr-style predicates — all codegen'd, all ANSI. */
+  def q18Strings(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 5).as("name5"),
+        concat_ws("|", col("p_type"), col("p_brand")).as("type_brand"),
+        length(translate(col("p_name"), " ", "")).as("name_nospace_len"),
+        col("p_name").contains("widget").as("is_widget"))
+      .orderBy("p_partkey")
+
+  /** Pearson correlation of quantity vs extended price, computed from
+   *  EXACT decimal component sums (n, Σx, Σy, Σxy, Σx², Σy²) and only then
+   *  divided in double — both engines produce the identical rounded value,
+   *  unlike a streaming corr() whose partial merges are order-sensitive. */
+  def q19Corr(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      dec("l_quantity").as("x"), dec("l_extendedprice").as("y"))
+    val s = li.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    s.select(
+      col("n"),
+      round(
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) /
+          sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
+        6).as("corr_qty_price"))
+  }
+
+  /** Deterministic 10% sample via content hash (md5 — same function both
+   *  engines), the reproducible form of stratified sampling: no RNG, no
+   *  seed drift, stable across partitionings and engines. */
+  def q20HashSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1"))
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+
+  /** Median (exact, interpolated) of an integer column per group — the
+   *  continuous quantile at 0.5; .0/.5 halves are exactly representable so
+   *  the double compares clean. */
+  def q21Median(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .groupBy("p_type")
+      .agg(median(col("p_size")).as("median_size"), count(lit(1)).as("n"))
+      .orderBy("p_type")
+
+  /** CUBE over two dims: all four grouping-set combinations in one pass. */
+  def q22Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** Conditional aggregation (FILTER/CASE): per-nation account profile. */
+  def q23Conditional(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy("c_nationkey")
+      .agg(
+        count(lit(1)).as("n_cust"),
+        count(when(col("c_acctbal") > 5000, 1)).as("n_rich"),
+        sum(when(col("c_acctbal") < 0, dec("c_acctbal"))).as("debt"),
+        max(dec("c_acctbal")).as("max_bal"))
+      .orderBy("c_nationkey")
+
+  /** Scalar correlated subquery shape: each order against its customer's
+   *  order count (join + window re-expression on the Spark side; the
+   *  oracle keeps the subquery form — same result, Catalyst decorrelates
+   *  to the same join). Restricted to high-value orders. */
+  def q24OrdersVsCustAvg(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val custCounts = ord.groupBy(col("o_custkey").as("ck"))
+      .agg(count(lit(1)).as("cust_orders"))
+    ord.filter(col("o_totalprice") > 400000)
+      .join(custCounts, col("o_custkey") === col("ck"))
+      .select(col("o_orderkey"), col("o_custkey"), col("cust_orders"))
+      .orderBy("o_orderkey")
+  }
+
+  val defs: Vector[QueryDef] = Vector(
+    QueryDef("q16_pivot", q16Pivot, Some("""
+      SELECT l_returnflag,
+             sum(CASE WHEN l_linestatus = 'F' THEN cast(l_quantity as decimal(12,2)) END) AS qty_f,
+             sum(CASE WHEN l_linestatus = 'O' THEN cast(l_quantity as decimal(12,2)) END) AS qty_o
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+    QueryDef("q17_monthly", q17Monthly, Some("""
+      SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+             count(*) AS n_orders,
+             sum(cast(o_totalprice as decimal(12,2))) AS revenue
+      FROM orders GROUP BY 1, 2 ORDER BY y, m""")),
+    QueryDef("q18_strings", q18Strings, Some("""
+      SELECT p_partkey, upper(p_brand) AS brand_u,
+             substr(p_name, 1, 5) AS name5,
+             concat_ws('|', p_type, p_brand) AS type_brand,
+             length(replace(p_name, ' ', '')) AS name_nospace_len,
+             contains(p_name, 'widget') AS is_widget
+      FROM part ORDER BY p_partkey""")),
+    QueryDef("q19_corr", q19Corr, Some("""
+      SELECT n,
+             round((n * sxy - sx * sy)
+                   / sqrt(n * sxx - sx * sx)
+                   / sqrt(n * syy - sy * sy), 6) AS corr_qty_price
+      FROM (
+        SELECT count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+               sum(x*x) AS sxx, sum(y*y) AS syy
+        FROM (SELECT cast(l_quantity as decimal(12,2)) AS x,
+                     cast(l_extendedprice as decimal(12,2)) AS y FROM lineitem) v) s""")),
+    QueryDef("q20_hash_sample", q20HashSample, Some("""
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE substr(md5(cast(doc_id as varchar)), 1, 1) IN ('0', '1')
+      ORDER BY doc_id""")),
+    QueryDef("q21_median", q21Median, Some("""
+      SELECT p_type, median(p_size) AS median_size, count(*) AS n
+      FROM part GROUP BY p_type ORDER BY p_type""")),
+    QueryDef("q22_cube", q22Cube, Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+    QueryDef("q23_conditional", q23Conditional, Some("""
+      SELECT c_nationkey, count(*) AS n_cust,
+             count(CASE WHEN c_acctbal > 5000 THEN 1 END) AS n_rich,
+             sum(CASE WHEN c_acctbal < 0 THEN cast(c_acctbal as decimal(12,2)) END) AS debt,
+             max(cast(c_acctbal as decimal(12,2))) AS max_bal
+      FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")),
+    QueryDef("q24_orders_vs_cust", q24OrdersVsCustAvg, Some("""
+      SELECT o_orderkey, o_custkey,
+             (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey) AS cust_orders
+      FROM orders o
+      WHERE o_totalprice > 400000
+      ORDER BY o_orderkey"""))
+  )
+}
