@@ -15,6 +15,7 @@ object SparkEntry {
   private lazy val allDefs: Vector[QueryDef] =
     graft.operators.RelationalQueries.defs ++
     graft.operators.RelationalQueries2.defs ++
+    graft.operators.AsofAndSketch.defs ++
     graft.operators.SchemerQueries.defs ++
     graft.operators.TextQueries.defs ++
     graft.dedup.Dedup.defs ++

@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.Tables
+import graft.Tables.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * As-of join + sketch aggregates — operators Spark has no dedicated node
+ * for, composed from primitives it optimizes well.
+ *
+ * The as-of join uses the union+window technique instead of a range join:
+ * tag both sides, union, and carry the most recent left-side timestamp
+ * forward with `last(..., ignoreNulls)` over an ordered per-key window.
+ * One shuffle on the key, one sort — no interval cross-product, no
+ * per-row probe, and it scales linearly where a naive range join is
+ * O(n·m) per key.
+ */
+object AsofAndSketch {
+
+  /** Attribution as-of join: for every purchase event, the most recent
+   *  click of the same user at or before it (micros, so the oracle's
+   *  truncated view agrees). */
+  def q25AsofAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+      .filter(col("event_type").isin("click", "purchase"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_click_us",
+        last(when(col("event_type") === "click", col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("purchase_us"), col("last_click_us"),
+        (col("ts_us") - col("last_click_us")).as("gap_us"))
+      .orderBy("user_id", "purchase_id")
+  }
+
+  /** Streaming dedup: watermarked dropDuplicates on (user_id, event_type),
+   *  replayed with AvailableNow. Bounded replay retains exactly the
+   *  distinct pairs, so the batch DISTINCT is an exact oracle. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.events(spark, dir).schema
+    val name = s"stream_dedup_${System.nanoTime()}"
+    val q = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "30 minutes")
+      .dropDuplicates("user_id", "event_type")
+      .select("user_id", "event_type")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id", "event_type")
+  }
+
+  /** Sketch aggregates: HyperLogLog distinct and approximate quantiles —
+   *  the constant-memory forms a 100 TB profile pass uses. Sketch outputs
+   *  are engine-specific → rows-only check; the exact twins they
+   *  approximate are oracled elsewhere (q9, q21). */
+  def sketchStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("approx_p99_price"))
+
+  val defs: Vector[QueryDef] = Vector(
+    QueryDef("q25_asof_attribution", q25AsofAttribution, Some("""
+      SELECT user_id, purchase_id, purchase_us, last_click_us,
+             purchase_us - last_click_us AS gap_us
+      FROM (
+        SELECT user_id, event_id AS purchase_id, event_type,
+               epoch_us(ts) AS purchase_us,
+               last(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+        FROM events
+        WHERE event_type IN ('click', 'purchase')) t
+      WHERE event_type = 'purchase'
+      ORDER BY user_id, purchase_id""")),
+    QueryDef("stream_dedup", streamDedup, Some("""
+      SELECT DISTINCT user_id, event_type FROM events
+      ORDER BY user_id, event_type""")),
+    QueryDef("sketch_stats", sketchStats, None)
+  )
+}
