@@ -119,7 +119,26 @@ object EventStreams {
     spark.table(name).orderBy("user_id", "session_start_us")
   }
 
+  /** Evolving-schema-over-a-stream: the witness aggregator (the engine's
+   *  core) running as a STREAMING stateful aggregation — per event type,
+   *  the unified Hive type of all props seen so far, updated per batch.
+   *  The witness semilattice is exactly the merge-friendly state streaming
+   *  aggregation needs; after a bounded replay the state equals the batch
+   *  schema_props_by_type result. */
+  def streamSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val name = s"stream_schema_${System.nanoTime()}"
+    val q = eventsStream(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(graft.schemer.InferSchema.infer_hive_type(col("props")).as("hive_type"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("event_type")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("stream_schema_evolution", streamSchemaEvolution, None),
     QueryDef("stream_hourly_counts", streamHourlyCounts, Some("""
       SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_start_us,
              event_type, count(*) AS n,
