@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.Tables
+import graft.Tables.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Outer-join and set-operation coverage: left/full outer joins with null
+ *  semantics, EXCEPT, UNION ALL — completing the join/set-op matrix
+ *  (inner/broadcast/semi/anti/cross/as-of live in the other batches). */
+object JoinsAndSetOps {
+
+  /** Left outer join + null-aware aggregation: every customer with their
+   *  order stats; customers without orders keep zero counts. */
+  def q26LeftOuter(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey", "c_mktsegment")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(col("o_totalprice").cast("decimal(12,2)")), lit(0).cast("decimal(12,2)")).as("spend"))
+      .orderBy("c_custkey")
+
+  /** Full outer join across two aggregates: per-nation customer count vs
+   *  supplier count; either side may be missing → nulls survive. */
+  def q27FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).groupBy(col("c_nationkey").as("nk_c"))
+      .agg(count(lit(1)).as("n_cust"))
+    val s = Tables.supplier(spark, dir).groupBy(col("s_nationkey").as("nk_s"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(s, col("nk_c") === col("nk_s"), "full_outer")
+      .select(coalesce(col("nk_c"), col("nk_s")).as("nationkey"), col("n_cust"), col("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  /** EXCEPT (distinct): churned customers — ordered before 1998, never
+   *  after. */
+  def q28Except(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val cutoff = to_timestamp_ntz(lit("1998-01-01 00:00:00"))
+    ord.filter(col("o_orderdate") < cutoff).select(col("o_custkey").as("custkey"))
+      .except(ord.filter(col("o_orderdate") >= cutoff).select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+  }
+
+  /** UNION ALL with a source tag, aggregated: one account-balance profile
+   *  across both entity kinds. */
+  def q29UnionAll(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(lit("customer").as("kind"), col("c_acctbal").cast("decimal(12,2)").as("bal"))
+    val s = Tables.supplier(spark, dir)
+      .select(lit("supplier").as("kind"), col("s_acctbal").cast("decimal(12,2)").as("bal"))
+    c.unionAll(s)
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"), sum(col("bal")).as("total_bal"), max(col("bal")).as("max_bal"))
+      .orderBy("kind")
+  }
+
+  val defs: Vector[QueryDef] = Vector(
+    QueryDef("q26_left_outer", q26LeftOuter, Some("""
+      SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
+             coalesce(sum(cast(o_totalprice as decimal(12,2))), 0) AS spend
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_mktsegment
+      ORDER BY c_custkey""")),
+    QueryDef("q27_full_outer", q27FullOuter, Some("""
+      SELECT coalesce(nk_c, nk_s) AS nationkey, n_cust, n_supp FROM
+        (SELECT c_nationkey AS nk_c, count(*) AS n_cust FROM customer GROUP BY 1) c
+        FULL OUTER JOIN
+        (SELECT s_nationkey AS nk_s, count(*) AS n_supp FROM supplier GROUP BY 1) s
+        ON nk_c = nk_s
+      ORDER BY nationkey""")),
+    QueryDef("q28_except", q28Except, Some("""
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderdate < timestamp '1998-01-01 00:00:00'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderdate >= timestamp '1998-01-01 00:00:00'
+      ORDER BY custkey""")),
+    QueryDef("q29_union_all", q29UnionAll, Some("""
+      SELECT kind, count(*) AS n, sum(bal) AS total_bal, max(bal) AS max_bal
+      FROM (
+        SELECT 'customer' AS kind, cast(c_acctbal as decimal(12,2)) AS bal FROM customer
+        UNION ALL
+        SELECT 'supplier' AS kind, cast(s_acctbal as decimal(12,2)) AS bal FROM supplier) u
+      GROUP BY kind ORDER BY kind"""))
+  )
+}
