@@ -11,8 +11,10 @@ class QuerySuiteSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
-  // queries where an empty result is the semantically correct answer here
-  private val mayBeEmpty = Set("q12_no_orders")
+  // queries where an empty result is the semantically correct answer at
+  // sf0.001 (q12: every customer has orders; q28: no churned customers at
+  // this SF — 8 exist at sf0.01, where the oracle verifies them)
+  private val mayBeEmpty = Set("q12_no_orders", "q28_except")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
