@@ -17,6 +17,7 @@ object SparkEntry {
     graft.operators.RelationalQueries2.defs ++
     graft.operators.AsofAndSketch.defs ++
     graft.operators.JoinsAndSetOps.defs ++
+    graft.operators.SessionAndSkew.defs ++
     graft.operators.SchemerQueries.defs ++
     graft.operators.TextQueries.defs ++
     graft.dedup.Dedup.defs ++

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkTestSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan invariants — the scale contract, pinned as tests so a
+ *  future refactor can't silently regress pushdown/broadcast/top-k shapes.
+ *  (Correctness is the oracle gate's job; this guards the PLANS.) */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1: filter pushed to parquet scan, schema pruned") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_orderkey"), "unused columns must be pruned from the scan")
+  }
+
+  test("q6: all three predicates reach the scan") {
+    // PushedFilters renders truncated ("…"), so assert on the data filters
+    val p = plan("q6_revenue")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)"))
+    assert(p.contains("< 24.0)") && p.contains(">= 0.05)"))
+  }
+
+  test("q3: dimension joins broadcast, top-k via TakeOrderedAndProject") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"), "orderBy+limit must not global-sort")
+  }
+
+  test("q5: star joins broadcast the dims") {
+    assert(plan("q5_region_revenue").contains("BroadcastHashJoin"))
+  }
+
+  test("no accidental cartesian products outside the ANN broadcast NLJs") {
+    for (q <- Seq("q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+                  "q15_sessionize", "dedup_minhash_lsh", "q26_left_outer")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+  }
+
+  test("aggregations are partial+final (map-side combine)") {
+    val p = plan("q1_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial and final HashAggregate")
+  }
+}
