@@ -49,18 +49,27 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "les", "des", "est", "dans", "pour", "une"),
     "it" -> Seq("il", "di", "che", "la", "per", "con", "del", "una"))
 
-  private def markerHits(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words: _*)))
-
   /** Heuristic language ID: argmax of marker-word hits, 'und' (undetermined)
-   *  when nothing matches. Fixed language order breaks ties. */
+   *  when nothing matches. Fixed language order breaks ties
+   *  (array_position returns the first maximum).
+   *
+   *  Single pass: one `aggregate` builds all 5 counters at once, and the
+   *  counts array is bound to a lambda variable (`transform(array(...))`)
+   *  so it is evaluated exactly once — Spark excludes higher-order
+   *  functions from subexpression elimination, so the naive
+   *  one-filter-per-language form re-tokenizes the document per language. */
   def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scored = markers.map { case (lang, ws) => (lang, markerHits(toks, ws)) }
-    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
-      case ((bl, bs), (lang, s)) => (when(s > bs, lit(lang)).otherwise(bl), greatest(s, bs))
-    }
-    when(best._2 > 0, best._1).otherwise(lit("und"))
+    val counts = aggregate(
+      tokens(text),
+      array(markers.map(_ => lit(0)): _*),
+      (acc, t) => array(markers.zipWithIndex.map { case ((_, ws), i) =>
+        acc(i) + when(t.isin(ws: _*), 1).otherwise(0)
+      }: _*))
+    val names = array(markers.map { case (lang, _) => lit(lang) }: _*)
+    transform(array(counts), c =>
+      when(array_max(c) > 0,
+        element_at(names, array_position(c, array_max(c)).cast("int")))
+        .otherwise(lit("und"))).getItem(0)
   }
 
   // ---- quality scoring -----------------------------------------------------
