@@ -13,14 +13,24 @@ import org.apache.spark.sql.functions._
  */
 object Sinks {
 
+  /** Paths already written by THIS process — the builder is invoked for
+   *  plan dumps too, which must not re-run the heavy write. */
+  private val written = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Write documents partitioned by `lang`, read back with a lang filter —
    *  the read plan prunes to one partition directory (PartitionFilters in
    *  `graft.Plans sink_partition_pruning`), so the count touches only the
-   *  matching files. Output oracled against the unpartitioned table. */
+   *  matching files. Output oracled against the unpartitioned table.
+   *  The output path embeds the Spark application id: concurrent processes
+   *  (driver Verify + a developer Bench) must not race each other's
+   *  overwrite against a mid-flight read. */
   def partitionPruning(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_sink_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    Tables.documents(spark, dir)
-      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_sink_" +
+      s"${spark.sparkContext.applicationId}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    if (written.add(out)) {
+      Tables.documents(spark, dir)
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+    }
     spark.read.parquet(out)
       .filter(col("lang") === "en")
       .groupBy("source")
