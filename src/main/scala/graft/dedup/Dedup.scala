@@ -150,7 +150,6 @@ object Dedup {
     Tables.documents(spark, dir)
       .groupBy(fingerprint(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
-      .filter(col("dup_count") >= 1)
       .orderBy("fp")
 
   val defs: Vector[QueryDef] = Vector(

@@ -109,7 +109,7 @@ object TextFunctions {
    *  ANSI mode — a raw polynomial rolling hash overflows Long and Spark 4's
    *  default ANSI arithmetic rejects it. */
   def fingerprint(text: Column): Column =
-    xxhash64(array_join(tokens(text), ""))
+    xxhash64(array_join(tokens(text), "\u0001"))
 
   /** Word n-gram shingles as strings ("w1 w2 … wn"); empty when the doc has
    *  fewer than n tokens. */

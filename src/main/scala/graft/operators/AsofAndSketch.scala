@@ -38,8 +38,10 @@ object AsofAndSketch {
   }
 
   /** Streaming dedup: watermarked dropDuplicates on (user_id, event_type),
-   *  replayed with AvailableNow. Bounded replay retains exactly the
-   *  distinct pairs, so the batch DISTINCT is an exact oracle. */
+   *  replayed with AvailableNow. The single-file replay arrives in one
+   *  micro-batch, so state never ages past the watermark and the batch
+   *  DISTINCT is an exact oracle; a multi-batch replay would only
+   *  guarantee within-watermark dedup (standard streaming semantics). */
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -168,13 +168,15 @@ object RelationalQueries {
   /** Batch sessionization: 30-min-gap sessions per user via lag + running
    *  sum — the batch twin of the streaming session operator
    *  (graft.streaming). Works on microsecond-truncated time so the oracle
-   *  (whose DuckDB view only has micros) computes the identical result. */
+   *  (whose DuckDB view only has micros) computes the identical result.
+   *  Gap convention: a new session starts at gap >= 30 min (half-open),
+   *  matching Spark's native session_window so q30 agrees on any data. */
   def q15Sessionize(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val sess = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
       .withColumn("new_sess",
-        when(col("ts_us") - lag("ts_us", 1).over(byUser) > 1800000000L, 1).otherwise(0))
+        when(col("ts_us") - lag("ts_us", 1).over(byUser) >= 1800000000L, 1).otherwise(0))
       .withColumn("sess_id", sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     sess.groupBy("user_id", "sess_id")
       .agg(count(lit(1)).as("sess_len"))
@@ -285,7 +287,7 @@ object RelationalQueries {
             SELECT user_id, event_id, epoch_us(ts) AS ts_us,
                    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
                           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
-                        > 1800000000 THEN 1 ELSE 0 END AS new_sess
+                        >= 1800000000 THEN 1 ELSE 0 END AS new_sess
             FROM events) g) s
         GROUP BY user_id, sess_id) c
       GROUP BY user_id

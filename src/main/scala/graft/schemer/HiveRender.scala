@@ -52,7 +52,9 @@ object HiveRender {
   }
 
   /** Top-level column list `name TYPE,\n…` — mirrors `definition`
-   *  (Schemer.scala:99-105); non-object top level renders "ERROR". */
+   *  (Schemer.scala:99-105); non-object top level renders "ERROR"; the
+   *  empty object (empty input) renders an empty list, as the reference's
+   *  `Json.obj()` seed does. */
   def definition(w: Witness, i: Int = 0): String = w match {
     case WObj(fs) => fs.map { case (k, v) => renderType(v, i, Some(k)) }.mkString(",\n")
     case _ => "ERROR"
@@ -88,7 +90,12 @@ object HiveRender {
         else DecimalType(math.min(n.precision, 38), 0)
       } else if (n.precision <= 7) FloatType
       else if (n.precision <= 15) DoubleType
-      else DecimalType(math.min(n.precision, 38), math.min(n.maxScale, 38))
+      else {
+        // tiny fractions can have scale > precision (0.0…01234…: p16 s21);
+        // Spark requires scale ≤ precision ≤ 38
+        val s = math.min(n.maxScale, 38)
+        DecimalType(math.min(math.max(n.precision, s), 38), s)
+      }
     case WArr(e) => ArrayType(toSparkType(e), containsNull = true)
     case WObj(fs) =>
       StructType(fs.map { case (k, v) => StructField(k, toSparkType(v), nullable = true) })

@@ -18,10 +18,14 @@ import org.apache.spark.sql.functions
  */
 object InferSchema {
 
-  /** Per-partition local fold; returns (partitionIndex, witness). */
+  /** Per-partition local fold; returns (partitionIndex, witness).
+   *  Seeded with the EMPTY OBJECT like the reference (`Json.obj()`,
+   *  Schemer.scala:10): an empty file renders an empty column list, and a
+   *  non-object top-level row fails with RowMismatch — both reference
+   *  behaviors that a WNull seed would silently change. */
   private def foldPartition(idx: Int, it: Iterator[String]): Iterator[(Int, Witness)] = {
     var rec = 0L
-    var acc: Witness = Witness.bottom
+    var acc: Witness = WObj.empty
     while (it.hasNext) {
       val line = it.next()
       rec += 1
@@ -42,7 +46,7 @@ object InferSchema {
       .mapPartitionsWithIndex(foldPartition, preservesPartitioning = true)
       .collect()
     parts.sortBy(_._1).iterator.map(_._2)
-      .foldLeft(Witness.bottom)(Witness.merge(_, _, "final reduce"))
+      .foldLeft(WObj.empty: Witness)(Witness.merge(_, _, "final reduce"))
   }
 
   /** Infer from an NDJSON file/directory path (reference O1: file scan). */

@@ -100,14 +100,19 @@ object Witness {
     case (WStr(x), WStr(y)) => WStr(math.max(x, y))
     case (x: WNum, y: WNum) =>
       WNum(x.min.min(y.min), x.max.max(y.max), math.max(x.maxScale, y.maxScale))
-    case (WArr(x), WArr(y)) =>
-      WArr(try merge(x, y, context) catch { case RowMismatch(_, _, c) => throw InconsistentArray(c) })
+    // cross-row element conflicts propagate as RowMismatch, like the
+    // reference (Schemer.scala:53 — its prepare-wrap only covers the
+    // INTRA-row element fold, mirrored here in ofNode's ARRAY branch)
+    case (WArr(x), WArr(y)) => WArr(merge(x, y, context))
     case (WObj(ax), WObj(bx)) =>
       // key-union, left operand's order first, unseen right keys appended in
-      // their own order — deterministic first-seen order under an ordered fold
+      // their own order — deterministic first-seen order under an ordered
+      // fold. Right side indexed once: O(|a|+|b|), not O(|a|·|b|) — per-row
+      // merges on wide (hundreds-of-keys) documents sit on the scan path.
+      val bmap = bx.toMap
       val leftKeys = ax.iterator.map(_._1).toSet
       val merged = ax.map { case (k, aw) =>
-        bx.collectFirst { case (`k`, bw) => k -> merge(aw, bw, context) }.getOrElse(k -> aw)
+        k -> bmap.get(k).map(bw => merge(aw, bw, context)).getOrElse(aw)
       }
       WObj(merged ++ bx.filterNot { case (k, _) => leftKeys(k) })
     case _ => throw RowMismatch(a, b, context)

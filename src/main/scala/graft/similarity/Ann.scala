@@ -103,7 +103,7 @@ object Ann {
         SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
                row_number() OVER (
                  PARTITION BY q.vec_id
-                 ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                 ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC,
                           e.vec_id) AS rank
         FROM embeddings q
         JOIN embeddings e ON e.vec_id <> q.vec_id

@@ -64,7 +64,10 @@ object EventStreams {
           for (t <- sorted) {
             cur match {
               case Some(s) if t - s.lastUs <= SessionGapUs =>
-                cur = Some(s.copy(lastUs = t, n = s.n + 1))
+                // a late (within-watermark) event must not move the session
+                // end backwards or the next on-time event falsely closes it
+                cur = Some(s.copy(startUs = math.min(s.startUs, t),
+                  lastUs = math.max(s.lastUs, t), n = s.n + 1))
               case Some(s) =>
                 closed ::= SessionOut(user, s.startUs, s.n)
                 cur = Some(SessState(t, t, 1))

@@ -69,6 +69,30 @@ class InferSchemaSpec extends AnyFunSuite {
     assert(t == "STRUCT<\n\tk: TINYINT\n>")
   }
 
+  test("empty input renders an empty column list, like the reference's Json.obj() seed") {
+    import spark.implicits._
+    val w = InferSchema.inferWitness(spark.emptyDataset[String])
+    assert(w == WObj.empty)
+    assert(HiveRender.definition(w) == "")
+  }
+
+  test("non-object top-level rows fail with RowMismatch, like the reference") {
+    import spark.implicits._
+    val ds = Seq("42").toDS().coalesce(1)
+    val e = intercept[org.apache.spark.SparkException](InferSchema.inferWitness(ds))
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg.contains("STRUCT<") || msg.contains("TINYINT"))
+  }
+
+  test("tiny fractions (scale > precision) still produce a valid Spark DecimalType") {
+    import spark.implicits._
+    val ds = Seq("""{"a": 0.000001234567890123456}""").toDS()
+    val w = InferSchema.inferWitness(ds)
+    val t = HiveRender.toSparkType(w).asInstanceOf[org.apache.spark.sql.types.StructType]("a").dataType
+    val d = t.asInstanceOf[org.apache.spark.sql.types.DecimalType]
+    assert(d.scale <= d.precision && d.precision <= 38)
+  }
+
   test("witness-derived Spark schema reads the data back") {
     val fixture = getClass.getResource("/users.json").getPath
     val df = SchemaGen.readJsonWithInferredSchema(spark, fixture)

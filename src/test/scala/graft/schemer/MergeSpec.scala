@@ -88,7 +88,10 @@ class MergeSpec extends AnyFunSuite {
     assertThrows[InconsistentArray](ofJson("""{"a":["a", {"b":1}]}"""))
   }
 
-  test("mismatched array element witnesses across rows raise InconsistentArray") {
-    assertThrows[InconsistentArray](merge(WArr(WStr(5)), WArr(WBool)))
+  test("mismatched array element witnesses across rows raise RowMismatch") {
+    // reference parity: prepare's InconsistentArray wrap covers only the
+    // INTRA-row element fold (Schemer.scala:32-41); a cross-row element
+    // conflict propagates from merge as RowMismatch (Schemer.scala:53)
+    assertThrows[RowMismatch](merge(WArr(WStr(5)), WArr(WBool)))
   }
 }
