@@ -121,7 +121,45 @@ object RelationalQueries2 {
       .orderBy("o_orderkey")
   }
 
+  /** Fixed-width histogram: 20 price buckets over [0, 500k) — integer
+   *  bucket ids and counts, exact in both engines. */
+  def q32Histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(width_bucket(col("o_totalprice"), lit(0), lit(500000), lit(20)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  /** Quantile bucketing: customers split into account-balance quartiles,
+   *  profiled per quartile (ntile window + re-aggregation). */
+  def q33Ntile(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, dir)
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy("quartile")
+      .agg(
+        count(lit(1)).as("n"),
+        min(dec("c_acctbal")).as("min_bal"),
+        max(dec("c_acctbal")).as("max_bal"))
+      .orderBy("quartile")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // DuckDB 1.0 has no width_bucket; the arithmetic form is exactly its
+    // semantics (bucket 0 below range, n+1 above, else floor(x/w)+1)
+    QueryDef("q32_histogram", q32Histogram, Some("""
+      SELECT CASE WHEN o_totalprice < 0 THEN 0
+                  WHEN o_totalprice >= 500000 THEN 21
+                  ELSE cast(floor(o_totalprice / 25000.0) AS bigint) + 1 END AS bucket,
+             count(*) AS n
+      FROM orders GROUP BY 1 ORDER BY bucket""")),
+    QueryDef("q33_ntile", q33Ntile, Some("""
+      SELECT quartile, count(*) AS n,
+             min(cast(c_acctbal as decimal(12,2))) AS min_bal,
+             max(cast(c_acctbal as decimal(12,2))) AS max_bal
+      FROM (SELECT c_acctbal, ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+            FROM customer) t
+      GROUP BY quartile ORDER BY quartile""")),
     QueryDef("q16_pivot", q16Pivot, Some("""
       SELECT l_returnflag,
              sum(CASE WHEN l_linestatus = 'F' THEN cast(l_quantity as decimal(12,2)) END) AS qty_f,
