@@ -56,7 +56,42 @@ object JoinsAndSetOps {
       .orderBy("kind")
   }
 
+  /** Range (interval) join: pairs of orders by the SAME customer placed
+   *  within 30 days of each other. Spark has no native range-join node, and
+   *  a raw theta join is O(n²) per key — the scalable form buckets each row
+   *  into coarse 30-day epochs, equi-joins on (custkey, bucket) with each
+   *  left row probing its own and the next bucket (any pair ≤ 30 days apart
+   *  shares or straddles one boundary), then applies the exact predicate.
+   *  The oracle is the plain inequality join — same rows, quadratic plan. */
+  def q34RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bucketDays = 30L
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey").as("ck"), col("o_orderkey").as("ok"),
+      (unix_date(col("o_orderdate").cast("date"))).as("d"))
+    val withBucket = o.withColumn("b", col("d") / lit(bucketDays) cast "long")
+    // left probes bucket b and b+1; right sits in its own bucket
+    val probes = withBucket.select(col("ck"), col("ok"), col("d"),
+      explode(array(col("b"), col("b") + 1)).as("pb"))
+    val right = withBucket.select(
+      col("ck").as("ck2"), col("ok").as("ok2"), col("d").as("d2"), col("b").as("pb"))
+    probes.join(right, Seq("pb"))
+      .filter(col("ck") === col("ck2") && col("ok") < col("ok2") &&
+        col("d2") >= col("d") && col("d2") - col("d") <= bucketDays)
+      .groupBy(col("ck").as("custkey"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("d2") - col("d")).as("max_gap_days"))
+      .orderBy("custkey")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("q34_range_join", q34RangeJoin, Some("""
+      SELECT a.o_custkey AS custkey, count(*) AS n_pairs,
+             max(date_diff('day', cast(a.o_orderdate as date), cast(b.o_orderdate as date))) AS max_gap_days
+      FROM orders a JOIN orders b
+        ON a.o_custkey = b.o_custkey
+       AND a.o_orderkey < b.o_orderkey
+       AND b.o_orderdate >= a.o_orderdate
+       AND date_diff('day', cast(a.o_orderdate as date), cast(b.o_orderdate as date)) <= 30
+      GROUP BY 1 ORDER BY custkey""")),
     QueryDef("q26_left_outer", q26LeftOuter, Some("""
       SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
              coalesce(sum(cast(o_totalprice as decimal(12,2))), 0) AS spend
