@@ -78,6 +78,27 @@ class LatticeLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("toSparkType is total and always constructs a valid type") {
+    import org.apache.spark.sql.types.DecimalType
+    // include extreme scales/precisions: the tiny-fraction class used to
+    // construct DecimalType(p, s>p) and crash
+    val genNum = for {
+      a <- Gen.choose(-1e18, 1e18).map(BigDecimal(_))
+      s <- Gen.choose(0, 45)
+    } yield WNum(a.min(0).setScale(s), a.max(0).setScale(s), s)
+    val gen = Gen.oneOf(genNum, genShape.flatMap(genObj))
+    samples(gen).foreach { w =>
+      val t = HiveRender.toSparkType(w) // must not throw
+      def valid(dt: org.apache.spark.sql.types.DataType): Unit = dt match {
+        case d: DecimalType => assert(d.scale <= d.precision && d.precision <= 38)
+        case s: org.apache.spark.sql.types.StructType => s.fields.foreach(f => valid(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType => valid(a.elementType)
+        case _ =>
+      }
+      valid(t)
+    }
+  }
+
   test("any partitioning of a row list folds to the same rendered type") {
     val g = for {
       s <- genShape
