@@ -2,8 +2,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 object InferBench {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions","32").config("spark.ui.enabled","false").getOrCreate()
+    val spark = SparkSession.builder().master(sys.env.getOrElse("INFER_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions","32").config("spark.sql.files.maxPartitionBytes", sys.env.getOrElse("INFER_SPLIT", "134217728")).config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // warmup
     spark.range(1000000).selectExpr("sum(id)").collect()
