@@ -144,7 +144,43 @@ object RelationalQueries2 {
       .orderBy("quartile")
   }
 
+  /** The full analytic-window set in one pass: ranking (dense_rank,
+   *  percent_rank, cume_dist) and navigation (lag, lead, first_value,
+   *  nth_value) over the per-priority price ordering. percent_rank /
+   *  cume_dist are exact rational doubles — identical IEEE division in
+   *  both engines. Restricted to two priorities for a compact result. */
+  def q35WindowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(
+        col("o_orderpriority"), col("o_orderkey"),
+        dense_rank().over(w).as("drank"),
+        round(percent_rank().over(w), 6).as("prank"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"),
+        first_value(col("o_orderkey")).over(w).as("top_key"),
+        nth_value(col("o_orderkey"), 3).over(w).as("third_key"))
+      .orderBy("o_orderpriority", "drank", "o_orderkey")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("q35_window_suite", q35WindowSuite, Some("""
+      SELECT o_orderpriority, o_orderkey,
+             dense_rank() OVER w AS drank,
+             round(percent_rank() OVER w, 6) AS prank,
+             round(cume_dist() OVER w, 6) AS cdist,
+             lag(o_orderkey, 1) OVER w AS prev_key,
+             lead(o_orderkey, 1) OVER w AS next_key,
+             first_value(o_orderkey) OVER w AS top_key,
+             nth_value(o_orderkey, 3) OVER w AS third_key
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey)
+      ORDER BY o_orderpriority, drank, o_orderkey""")),
     // DuckDB 1.0 has no width_bucket; the arithmetic form is exactly its
     // semantics (bucket 0 below range, n+1 above, else floor(x/w)+1)
     QueryDef("q32_histogram", q32Histogram, Some("""
