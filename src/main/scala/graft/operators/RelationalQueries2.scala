@@ -166,7 +166,43 @@ object RelationalQueries2 {
       .orderBy("o_orderpriority", "drank", "o_orderkey")
   }
 
+  /** Date/time function family: ISO weekday distribution and month-end
+   *  orders. Spark's weekday() is 0=Monday; +1 matches DuckDB's isodow. */
+  def q36Datetime(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy((weekday(col("o_orderdate").cast("date")) + 1).as("isodow"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("o_orderdate").cast("date") === last_day(col("o_orderdate").cast("date")), 1)).as("n_month_end"),
+        min(year(col("o_orderdate"))).as("min_year"))
+      .orderBy("isodow")
+
+  /** JSON function family: extract + type + aggregate over the raw props
+   *  JSON strings (the scalar-query face of the schemer engine). */
+  def q37Json(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(col("k")).as("n_with_k"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"),
+        count(when(col("k") > 50, 1)).as("n_large"))
+      .orderBy("event_type")
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("q36_datetime", q36Datetime, Some("""
+      SELECT isodow(cast(o_orderdate as date)) AS isodow, count(*) AS n,
+             count(CASE WHEN cast(o_orderdate as date) = last_day(cast(o_orderdate as date)) THEN 1 END) AS n_month_end,
+             min(year(o_orderdate)) AS min_year
+      FROM orders GROUP BY 1 ORDER BY isodow""")),
+    QueryDef("q37_json", q37Json, Some("""
+      SELECT event_type,
+             count(cast(json_extract_string(props, '$.k') as bigint)) AS n_with_k,
+             min(cast(json_extract_string(props, '$.k') as bigint)) AS k_min,
+             max(cast(json_extract_string(props, '$.k') as bigint)) AS k_max,
+             count(CASE WHEN cast(json_extract_string(props, '$.k') as bigint) > 50 THEN 1 END) AS n_large
+      FROM events GROUP BY event_type ORDER BY event_type""")),
     QueryDef("q35_window_suite", q35WindowSuite, Some("""
       SELECT o_orderpriority, o_orderkey,
              dense_rank() OVER w AS drank,
