@@ -18,7 +18,7 @@ object JoinsAndSetOps {
       .groupBy("c_custkey", "c_mktsegment")
       .agg(
         count(col("o_orderkey")).as("n_orders"),
-        coalesce(sum(col("o_totalprice").cast("decimal(12,2)")), lit(0).cast("decimal(12,2)")).as("spend"))
+        coalesce(sum(col("o_totalprice").cast("decimal(12,2)")), lit(0).cast("decimal(12,2)")).cast("double").as("spend"))
       .orderBy("c_custkey")
 
   /** Full outer join across two aggregates: per-nation customer count vs
@@ -52,7 +52,7 @@ object JoinsAndSetOps {
       .select(lit("supplier").as("kind"), col("s_acctbal").cast("decimal(12,2)").as("bal"))
     c.unionAll(s)
       .groupBy("kind")
-      .agg(count(lit(1)).as("n"), sum(col("bal")).as("total_bal"), max(col("bal")).as("max_bal"))
+      .agg(count(lit(1)).as("n"), sum(col("bal")).cast("double").as("total_bal"), max(col("bal")).cast("double").as("max_bal"))
       .orderBy("kind")
   }
 
@@ -78,7 +78,7 @@ object JoinsAndSetOps {
       .filter(col("ck") === col("ck2") && col("ok") < col("ok2") &&
         col("d2") >= col("d") && col("d2") - col("d") <= bucketDays)
       .groupBy(col("ck").as("custkey"))
-      .agg(count(lit(1)).as("n_pairs"), max(col("d2") - col("d")).as("max_gap_days"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("d2") - col("d")).cast("bigint").as("max_gap_days"))
       .orderBy("custkey")
   }
 
@@ -94,7 +94,7 @@ object JoinsAndSetOps {
       GROUP BY 1 ORDER BY custkey""")),
     QueryDef("q26_left_outer", q26LeftOuter, Some("""
       SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
-             coalesce(sum(cast(o_totalprice as decimal(12,2))), 0) AS spend
+             cast(coalesce(sum(cast(o_totalprice as decimal(12,2))), 0) as double) AS spend
       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       GROUP BY c_custkey, c_mktsegment
       ORDER BY c_custkey""")),
@@ -111,7 +111,7 @@ object JoinsAndSetOps {
       SELECT o_custkey FROM orders WHERE o_orderdate >= timestamp '1998-01-01 00:00:00'
       ORDER BY custkey""")),
     QueryDef("q29_union_all", q29UnionAll, Some("""
-      SELECT kind, count(*) AS n, sum(bal) AS total_bal, max(bal) AS max_bal
+      SELECT kind, count(*) AS n, cast(sum(bal) as double) AS total_bal, cast(max(bal) as double) AS max_bal
       FROM (
         SELECT 'customer' AS kind, cast(c_acctbal as decimal(12,2)) AS bal FROM customer
         UNION ALL

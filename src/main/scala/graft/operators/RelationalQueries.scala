@@ -20,6 +20,18 @@ import org.apache.spark.sql.functions._
  *    sums are exact and order-independent, so results are reproducible
  *    across any partitioning (and hash-comparable against the DuckDB
  *    oracle) — double sums would drift in the low bits per merge order.
+ *
+ * Output-type discipline (applies to every oracled query in the repo):
+ * FINAL output columns are only string/bigint/double/boolean/timestamp —
+ * never DECIMAL or HUGEINT on either side. The aggregation itself stays
+ * exact decimal; only the last projection converts, and both engines'
+ * decimal→double casts are correctly rounded (verified bit-exact), so the
+ * one conversion is deterministic. Rationale: the correctness gate reads
+ * the Spark parquet with scale-preserving Decimals but materializes the
+ * oracle through a float64 path, so a DECIMAL output whose value has a
+ * trailing zero ('1.00' vs '1.0') false-fails even when values are
+ * bit-identical. Integer sums get an explicit BIGINT cast on the DuckDB
+ * side (its sum(BIGINT) is HUGEINT, which also floats through that path).
  */
 object RelationalQueries {
 
@@ -32,9 +44,9 @@ object RelationalQueries {
       .filter(col("l_shipdate") <= to_timestamp_ntz(lit("1999-12-01 00:00:00")))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dec("l_quantity")).as("sum_qty"),
-        sum(dec("l_extendedprice")).as("sum_base_price"),
-        sum(dec("l_extendedprice") * (lit(1).cast("decimal(12,2)") - dec("l_discount"))).as("sum_disc_price"),
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(12,2)") - dec("l_discount"))).cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -46,7 +58,7 @@ object RelationalQueries {
         col("l_shipdate") >= to_timestamp_ntz(lit("1998-01-01 00:00:00")) &&
         col("l_shipdate") < to_timestamp_ntz(lit("1999-01-01 00:00:00")) &&
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-      .agg(sum(dec("l_extendedprice") * dec("l_discount")).as("revenue"))
+      .agg(sum(dec("l_extendedprice") * dec("l_discount")).cast("double").as("revenue"))
 
   /** TPC-H Q3 shape: 3-way join + group + top-k. customer is the small side
    *  at every SF (1/40 of lineitem) → broadcast; orders ⋈ lineitem shuffles
@@ -60,7 +72,7 @@ object RelationalQueries {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderpriority"))
-      .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(12,2)") - dec("l_discount"))).as("revenue"))
+      .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(12,2)") - dec("l_discount"))).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -86,7 +98,7 @@ object RelationalQueries {
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .join(dims, col("c_nationkey") === col("n_nationkey"))
       .groupBy("r_name")
-      .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(12,2)") - dec("l_discount"))).as("revenue"))
+      .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(12,2)") - dec("l_discount"))).cast("double").as("revenue"))
       .orderBy("r_name")
   }
 
@@ -95,7 +107,7 @@ object RelationalQueries {
   def q7TopPerPriority(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables.orders(spark, dir)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
       .filter(col("rn") <= 3)
       .select("o_orderpriority", "o_orderkey", "rn")
       .orderBy("o_orderpriority", "rn")
@@ -108,7 +120,7 @@ object RelationalQueries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderkey"),
-        sum(dec("o_totalprice")).over(w).as("running_spend"))
+        sum(dec("o_totalprice")).over(w).cast("double").as("running_spend"))
       .orderBy("o_custkey", "o_orderkey")
   }
 
@@ -124,7 +136,7 @@ object RelationalQueries {
   def q10Rollup(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .rollup("l_returnflag", "l_linestatus")
-      .agg(sum(dec("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .agg(sum(dec("l_quantity")).cast("double").as("sum_qty"), count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   /** INTERSECT: customers of one segment who actually ordered. */
@@ -153,7 +165,7 @@ object RelationalQueries {
         count(lit(1)).as("n_parts"),
         min(col("p_size")).as("min_size"),
         max(col("p_size")).as("max_size"),
-        sum(dec("p_retailprice")).as("sum_price"))
+        sum(dec("p_retailprice")).cast("double").as("sum_price"))
       .orderBy("p_brand")
 
   /** Event-time bucketing on the raw nanosecond Long. Integer `div` only:
@@ -162,7 +174,7 @@ object RelationalQueries {
   def q14EventsHourly(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(dec("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum(dec("value")).cast("double").as("sum_value"))
       .orderBy("hour_bucket", "event_type")
 
   /** Batch sessionization: 30-min-gap sessions per user via lag + running
@@ -188,23 +200,23 @@ object RelationalQueries {
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q1_pricing_summary", q1PricingSummary, Some("""
       SELECT l_returnflag, l_linestatus,
-             sum(cast(l_quantity as decimal(12,2))) AS sum_qty,
-             sum(cast(l_extendedprice as decimal(12,2))) AS sum_base_price,
-             sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2)))) AS sum_disc_price,
+             cast(sum(cast(l_quantity as decimal(12,2))) as double) AS sum_qty,
+             cast(sum(cast(l_extendedprice as decimal(12,2))) as double) AS sum_base_price,
+             cast(sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2)))) as double) AS sum_disc_price,
              count(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= timestamp '1999-12-01 00:00:00'
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""")),
     QueryDef("q6_revenue", q6Revenue, Some("""
-      SELECT sum(cast(l_extendedprice as decimal(12,2)) * cast(l_discount as decimal(12,2))) AS revenue
+      SELECT cast(sum(cast(l_extendedprice as decimal(12,2)) * cast(l_discount as decimal(12,2))) as double) AS revenue
       FROM lineitem
       WHERE l_shipdate >= timestamp '1998-01-01 00:00:00'
         AND l_shipdate < timestamp '1999-01-01 00:00:00'
         AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")),
     QueryDef("q3_shipping_priority", q3ShippingPriority, Some("""
       SELECT l_orderkey, o_orderpriority,
-             sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2)))) AS revenue
+             cast(sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2)))) as double) AS revenue
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -223,7 +235,7 @@ object RelationalQueries {
       ORDER BY o_orderpriority""")),
     QueryDef("q5_region_revenue", q5RegionRevenue, Some("""
       SELECT r_name,
-             sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2)))) AS revenue
+             cast(sum(cast(l_extendedprice as decimal(12,2)) * (cast(1 as decimal(12,2)) - cast(l_discount as decimal(12,2)))) as double) AS revenue
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -241,9 +253,9 @@ object RelationalQueries {
       ORDER BY o_orderpriority, rn""")),
     QueryDef("q8_running_spend", q8RunningSpend, Some("""
       SELECT o_custkey, o_orderkey,
-             sum(cast(o_totalprice as decimal(12,2)))
+             cast(sum(cast(o_totalprice as decimal(12,2)))
                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS running_spend
       FROM orders
       ORDER BY o_custkey, o_orderkey""")),
     QueryDef("q9_distinct_agg", q9DistinctAgg, Some("""
@@ -253,7 +265,7 @@ object RelationalQueries {
       FROM orders""")),
     QueryDef("q10_rollup", q10Rollup, Some("""
       SELECT l_returnflag, l_linestatus,
-             sum(cast(l_quantity as decimal(12,2))) AS sum_qty, count(*) AS n
+             cast(sum(cast(l_quantity as decimal(12,2))) as double) AS sum_qty, count(*) AS n
       FROM lineitem
       GROUP BY ROLLUP(l_returnflag, l_linestatus)
       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
@@ -269,11 +281,11 @@ object RelationalQueries {
     QueryDef("q13_brand_stats", q13BrandStats, Some("""
       SELECT p_brand, count(*) AS n_parts, min(p_size) AS min_size,
              max(p_size) AS max_size,
-             sum(cast(p_retailprice as decimal(12,2))) AS sum_price
+             cast(sum(cast(p_retailprice as decimal(12,2))) as double) AS sum_price
       FROM part GROUP BY p_brand ORDER BY p_brand""")),
     QueryDef("q14_events_hourly", q14EventsHourly, Some("""
       SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
-             count(*) AS n, sum(cast(value as decimal(12,2))) AS sum_value
+             count(*) AS n, cast(sum(cast(value as decimal(12,2))) as double) AS sum_value
       FROM events
       GROUP BY 1, 2
       ORDER BY hour_bucket, event_type""")),

@@ -25,15 +25,15 @@ object RelationalQueries2 {
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
       .pivot("l_linestatus", Seq("F", "O"))
-      .agg(sum(dec("l_quantity")))
+      .agg(sum(dec("l_quantity")).cast("double"))
       .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
       .orderBy("l_returnflag")
 
   /** Date-part bucketing: order counts and revenue by (year, month). */
   def q17Monthly(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
-      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
-      .agg(count(lit(1)).as("n_orders"), sum(dec("o_totalprice")).as("revenue"))
+      .groupBy(year(col("o_orderdate")).cast("bigint").as("y"), month(col("o_orderdate")).cast("bigint").as("m"))
+      .agg(count(lit(1)).as("n_orders"), sum(dec("o_totalprice")).cast("double").as("revenue"))
       .orderBy("y", "m")
 
   /** String function suite over part names: upper/substring/concat/
@@ -45,7 +45,7 @@ object RelationalQueries2 {
         upper(col("p_brand")).as("brand_u"),
         substring(col("p_name"), 1, 5).as("name5"),
         concat_ws("|", col("p_type"), col("p_brand")).as("type_brand"),
-        length(translate(col("p_name"), " ", "")).as("name_nospace_len"),
+        length(translate(col("p_name"), " ", "")).cast("bigint").as("name_nospace_len"),
         col("p_name").contains("widget").as("is_widget"))
       .orderBy("p_partkey")
 
@@ -103,8 +103,8 @@ object RelationalQueries2 {
       .agg(
         count(lit(1)).as("n_cust"),
         count(when(col("c_acctbal") > 5000, 1)).as("n_rich"),
-        sum(when(col("c_acctbal") < 0, dec("c_acctbal"))).as("debt"),
-        max(dec("c_acctbal")).as("max_bal"))
+        sum(when(col("c_acctbal") < 0, dec("c_acctbal"))).cast("double").as("debt"),
+        max(dec("c_acctbal")).cast("double").as("max_bal"))
       .orderBy("c_nationkey")
 
   /** Scalar correlated subquery shape: each order against its customer's
@@ -135,12 +135,12 @@ object RelationalQueries2 {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("c_acctbal"), col("c_custkey"))
     Tables.customer(spark, dir)
-      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("quartile", ntile(4).over(w).cast("bigint"))
       .groupBy("quartile")
       .agg(
         count(lit(1)).as("n"),
-        min(dec("c_acctbal")).as("min_bal"),
-        max(dec("c_acctbal")).as("max_bal"))
+        min(dec("c_acctbal")).cast("double").as("min_bal"),
+        max(dec("c_acctbal")).cast("double").as("max_bal"))
       .orderBy("quartile")
   }
 
@@ -156,7 +156,7 @@ object RelationalQueries2 {
       .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
       .select(
         col("o_orderpriority"), col("o_orderkey"),
-        dense_rank().over(w).as("drank"),
+        dense_rank().over(w).cast("bigint").as("drank"),
         round(percent_rank().over(w), 6).as("prank"),
         round(cume_dist().over(w), 6).as("cdist"),
         lag(col("o_orderkey"), 1).over(w).as("prev_key"),
@@ -170,11 +170,11 @@ object RelationalQueries2 {
    *  orders. Spark's weekday() is 0=Monday; +1 matches DuckDB's isodow. */
   def q36Datetime(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
-      .groupBy((weekday(col("o_orderdate").cast("date")) + 1).as("isodow"))
+      .groupBy((weekday(col("o_orderdate").cast("date")) + 1).cast("bigint").as("isodow"))
       .agg(
         count(lit(1)).as("n"),
         count(when(col("o_orderdate").cast("date") === last_day(col("o_orderdate").cast("date")), 1)).as("n_month_end"),
-        min(year(col("o_orderdate"))).as("min_year"))
+        min(year(col("o_orderdate"))).cast("bigint").as("min_year"))
       .orderBy("isodow")
 
   /** JSON function family: extract + type + aggregate over the raw props
@@ -194,7 +194,7 @@ object RelationalQueries2 {
     QueryDef("q36_datetime", q36Datetime, Some("""
       SELECT isodow(cast(o_orderdate as date)) AS isodow, count(*) AS n,
              count(CASE WHEN cast(o_orderdate as date) = last_day(cast(o_orderdate as date)) THEN 1 END) AS n_month_end,
-             min(year(o_orderdate)) AS min_year
+             cast(min(year(o_orderdate)) as bigint) AS min_year
       FROM orders GROUP BY 1 ORDER BY isodow""")),
     QueryDef("q37_json", q37Json, Some("""
       SELECT event_type,
@@ -227,26 +227,26 @@ object RelationalQueries2 {
       FROM orders GROUP BY 1 ORDER BY bucket""")),
     QueryDef("q33_ntile", q33Ntile, Some("""
       SELECT quartile, count(*) AS n,
-             min(cast(c_acctbal as decimal(12,2))) AS min_bal,
-             max(cast(c_acctbal as decimal(12,2))) AS max_bal
+             cast(min(cast(c_acctbal as decimal(12,2))) as double) AS min_bal,
+             cast(max(cast(c_acctbal as decimal(12,2))) as double) AS max_bal
       FROM (SELECT c_acctbal, ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
             FROM customer) t
       GROUP BY quartile ORDER BY quartile""")),
     QueryDef("q16_pivot", q16Pivot, Some("""
       SELECT l_returnflag,
-             sum(CASE WHEN l_linestatus = 'F' THEN cast(l_quantity as decimal(12,2)) END) AS qty_f,
-             sum(CASE WHEN l_linestatus = 'O' THEN cast(l_quantity as decimal(12,2)) END) AS qty_o
+             cast(sum(CASE WHEN l_linestatus = 'F' THEN cast(l_quantity as decimal(12,2)) END) as double) AS qty_f,
+             cast(sum(CASE WHEN l_linestatus = 'O' THEN cast(l_quantity as decimal(12,2)) END) as double) AS qty_o
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
     QueryDef("q17_monthly", q17Monthly, Some("""
       SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
              count(*) AS n_orders,
-             sum(cast(o_totalprice as decimal(12,2))) AS revenue
+             cast(sum(cast(o_totalprice as decimal(12,2))) as double) AS revenue
       FROM orders GROUP BY 1, 2 ORDER BY y, m""")),
     QueryDef("q18_strings", q18Strings, Some("""
       SELECT p_partkey, upper(p_brand) AS brand_u,
              substr(p_name, 1, 5) AS name5,
              concat_ws('|', p_type, p_brand) AS type_brand,
-             length(replace(p_name, ' ', '')) AS name_nospace_len,
+             cast(length(replace(p_name, ' ', '')) as bigint) AS name_nospace_len,
              contains(p_name, 'widget') AS is_widget
       FROM part ORDER BY p_partkey""")),
     QueryDef("q19_corr", q19Corr, Some("""
@@ -274,8 +274,8 @@ object RelationalQueries2 {
     QueryDef("q23_conditional", q23Conditional, Some("""
       SELECT c_nationkey, count(*) AS n_cust,
              count(CASE WHEN c_acctbal > 5000 THEN 1 END) AS n_rich,
-             sum(CASE WHEN c_acctbal < 0 THEN cast(c_acctbal as decimal(12,2)) END) AS debt,
-             max(cast(c_acctbal as decimal(12,2))) AS max_bal
+             cast(sum(CASE WHEN c_acctbal < 0 THEN cast(c_acctbal as decimal(12,2)) END) as double) AS debt,
+             cast(max(cast(c_acctbal as decimal(12,2))) as double) AS max_bal
       FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")),
     QueryDef("q24_orders_vs_cust", q24OrdersVsCustAvg, Some("""
       SELECT o_orderkey, o_custkey,

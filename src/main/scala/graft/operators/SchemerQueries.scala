@@ -23,8 +23,8 @@ object SchemerQueries {
     Tables.documents(spark, dir)
       .groupBy("lang")
       .agg(
-        max(length(col("text"))).as("text_maxlen"),
-        max(length(col("source"))).as("source_maxlen"),
+        max(length(col("text"))).cast("bigint").as("text_maxlen"),
+        max(length(col("source"))).cast("bigint").as("source_maxlen"),
         count(lit(1)).as("n_docs"),
         (count(lit(1)) - count(col("text"))).as("text_nulls"))
       .orderBy("lang")
@@ -34,10 +34,10 @@ object SchemerQueries {
   def wNumericWitness(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .agg(
-        min(col("l_quantity").cast("decimal(12,2)")).as("qty_min"),
-        max(col("l_quantity").cast("decimal(12,2)")).as("qty_max"),
-        min(col("l_extendedprice").cast("decimal(12,2)")).as("price_min"),
-        max(col("l_extendedprice").cast("decimal(12,2)")).as("price_max"),
+        min(col("l_quantity").cast("decimal(12,2)")).cast("double").as("qty_min"),
+        max(col("l_quantity").cast("decimal(12,2)")).cast("double").as("qty_max"),
+        min(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("price_min"),
+        max(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("price_max"),
         max(col("l_linenumber")).as("linenumber_max"),
         count(lit(1)).as("n_rows"))
 
@@ -72,16 +72,16 @@ object SchemerQueries {
 
   val defs: Vector[QueryDef] = Vector(
     QueryDef("w_string_witness", wStringWitness, Some("""
-      SELECT lang, max(length(text)) AS text_maxlen,
-             max(length(source)) AS source_maxlen,
+      SELECT lang, cast(max(length(text)) as bigint) AS text_maxlen,
+             cast(max(length(source)) as bigint) AS source_maxlen,
              count(*) AS n_docs,
              count(*) - count(text) AS text_nulls
       FROM documents GROUP BY lang ORDER BY lang""")),
     QueryDef("w_numeric_witness", wNumericWitness, Some("""
-      SELECT min(cast(l_quantity as decimal(12,2))) AS qty_min,
-             max(cast(l_quantity as decimal(12,2))) AS qty_max,
-             min(cast(l_extendedprice as decimal(12,2))) AS price_min,
-             max(cast(l_extendedprice as decimal(12,2))) AS price_max,
+      SELECT cast(min(cast(l_quantity as decimal(12,2))) as double) AS qty_min,
+             cast(max(cast(l_quantity as decimal(12,2))) as double) AS qty_max,
+             cast(min(cast(l_extendedprice as decimal(12,2))) as double) AS price_min,
+             cast(max(cast(l_extendedprice as decimal(12,2))) as double) AS price_max,
              max(l_linenumber) AS linenumber_max,
              count(*) AS n_rows
       FROM lineitem""")),

@@ -54,7 +54,7 @@ object SessionAndSkew {
         col("l_returnflag") === col("rf") && col("l_linestatus") === col("ls") &&
         li("salt") === labels("salt"))
       .groupBy("label")
-      .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"))
       .orderBy("label")
   }
 
@@ -77,7 +77,7 @@ object SessionAndSkew {
     QueryDef("q31_salted_join", q31SaltedJoin, Some("""
       SELECT concat_ws('/', l_returnflag, l_linestatus) AS label,
              count(*) AS n,
-             sum(cast(l_quantity as decimal(12,2))) AS sum_qty
+             cast(sum(cast(l_quantity as decimal(12,2))) as double) AS sum_qty
       FROM lineitem
       GROUP BY 1 ORDER BY label"""))
   )

@@ -69,11 +69,11 @@ object TextQueries {
   val defs: Vector[QueryDef] = Vector(
     QueryDef("text_token_stats", tokenStats, Some("""
       SELECT lang,
-             sum(CASE WHEN length(trim(text)) = 0 THEN 0
-                      ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END) AS total_tokens,
-             max(CASE WHEN length(trim(text)) = 0 THEN 0
-                      ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END) AS max_tokens,
-             sum(n_chars) AS total_chars,
+             cast(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END) as bigint) AS total_tokens,
+             cast(max(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END) as bigint) AS max_tokens,
+             cast(sum(n_chars) as bigint) AS total_chars,
              count(*) AS n_docs
       FROM documents GROUP BY lang ORDER BY lang""")),
     QueryDef("text_quality_features", qualityFeatures, Some("""

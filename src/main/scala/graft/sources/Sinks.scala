@@ -34,13 +34,13 @@ object Sinks {
     spark.read.parquet(out)
       .filter(col("lang") === "en")
       .groupBy("source")
-      .agg(count(lit(1)).as("n_en_docs"), sum(col("n_chars")).as("total_chars"))
+      .agg(count(lit(1)).as("n_en_docs"), sum(col("n_chars")).cast("bigint").as("total_chars"))
       .orderBy("source")
   }
 
   val defs: Vector[QueryDef] = Vector(
     QueryDef("sink_partition_pruning", partitionPruning, Some("""
-      SELECT source, count(*) AS n_en_docs, sum(n_chars) AS total_chars
+      SELECT source, count(*) AS n_en_docs, cast(sum(n_chars) as bigint) AS total_chars
       FROM documents WHERE lang = 'en'
       GROUP BY source ORDER BY source"""))
   )

@@ -38,7 +38,7 @@ object EventStreams {
     withEventTime(events)
       .withWatermark("event_time", "30 minutes")
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(12,2)")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
       .select(unix_micros(col("window.start")).as("hour_start_us"), col("event_type"), col("n"), col("sum_value"))
 
   /** Stateful sessionization: 30-min-gap sessions per user. Emits one row
@@ -145,7 +145,7 @@ object EventStreams {
     QueryDef("stream_hourly_counts", streamHourlyCounts, Some("""
       SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_start_us,
              event_type, count(*) AS n,
-             sum(cast(value as decimal(12,2))) AS sum_value
+             cast(sum(cast(value as decimal(12,2))) as double) AS sum_value
       FROM events
       GROUP BY 1, 2
       ORDER BY hour_start_us, event_type""")),
