@@ -46,8 +46,13 @@ object Dedup {
    *  100 TB dedup run would persist to storage anyway. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val k = 32; val bands = 8; val rows = k / bands
+    // docs with < n tokens have NO shingles; their signature would be the
+    // all-sentinel vector, colliding in every band and emitting
+    // est_jaccard=1.0 "duplicates" for unrelated short docs — drop them up
+    // front (a doc with no shingles has no similarity evidence to offer)
     val hashed = Tables.documents(spark, dir)
       .select(col("doc_id"), shingleHashes(shingles(col("text"), 3)).as("hs"))
+      .filter(size(col("hs")) > 0)
       .persist() // barrier: hash each shingle string ONCE, not once per seed
     val sigs = hashed
       .select(col("doc_id"), minhashFromHashes(col("hs"), k).as("sig"))
@@ -57,9 +62,14 @@ object Dedup {
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).as("bkey")))).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bkey"))
-    // skew guard: drop degenerate buckets before the self-join
-    val bucketSizes = banded.groupBy("band", "bkey").count().filter(col("count").between(2, 1000))
-    val inBuckets = banded.join(broadcast(bucketSizes.drop("count")), Seq("band", "bkey"))
+    // skew guard, inverted so only the SMALL set is broadcast: the hot
+    // (degenerate) bucket keys are few by construction, while the kept-
+    // bucket set is O(corpus) and must never be broadcast. Singleton
+    // buckets need no filtering — they produce no pairs under id_a < id_b.
+    val hot = banded.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1000)
+      .select("band", "bkey")
+    val inBuckets = banded.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
     val a = inBuckets.select(col("band"), col("bkey"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = inBuckets.select(col("band"), col("bkey"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "bkey"))
@@ -123,15 +133,18 @@ object Dedup {
    *  verification on bucket-colliding pairs only. Emits the top-20
    *  candidates with an `is_dup` (cos ≥ 0.9) verdict — on this corpus the
    *  vectors are random so no pair crosses the threshold, and the candidate
-   *  ranking proves the bucket+verify machinery end-to-end. 8 signature
-   *  bits suit the small corpus; at 100 TB you raise bits (and add probe
-   *  permutations) so bucket sizes stay bounded. */
+   *  ranking proves the bucket+verify machinery end-to-end. Signature
+   *  width scales with the corpus ([[graft.similarity.Ann.sigBits]]:
+   *  bits ≈ log2(n/64), floor 8) so bucket population stays bounded and the
+   *  intra-bucket join never goes quadratic as data grows. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val dim = 64
-    val sigs = Tables.embeddings(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val bits = graft.similarity.Ann.sigBits(emb.count())
+    val sigs = emb
       .select(col("vec_id"), col("embedding"),
-        hyperplaneSig(transform(col("embedding"), _.cast("double")), 8, dim).as("bucket"))
-      .persist() // 16 plane dot-products per vector; consumed by both join sides
+        hyperplaneSig(transform(col("embedding"), _.cast("double")), bits, dim).as("bucket"))
+      .persist() // plane dot-products per vector; consumed by both join sides
     val a = sigs.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val b = sigs.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     a.join(b, "bucket")

@@ -130,12 +130,13 @@ object RelationalQueries2 {
       .orderBy("bucket")
 
   /** Quantile bucketing: customers split into account-balance quartiles,
-   *  profiled per quartile (ntile window + re-aggregation). */
+   *  profiled per quartile. Uses [[ScalableRank.withNtile]] — exact ntile
+   *  semantics via range-partitioned ranking, not a no-partitionBy window
+   *  (which would single-task-sort the whole table). */
   def q33Ntile(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("c_acctbal"), col("c_custkey"))
-    Tables.customer(spark, dir)
-      .withColumn("quartile", ntile(4).over(w).cast("bigint"))
+    ScalableRank.withNtile(
+        Tables.customer(spark, dir).select("c_custkey", "c_acctbal"),
+        Seq(col("c_acctbal"), col("c_custkey")), 4, "quartile")
       .groupBy("quartile")
       .agg(
         count(lit(1)).as("n"),

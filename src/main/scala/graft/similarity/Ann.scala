@@ -3,8 +3,8 @@ package graft.similarity
 import graft.Tables
 import graft.Tables.QueryDef
 import graft.functions.TextFunctions._
+import graft.similarity.TopK._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -13,14 +13,19 @@ import org.apache.spark.sql.functions._
  * Two paths, mirroring how a 100 TB pipeline would tier them:
  *  - brute-force top-k: the exactness baseline. The QUERY set is broadcast
  *    (it's small by construction); the corpus side streams map-side —
- *    no shuffle of the corpus, one narrow pass + per-query top-k heap
- *    (TakeOrderedAndProject shape after the window filter).
+ *    no shuffle of the corpus, one narrow pass.
  *  - IVF-style partitioned search: corpus pre-assigned to its nearest
- *    centroid (a broadcast argmin pass, done once and cheap to persist);
+ *    centroid (a broadcast argmax pass, done once and cheap to persist);
  *    queries probe only their own cell — the classic recall/cost trade.
  *    Centroids here are seed vectors taken deterministically from the
  *    corpus; a production build would k-means them, the Spark plumbing is
  *    identical.
+ *
+ * Top-k everywhere is the bounded [[TopKAgg]] aggregate, NOT a
+ * `row_number()` window: a window partitioned by query_id would funnel the
+ * whole corpus×queries product into #queries reducer tasks, a single-task
+ * bottleneck at scale. The aggregate pre-reduces to O(k) per group per map
+ * task and only the tiny buffers shuffle.
  *
  * All vector math is double-cast before multiply so scores are reproducible
  * and comparable with the DuckDB oracle's double cosine.
@@ -29,6 +34,15 @@ object Ann {
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
+  /** Hyperplane signature width by corpus size: bits ≈ log2(n / target)
+   *  keeps the expected bucket population ~`target` as the corpus grows
+   *  (2^bits buckets), so the intra-bucket candidate join never goes
+   *  quadratic. Floor of 8 bits; cap of 30 (int shift range). */
+  def sigBits(corpusSize: Long, targetBucket: Long = 64L): Int = {
+    val buckets = math.max(1L, corpusSize / math.max(1L, targetBucket))
+    math.min(30, math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)))
+  }
+
   /** Exact brute-force top-5 cosine neighbors for query vectors
    *  (vec_id < 8), self excluded; rank ties broken by neighbor id. */
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -36,64 +50,67 @@ object Ann {
     val queries = broadcast(
       emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    emb.crossJoin(queries)
+    val grouped = emb.crossJoin(queries)
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(asDouble(col("q_emb")), asDouble(col("embedding"))).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select("query_id", "neighbor_id", "rank")
+      .groupBy("query_id")
+      .agg(topK(5)(col("cos"), col("neighbor_id")).as("top"))
+    explodeRanks(grouped, "query_id", "neighbor_id")
       .orderBy("query_id", "rank")
   }
 
   /** IVF-style search: 16 deterministic centroids (vec_id < 16), corpus
-   *  assigned to nearest centroid by dot product, queries (vec_id < 8)
-   *  search only their own cell. Emits top-3 in-cell neighbors. */
+   *  assigned to nearest centroid by dot product (broadcast argmax — a
+   *  partial-aggregated `max_by`, no window), queries (vec_id < 8) search
+   *  only their own cell. Emits top-3 in-cell neighbors. */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val centroids = broadcast(
       emb.filter(col("vec_id") < 16)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb")))
-    val byVec = Window.partitionBy("vec_id").orderBy(col("dot").desc, col("centroid_id"))
     val assigned = emb.crossJoin(centroids)
       .select(col("vec_id"), col("embedding"), col("centroid_id"),
         dot(asDouble(col("embedding")), asDouble(col("c_emb"))).as("dot"))
-      .withColumn("rn", row_number().over(byVec))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id").as("cell"))
+      .groupBy("vec_id")
+      .agg(
+        first(col("embedding")).as("embedding"),
+        // argmax with a deterministic tiebreak: highest dot, then lowest id
+        max_by(col("centroid_id"), struct(col("dot"), (-col("centroid_id")).as("nid"))).as("cell"))
       .persist() // the cell assignment feeds both the query set and the corpus side
-    val queries = assigned.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    assigned.join(broadcast(queries), "cell")
+    val queries = broadcast(assigned.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell")))
+    val grouped = assigned.join(queries, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(asDouble(col("q_emb")), asDouble(col("embedding"))).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select("query_id", "neighbor_id", "rank")
+      .groupBy("query_id")
+      .agg(topK(3)(col("cos"), col("neighbor_id")).as("top"))
+    explodeRanks(grouped, "query_id", "neighbor_id")
       .orderBy("query_id", "rank")
   }
 
   /** LSH-bucketed ANN: hyperplane signature as the cell key instead of
-   *  centroids — zero model state, works on any scale, lower recall. */
+   *  centroids — zero model state, works on any scale, lower recall.
+   *  Signature width scales with the corpus ([[sigBits]]) so buckets stay
+   *  bounded as data grows. */
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
     val dim = 64
-    val sigs = Tables.embeddings(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val bits = sigBits(emb.count())
+    val sigs = emb
       .select(col("vec_id"), col("embedding"),
-        hyperplaneSig(asDouble(col("embedding")), 8, dim).as("cell"))
+        hyperplaneSig(asDouble(col("embedding")), bits, dim).as("cell"))
       .persist() // signature feeds both the query set and the probe join
     val queries = broadcast(sigs.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    sigs.join(queries, "cell")
+    val grouped = sigs.join(queries, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(asDouble(col("q_emb")), asDouble(col("embedding"))).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select("query_id", "neighbor_id", "rank")
+      .groupBy("query_id")
+      .agg(topK(3)(col("cos"), col("neighbor_id")).as("top"))
+    explodeRanks(grouped, "query_id", "neighbor_id")
       .orderBy("query_id", "rank")
   }
 
@@ -110,7 +127,28 @@ object Ann {
         WHERE q.vec_id < 8) t
       WHERE rank <= 5
       ORDER BY query_id, rank""")),
-    QueryDef("ann_ivf_topk", ivfTopK, None),
+    QueryDef("ann_ivf_topk", ivfTopK, Some("""
+      WITH assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+          SELECT e.vec_id, e.embedding, c.vec_id AS cell,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                            c.vec_id) AS rn
+          FROM embeddings e JOIN embeddings c ON c.vec_id < 16) t
+        WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, embedding AS q_emb, cell
+            FROM assigned WHERE vec_id < 8)
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.query_id, a.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) DESC,
+                          a.vec_id) AS rank
+        FROM assigned a JOIN q ON a.cell = q.cell
+        WHERE a.vec_id <> q.query_id) t
+      WHERE rank <= 3
+      ORDER BY query_id, rank""")),
     QueryDef("ann_lsh_topk", lshTopK, None)
   )
 }

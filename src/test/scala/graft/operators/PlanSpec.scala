@@ -50,4 +50,20 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q1_pricing_summary")
     assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial and final HashAggregate")
   }
+
+  test("ANN top-k pre-reduces via bounded aggregate, never a per-query window") {
+    for (q <- Seq("ann_bruteforce_topk", "ann_ivf_topk", "ann_lsh_topk")) {
+      val p = plan(q)
+      assert(p.contains("ObjectHashAggregate"), s"$q must use the bounded top-k aggregate")
+      assert(!p.contains("Window"), s"$q funnels the corpus through a per-query window")
+    }
+  }
+
+  test("q33 ntile never sorts globally in one task (no empty-partitionBy window)") {
+    val df = graft.SparkEntry.queries("q33_ntile")(spark, dir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+    }
+    assert(windows.isEmpty, "found a global (no partitionBy) window in q33")
+  }
 }

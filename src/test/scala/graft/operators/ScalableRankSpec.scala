@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalableRank must equal the single-partition window forms exactly —
+ *  including the SQL-standard ntile remainder distribution — while never
+ *  using a no-partitionBy window itself. */
+class ScalableRankSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def sample(n: Int) = {
+    // duplicate-heavy values force tiebreak correctness across partitions
+    (1 to n).map(i => (i.toLong, (i * 7919 % 97).toDouble)).toDF("id", "v")
+      .repartition(7)
+  }
+
+  test("global row number equals the window row_number for a total order") {
+    val df = sample(1000)
+    val (ranked, total) = ScalableRank.withGlobalRowNumber(df, Seq(col("v"), col("id")), "rn")
+    assert(total == 1000L)
+    val expected = df.withColumn("rn2",
+      row_number().over(Window.orderBy(col("v"), col("id"))).cast("bigint"))
+    val joined = ranked.join(expected, Seq("id", "v"))
+    assert(joined.filter(col("rn") =!= col("rn2")).count() == 0)
+  }
+
+  test("ntile matches the window ntile, including non-divisible remainders") {
+    for (n <- Seq(1000, 1003, 150, 5)) { // 1003 % 4 = 3, 150 % 4 = 2, 5 % 4 = 1
+      val df = sample(n)
+      val got = ScalableRank.withNtile(df, Seq(col("v"), col("id")), 4, "q")
+      val want = df.withColumn("q2",
+        ntile(4).over(Window.orderBy(col("v"), col("id"))).cast("bigint"))
+      val joined = got.join(want, Seq("id", "v"))
+      assert(joined.filter(col("q") =!= col("q2")).count() == 0, s"ntile diverged at n=$n")
+    }
+  }
+}
