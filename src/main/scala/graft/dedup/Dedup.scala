@@ -171,7 +171,35 @@ object Dedup {
       FROM documents GROUP BY 1 ORDER BY text_md5""")),
     QueryDef("dedup_minhash_lsh", minhashLsh, None),
     QueryDef("dedup_simhash", simhashDup, None),
-    QueryDef("dedup_ngram_jaccard", ngramJaccard, None),
+    // exact twin of ngramJaccard: same tokenize (\s+ on trimmed text),
+    // same distinct word-3-grams, same >100-doc stop-shingle cap applied
+    // BEFORE pair counting (so `inter` counts cold shingles only, while
+    // n_sh counts all — exactly what the Spark side computes).
+    QueryDef("dedup_ngram_jaccard", ngramJaccard, Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3),
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 100),
+      cold AS (SELECT * FROM sh ANTI JOIN hot USING (sh)),
+      pairs AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+        FROM cold x JOIN cold y USING (sh)
+        WHERE x.doc_id < y.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             cast(inter as double) / cast(a.n_sh + b.n_sh - inter as double) AS jaccard
+      FROM pairs
+      JOIN counts a ON a.doc_id = id_a
+      JOIN counts b ON b.doc_id = id_b
+      WHERE cast(inter as double) / cast(a.n_sh + b.n_sh - inter as double) >= 0.5
+      ORDER BY id_a, id_b""")),
     QueryDef("dedup_embedding", embeddingNearDup, None),
     QueryDef("dedup_fingerprint", fingerprintDup, None)
   )

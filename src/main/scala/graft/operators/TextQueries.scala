@@ -38,14 +38,19 @@ object TextQueries {
         (length(col("text")) === col("n_chars")).as("len_consistent"))
       .orderBy("doc_id")
 
-  /** Heuristic quality score + language ID per doc (composite heuristics —
-   *  rows-only check), aggregated per source for a compact result. */
+  /** Heuristic quality score + language ID per doc, aggregated per source.
+   *  The mean is computed from an EXACT integer sum (per-doc score in
+   *  basis points, summed as long, divided once) rather than avg(double) —
+   *  a float avg's partial sums are partitioning-order-dependent, which
+   *  would make the result non-reproducible and un-oracle-able. */
   def qualityBySource(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("source"), qualityScore(col("text")).as("q"), langId(col("text")).as("pred_lang"))
+      .select(col("source"),
+        round(qualityScore(col("text")) * 10000).cast("long").as("qbp"),
+        langId(col("text")).as("pred_lang"))
       .groupBy("source")
       .agg(
-        round(avg(col("q")), 3).as("avg_quality"),
+        round(sum(col("qbp")).cast("double") / (count(lit(1)) * lit(10000.0d)), 3).as("avg_quality"),
         count(when(col("pred_lang") === "en", 1)).as("n_pred_en"),
         count(lit(1)).as("n_docs"))
       .orderBy("source")
@@ -86,8 +91,80 @@ object TextQueries {
                        / (length(trim(text)) - length(replace(trim(text), ' ', '')) + 1) END AS mean_tok_len_x100,
              length(text) = n_chars AS len_consistent
       FROM documents ORDER BY doc_id""")),
-    QueryDef("text_quality_by_source", qualityBySource, None),
-    QueryDef("text_lang_confusion", langConfusion, None),
+    // langId / qualityScore replicated in DuckDB: same tokenization
+    // (regexp split on \s+), same marker sets, same first-max tiebreak
+    // (en>=all, then es>=rest, ...), same integer arithmetic (// for the
+    // long division in meanTokenLenX100), 'g' flag on regexp_replace to
+    // match Spark's replace-all.
+    QueryDef("text_quality_by_source", qualityBySource, Some("""
+      WITH t AS (
+        SELECT source, text,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS ntok,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        FROM documents),
+      f AS (
+        SELECT source, toks,
+          least(ntok / 64.0, 1.0) AS len_score,
+          CASE WHEN ntok = 0 THEN 0
+               ELSE (length(replace(trim(text), ' ', '')) * 100) // ntok END / 100.0 AS mean_len,
+          (length(text) - length(translate(text, '.,;:!?', '')))
+            / greatest(length(text), 1.0) AS punct_ratio,
+          length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))
+            / greatest(length(text), 1.0) AS alpha_ratio
+        FROM t),
+      s AS (
+        SELECT source, toks,
+          cast(round(round((len_score * 0.4
+            + (CASE WHEN mean_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.4 END) * 0.2
+            + (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.3 END) * 0.2
+            + alpha_ratio * 0.2), 4) * 10000) as bigint) AS qbp,
+          len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','for'], x))) AS c_en,
+          len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','los','por'], x))) AS c_es,
+          len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','mit','ein'], x))) AS c_de,
+          len(list_filter(toks, x -> list_contains(['le','la','les','des','est','dans','pour','une'], x))) AS c_fr,
+          len(list_filter(toks, x -> list_contains(['il','di','che','la','per','con','del','una'], x))) AS c_it
+        FROM f),
+      p AS (
+        SELECT source, qbp,
+          CASE WHEN greatest(c_en,c_es,c_de,c_fr,c_it) = 0 THEN 'und'
+               WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_it THEN 'en'
+               WHEN c_es >= c_de AND c_es >= c_fr AND c_es >= c_it THEN 'es'
+               WHEN c_de >= c_fr AND c_de >= c_it THEN 'de'
+               WHEN c_fr >= c_it THEN 'fr'
+               ELSE 'it' END AS pred_lang
+        FROM s)
+      SELECT source,
+             round(cast(sum(qbp) as double) / (count(*) * 10000.0), 3) AS avg_quality,
+             count(CASE WHEN pred_lang = 'en' THEN 1 END) AS n_pred_en,
+             count(*) AS n_docs
+      FROM p GROUP BY source ORDER BY source""")),
+    QueryDef("text_lang_confusion", langConfusion, Some("""
+      WITH t AS (
+        SELECT lang,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        FROM documents),
+      c AS (
+        SELECT lang,
+          len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','for'], x))) AS c_en,
+          len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','los','por'], x))) AS c_es,
+          len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','mit','ein'], x))) AS c_de,
+          len(list_filter(toks, x -> list_contains(['le','la','les','des','est','dans','pour','une'], x))) AS c_fr,
+          len(list_filter(toks, x -> list_contains(['il','di','che','la','per','con','del','una'], x))) AS c_it
+        FROM t),
+      p AS (
+        SELECT lang,
+          CASE WHEN greatest(c_en,c_es,c_de,c_fr,c_it) = 0 THEN 'und'
+               WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_it THEN 'en'
+               WHEN c_es >= c_de AND c_es >= c_fr AND c_es >= c_it THEN 'es'
+               WHEN c_de >= c_fr AND c_de >= c_it THEN 'de'
+               WHEN c_fr >= c_it THEN 'fr'
+               ELSE 'it' END AS pred_lang
+        FROM c)
+      SELECT lang, pred_lang, count(*) AS n
+      FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang""")),
     QueryDef("text_fingerprints", fingerprints, None)
   )
 }
