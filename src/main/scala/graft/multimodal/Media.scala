@@ -5,37 +5,159 @@ import graft.Tables.QueryDef
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import java.nio.{ByteBuffer, ByteOrder}
+
 /**
  * Multimodal column plumbing: image/audio/video as opaque `binary` columns
  * with typed metadata, plus decode / feature-extract / frame-sample
  * operators.
  *
- * The container has no media codecs, so the decode step is a clearly-marked
- * DETERMINISTIC STUB (`StubCodec`) — the Spark-side plumbing is real and
- * tested: schema, binary payloads, partition-streaming batch shape
- * (`mapPartitions` over a typed Dataset — the Scala analogue of
- * `mapInPandas` batching: one iterator per partition, constant memory),
- * and explode-style frame sampling. Swapping `StubCodec` for a real codec
- * changes no plan shape.
- *
- * Payloads are synthesized deterministically from the documents table
- * (UTF-8 bytes of `text`) since the testdata ships no binary column.
+ * The decode path is REAL for the two container formats that need no
+ * external codec library — BMP (24-bit, header + pixel rows, pure byte
+ * arithmetic) and WAV (RIFF chunk walk + PCM samples). `mediaContainers`
+ * synthesizes fully valid single-file containers from the document text, so
+ * decoded width/height/duration/mean-level are true properties of the bytes
+ * and are verified round-trip in MediaSpec. Formats whose codecs aren't in
+ * this environment (jpeg, mp4) fall back to a clearly-marked DETERMINISTIC
+ * STUB — the Spark-side plumbing (schema, binary payloads,
+ * partition-streamed `mapPartitions` batching, explode-style frame
+ * sampling) is identical for all formats, so swapping the stub for a real
+ * codec changes no plan shape.
  */
 object Media {
 
   /** One media row: opaque payload + typed metadata. */
   final case class MediaRecord(doc_id: Long, media: Array[Byte], format: String, n_bytes: Long)
 
-  /** Decoded features for one media item. */
+  /** Decoded features for one media item. Images fill width/height +
+   *  mean_level (luma); audio fills duration_ms + mean_level (|amplitude|);
+   *  phash is a content fingerprint for any format. */
   final case class MediaFeatures(
       doc_id: Long, format: String, n_bytes: Long,
-      width: Int, height: Int, mean_luma: Double, phash: Long)
+      width: Int, height: Int, duration_ms: Long, mean_level: Double, phash: Long)
 
-  /** The stub codec: derives plausible, deterministic features from raw
-   *  bytes. A real implementation would decode pixels/samples here —
-   *  signature and batching stay identical. */
-  object StubCodec {
-    def decode(format: String, bytes: Array[Byte]): (Int, Int, Double, Long) = {
+  /** Decoded feature tuple: (width, height, duration_ms, mean_level, phash). */
+  type Decoded = (Int, Int, Long, Double, Long)
+
+  /** Container builders: minimal but FULLY VALID single-file containers,
+   *  synthesized deterministically from a payload byte array. */
+  object Containers {
+
+    /** 24-bit bottom-up BMP; payload bytes become grayscale pixels
+     *  (width ≈ √n capped at 256, rows padded to 4-byte boundaries). */
+    def bmp(payload: Array[Byte]): Array[Byte] = {
+      val n = math.max(payload.length, 1)
+      val w = math.min(256, math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt))
+      val h = (n + w - 1) / w
+      val rowBytes = (w * 3 + 3) & ~3
+      val imageSize = rowBytes * h
+      val fileSize = 54 + imageSize
+      val out = ByteBuffer.allocate(fileSize).order(ByteOrder.LITTLE_ENDIAN)
+      out.put('B'.toByte).put('M'.toByte).putInt(fileSize).putInt(0).putInt(54)
+      out.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24).putInt(0)
+        .putInt(imageSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      var row = h - 1 // file stores rows bottom-up
+      while (row >= 0) {
+        var x = 0
+        while (x < w) {
+          val i = row * w + x
+          val v: Byte = if (i < payload.length) payload(i) else 0
+          out.put(v).put(v).put(v) // BGR, grayscale
+          x += 1
+        }
+        var pad = rowBytes - w * 3
+        while (pad > 0) { out.put(0.toByte); pad -= 1 }
+        row -= 1
+      }
+      out.array()
+    }
+
+    /** PCM WAV, 16-bit mono 8 kHz; one centered sample per payload byte. */
+    def wav(payload: Array[Byte]): Array[Byte] = {
+      val dataLen = payload.length * 2
+      val out = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen).put("WAVE".getBytes("US-ASCII"))
+      out.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+        .putInt(8000).putInt(8000 * 2).putShort(2).putShort(16)
+      out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      payload.foreach(b => out.putShort((((b & 0xFF) - 128) * 256).toShort))
+      out.array()
+    }
+  }
+
+  /** The codec: sniffs the container by magic bytes. BMP and WAV decode for
+   *  real (header parse + full pixel/sample scan); anything else falls back
+   *  to the deterministic stub. */
+  object Codec {
+
+    def decode(format: String, bytes: Array[Byte]): Decoded =
+      if (bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+      else if (isWave(bytes)) decodeWav(bytes)
+      else stub(bytes)
+
+    private def isWave(b: Array[Byte]): Boolean =
+      b.length >= 44 && new String(b, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(b, 8, 4, "US-ASCII") == "WAVE"
+
+    /** BITMAPFILEHEADER + BITMAPINFOHEADER parse, then a full pixel scan for
+     *  mean luma (BT.601 integer weights), honoring 4-byte row padding and
+     *  top-down (negative height) files. */
+    def decodeBmp(b: Array[Byte]): Decoded = {
+      val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      val offset = buf.getInt(10)
+      val w = buf.getInt(18)
+      val h = math.abs(buf.getInt(22))
+      val bpp = buf.getShort(28)
+      require(bpp == 24, s"unsupported BMP bpp: $bpp")
+      val rowBytes = (w * 3 + 3) & ~3
+      var sum = 0L
+      var count = 0L
+      var row = 0
+      while (row < h) {
+        val base = offset + row * rowBytes
+        var x = 0
+        while (x < w) {
+          val p = base + x * 3
+          val bl = b(p) & 0xFF; val g = b(p + 1) & 0xFF; val r = b(p + 2) & 0xFF
+          sum += (299 * r + 587 * g + 114 * bl) / 1000
+          count += 1; x += 1
+        }
+        row += 1
+      }
+      (w, h, 0L, if (count == 0) 0.0 else sum.toDouble / count / 255.0, fingerprint(b))
+    }
+
+    /** RIFF chunk walk (word-aligned) to find `fmt ` and `data`, then a full
+     *  sample scan for mean |amplitude|. */
+    def decodeWav(b: Array[Byte]): Decoded = {
+      val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      var pos = 12
+      var sampleRate = 0; var bits = 0; var channels = 0
+      var dataOff = -1; var dataLen = 0
+      while (pos + 8 <= b.length) {
+        val id = new String(b, pos, 4, "US-ASCII")
+        val len = buf.getInt(pos + 4)
+        if (id == "fmt ") {
+          channels = buf.getShort(pos + 10)
+          sampleRate = buf.getInt(pos + 12)
+          bits = buf.getShort(pos + 22)
+        } else if (id == "data") { dataOff = pos + 8; dataLen = len }
+        pos += 8 + len + (len & 1)
+      }
+      require(sampleRate > 0 && bits == 16 && channels == 1 && dataOff >= 0,
+        s"unsupported WAV layout: rate=$sampleRate bits=$bits ch=$channels")
+      val nSamples = dataLen / 2
+      var sum = 0L
+      var i = 0
+      while (i < nSamples) { sum += math.abs(buf.getShort(dataOff + i * 2).toInt); i += 1 }
+      val durationMs = nSamples * 1000L / sampleRate
+      (0, 0, durationMs, if (nSamples == 0) 0.0 else sum.toDouble / nSamples / 32768.0, fingerprint(b))
+    }
+
+    /** STUB for formats without an in-container codec (jpeg, mp4): derives
+     *  plausible, deterministic features from raw bytes. A real codec slots
+     *  in here with the same signature and batching. */
+    def stub(bytes: Array[Byte]): Decoded = {
       var h = 1125899906842597L
       var sum = 0L
       var i = 0
@@ -45,12 +167,21 @@ object Media {
       val width = 64 + math.floorMod(h, 1024).toInt
       val height = 64 + math.floorMod(h >> 10, 1024).toInt
       val meanLuma = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length / 255.0
-      (width, height, meanLuma, h)
+      (width, height, 0L, meanLuma, h)
+    }
+
+    /** FNV-1a 64-bit over the whole payload — the content fingerprint. */
+    def fingerprint(bytes: Array[Byte]): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < bytes.length) { h = (h ^ (bytes(i) & 0xFF)) * 0x100000001b3L; i += 1 }
+      h
     }
   }
 
-  /** Synthesize the media table from documents: payload = UTF-8 bytes of
-   *  text, format bucketed from a content hash (stable across engines). */
+  /** Synthesize the opaque media table from documents: payload = UTF-8
+   *  bytes of text, format bucketed from a content hash (stable across
+   *  engines — this table carries the exact metadata oracle). */
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
@@ -61,14 +192,27 @@ object Media {
         .otherwise("mp4").as("format"),
       octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
 
+  /** REAL container table: fully valid BMP (even doc_ids) / WAV (odd)
+   *  files built from the document text, partition-streamed — the table a
+   *  decode pipeline would actually receive. */
+  def mediaContainers(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val payload = text.getBytes("UTF-8")
+        val media = if (id % 2 == 0) Containers.bmp(payload) else Containers.wav(payload)
+        MediaRecord(id, media, if (id % 2 == 0) "bmp" else "wav", media.length.toLong)
+      })
+  }
+
   /** Decode + feature-extract: typed `mapPartitions` — each task streams
    *  its partition through the codec, no collect, no per-row UDF boxing. */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        val (w, h, luma, phash) = StubCodec.decode(r.format, r.media)
-        MediaFeatures(r.doc_id, r.format, r.n_bytes, w, h, luma, phash)
+        val (w, h, durMs, level, phash) = Codec.decode(r.format, r.media)
+        MediaFeatures(r.doc_id, r.format, r.n_bytes, w, h, durMs, level, phash)
       }
     }
   }
@@ -92,21 +236,23 @@ object Media {
   def mediaMeta(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir).select("doc_id", "format", "n_bytes").orderBy("doc_id")
 
-  /** Full decode pipeline (stub codec → features), aggregated per format. */
-  def mediaFeatureStats(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val media = mediaTable(spark, dir)
-      .select("doc_id", "media", "format", "n_bytes").as[MediaRecord]
-    extractFeatures(media)
+  /** Full decode pipeline over REAL containers (BMP header+pixel parse,
+   *  WAV chunk+sample parse), aggregated per format: image dims for bmp,
+   *  durations for wav — every number a true property of the bytes, and
+   *  (because the builders are deterministic in the payload size) exactly
+   *  reproducible by the SQL oracle from octet_length alone. The pixel/
+   *  sample-scan features (mean_level, phash) are verified round-trip in
+   *  MediaSpec instead — SQL can't fold over blob bytes. */
+  def mediaFeatureStats(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(mediaContainers(spark, dir))
       .groupBy("format")
       .agg(
         count(lit(1)).as("n"),
         sum(col("n_bytes")).as("total_bytes"),
-        min(col("width")).as("min_w"),
-        max(col("height")).as("max_h"),
-        round(avg(col("mean_luma")), 4).as("avg_luma"))
+        min(col("width")).cast("bigint").as("min_w"),
+        max(col("height")).cast("bigint").as("max_h"),
+        sum(col("duration_ms")).as("sum_duration_ms"))
       .orderBy("format")
-  }
 
   /** Frame sampling stats: frames per doc for the "videos". */
   def frameSampleStats(spark: SparkSession, dir: String): DataFrame = {
@@ -129,7 +275,34 @@ object Media {
                   ELSE 'mp4' END AS format,
              octet_length(encode(text)) AS n_bytes
       FROM documents ORDER BY doc_id""")),
-    QueryDef("media_feature_stats", mediaFeatureStats, None),
+    // the oracle recomputes the container geometry the builders derive from
+    // the payload size: BMP w ≈ √n (capped 256), 4-byte-padded rows, 54-byte
+    // header; WAV 44-byte header + 2 bytes/sample at 8 kHz
+    QueryDef("media_feature_stats", mediaFeatureStats, Some("""
+      WITH base AS (
+        SELECT doc_id, octet_length(encode(text)) AS n,
+               CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+               greatest(octet_length(encode(text)), 1) AS n1
+        FROM documents),
+      calc AS (
+        SELECT format, n, n1,
+               least(256, greatest(1, cast(ceil(sqrt(cast(n1 as double))) as bigint))) AS w
+        FROM base),
+      feat AS (
+        SELECT format,
+               CASE WHEN format = 'bmp'
+                    THEN 54 + ((w*3 + 3) // 4) * 4 * ((n1 + w - 1) // w)
+                    ELSE 44 + 2*n END AS n_bytes,
+               CASE WHEN format = 'bmp' THEN w ELSE 0 END AS width,
+               CASE WHEN format = 'bmp' THEN (n1 + w - 1) // w ELSE 0 END AS height,
+               CASE WHEN format = 'wav' THEN (n * 1000) // 8000 ELSE 0 END AS dur
+        FROM calc)
+      SELECT format, count(*) AS n,
+             cast(sum(n_bytes) as bigint) AS total_bytes,
+             cast(min(width) as bigint) AS min_w,
+             cast(max(height) as bigint) AS max_h,
+             cast(sum(dur) as bigint) AS sum_duration_ms
+      FROM feat GROUP BY format ORDER BY format""")),
     QueryDef("media_frame_samples", frameSampleStats, None)
   )
 }

@@ -7,27 +7,63 @@ class MediaSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import Media._
 
-  test("StubCodec is deterministic and shape-plausible") {
-    val bytes = "hello world, this is a fake image payload".getBytes("UTF-8")
-    val a = StubCodec.decode("jpeg", bytes)
-    val b = StubCodec.decode("jpeg", bytes)
-    assert(a == b)
-    assert(a._1 >= 64 && a._1 < 64 + 1024 && a._2 >= 64 && a._2 < 64 + 1024)
-    assert(a._3 > 0.0 && a._3 <= 1.0)
-    assert(StubCodec.decode("jpeg", "different".getBytes) != a)
+  test("BMP round-trip: decode reads back the constructed geometry and luma") {
+    // 9 bytes → w=3, h=3; rowBytes=(9+3)&~3=12 exercises 4-byte row padding
+    val payload = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90)
+    val bmp = Containers.bmp(payload)
+    val (w, h, dur, luma, _) = Codec.decodeBmp(bmp)
+    assert((w, h, dur) == (3, 3, 0L))
+    // grayscale BT.601: luma of (v,v,v) is exactly v
+    val expected = payload.map(_ & 0xFF).sum.toDouble / 9 / 255.0
+    assert(math.abs(luma - expected) < 1e-12)
+    assert(bmp.length == 54 + 12 * 3)
   }
 
-  test("extractFeatures runs the codec partition-streamed over real payloads") {
-    import spark.implicits._
-    val media = mediaTable(spark, "/root/testdata/sf0.001")
-      .select("doc_id", "media", "format", "n_bytes").as[MediaRecord]
-    val feats = extractFeatures(media).collect()
+  test("BMP decode honors top-down (negative height) files") {
+    val bmp = Containers.bmp(Array.fill[Byte](16)(100))
+    // flip height to negative (top-down variant a real file may use)
+    val buf = java.nio.ByteBuffer.wrap(bmp).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val h = buf.getInt(22)
+    buf.putInt(22, -h)
+    val (w2, h2, _, _, _) = Codec.decodeBmp(bmp)
+    assert(h2 == h && w2 == 4)
+  }
+
+  test("WAV round-trip: chunk walk recovers duration and mean amplitude") {
+    val payload = Array[Byte](0, 127, -128, 64) // samples: -32768, -256, 0, -16384
+    val wav = Containers.wav(payload)
+    val (w, h, durMs, amp, _) = Codec.decodeWav(wav)
+    assert((w, h) == (0, 0))
+    assert(durMs == 4 * 1000L / 8000) // 4 samples at 8 kHz → 0 ms (integer)
+    val samples = payload.map(b => ((b & 0xFF) - 128) * 256)
+    val expected = samples.map(math.abs).sum.toDouble / 4 / 32768.0
+    assert(math.abs(amp - expected) < 1e-12)
+    // 8000 bytes → 1 s exactly
+    assert(Codec.decodeWav(Containers.wav(Array.fill[Byte](8000)(3)))._3 == 1000L)
+  }
+
+  test("Codec sniffs magic bytes; non-container payloads hit the stub deterministically") {
+    val bytes = "hello world, this is a fake image payload".getBytes("UTF-8")
+    val a = Codec.decode("jpeg", bytes)
+    assert(a == Codec.decode("jpeg", bytes))
+    assert(a._1 >= 64 && a._1 < 64 + 1024 && a._2 >= 64 && a._2 < 64 + 1024)
+    assert(Codec.decode("jpeg", "different".getBytes) != a)
+    // real containers are routed to the real decoders regardless of label
+    assert(Codec.decode("whatever", Containers.bmp(bytes))._1 > 0)
+    assert(Codec.decode("whatever", Containers.wav(bytes))._3 >= 0L)
+  }
+
+  test("extractFeatures streams real containers partition-wise") {
+    val feats = extractFeatures(mediaContainers(spark, "/root/testdata/sf0.001")).collect()
     assert(feats.length == 500)
-    assert(feats.forall(f => f.width >= 64 && f.mean_luma > 0))
-    // features keyed correctly: same doc twice → same features
-    val f0 = feats.find(_.doc_id == 0).get
-    val again = extractFeatures(media.filter(_.doc_id == 0)).collect().head
-    assert(f0 == again)
+    val (bmps, wavs) = feats.partition(_.format == "bmp")
+    assert(bmps.nonEmpty && wavs.nonEmpty)
+    assert(bmps.forall(f => f.doc_id % 2 == 0 && f.width > 0 && f.height > 0 && f.duration_ms == 0))
+    assert(wavs.forall(f => f.doc_id % 2 == 1 && f.width == 0 && f.duration_ms >= 0))
+    // deterministic: same doc decodes identically on a second pass
+    val again = extractFeatures(
+      mediaContainers(spark, "/root/testdata/sf0.001").filter(_.doc_id == 0)).collect().head
+    assert(feats.find(_.doc_id == 0).get == again)
   }
 
   test("sampleFrames chunks the payload with the stride") {
