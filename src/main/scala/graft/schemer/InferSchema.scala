@@ -87,13 +87,21 @@ object InferSchema {
 
   /** Column function: unified Hive type of a column of JSON documents.
    *  Usable inside arbitrary queries, e.g.
-   *  `events.groupBy($"event_type").agg(infer_hive_type($"props"))`. */
-  def infer_hive_type(c: Column): Column =
-    functions.udaf(new HiveTypeAggregator).apply(c)
+   *  `events.groupBy($"event_type").agg(infer_hive_type($"props"))`.
+   *  Backed by the native [[HiveWitnessAgg]] (TypedImperativeAggregate →
+   *  ObjectHashAggregate, buffer serialized only at shuffle/state
+   *  boundaries); the `Aggregator` classes above remain for the typed
+   *  Dataset API and SQL registration. */
+  def infer_hive_type(c: Column): Column = nativeAgg(c, renderDefs = false)
 
   /** Column function: Hive column-definition block of a JSON column. */
-  def infer_column_defs(c: Column): Column =
-    functions.udaf(new ColumnDefsAggregator).apply(c)
+  def infer_column_defs(c: Column): Column = nativeAgg(c, renderDefs = true)
+
+  private def nativeAgg(c: Column, renderDefs: Boolean): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      HiveWitnessAgg(ColumnBridge.expression(c), renderDefs).toAggregateExpression())
+  }
 
   /** Register both as SQL functions (`infer_hive_type`, `infer_column_defs`). */
   def register(spark: SparkSession): Unit = {

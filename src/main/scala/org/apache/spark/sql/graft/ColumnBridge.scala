@@ -1,0 +1,20 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/**
+ * Bridge between the public `Column` API and catalyst `Expression`s.
+ *
+ * Spark 4 made `Column` a thin wrapper over a ColumnNode tree and moved the
+ * Expression conversions behind `private[sql] ExpressionUtils`
+ * (columnNodeSupport.scala). Extension libraries that define native catalyst
+ * expressions (here: the witness aggregate) need exactly these two
+ * conversions, so this one-file shim lives under `org.apache.spark.sql` to
+ * reach them — the standard Spark-extension pattern, no internals copied.
+ */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
