@@ -49,10 +49,14 @@ object Dedup {
     // docs with < n tokens have NO shingles; their signature would be the
     // all-sentinel vector, colliding in every band and emitting
     // est_jaccard=1.0 "duplicates" for unrelated short docs — drop them up
-    // front (a doc with no shingles has no similarity evidence to offer)
+    // front (a doc with no shingles has no similarity evidence to offer).
+    // The filter tests the TOKEN count on the base column, not size() of the
+    // projected hash array: a filter on the projection's output gets pushed
+    // below it and re-evaluates the whole tokenize+shingle+hash chain per
+    // row (measured 2x the materialization cost).
     val hashed = Tables.documents(spark, dir)
+      .filter(size(tokens(col("text"))) >= 3)
       .select(col("doc_id"), shingleHashes(shingles(col("text"), 3)).as("hs"))
-      .filter(size(col("hs")) > 0)
       .persist() // barrier: hash each shingle string ONCE, not once per seed
     val sigs = hashed
       .select(col("doc_id"), minhashFromHashes(col("hs"), k).as("sig"))
