@@ -147,15 +147,14 @@ object Dedup {
     val bits = graft.similarity.Ann.sigBits(emb.count())
     val sigs = emb
       .select(col("vec_id"), col("embedding"),
-        hyperplaneSig(transform(col("embedding"), _.cast("double")), bits, dim).as("bucket"))
+        hyperplaneSig(col("embedding"), bits, dim).as("bucket"))
       .persist() // plane dot-products per vector; consumed by both join sides
     val a = sigs.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val b = sigs.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosine(transform(col("emb_a"), _.cast("double")),
-               transform(col("emb_b"), _.cast("double"))).as("cos"))
+        cosine(col("emb_a"), col("emb_b")).as("cos"))
       .select(col("id_a"), col("id_b"), (col("cos") >= 0.9).as("is_dup"), col("cos"))
       .orderBy(col("cos").desc, col("id_a"), col("id_b"))
       .limit(20)

@@ -168,17 +168,25 @@ object TextFunctions {
 
   // ---- vector math ---------------------------------------------------------
 
-  /** Dot product of two float-array columns (codegen'd HOFs, no UDF). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  private def native2(f: (org.apache.spark.sql.catalyst.expressions.Expression,
+                          org.apache.spark.sql.catalyst.expressions.Expression)
+                        => org.apache.spark.sql.catalyst.expressions.Expression)
+                     (a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(f(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Dot product of two float/double-array columns — a native codegen'd
+   *  Catalyst expression ([[ArrayDot]]): one fused primitive loop per row
+   *  instead of interpreted per-element HOF lambdas. Accumulates in double;
+   *  NULL on length mismatch or null elements (zip_with semantics). */
+  def dot(a: Column, b: Column): Column = native2(ArrayDot)(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0 when either vector is all-zero. */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = l2Norm(a) * l2Norm(b)
-    when(denom === 0.0, 0.0).otherwise(dot(a, b) / denom)
-  }
+  /** Cosine similarity ([[ArrayCosine]]): x·y, x·x, y·y in ONE fused loop;
+   *  0 when either vector is all-zero. */
+  def cosine(a: Column, b: Column): Column = native2(ArrayCosine)(a, b)
 
   /** Random-hyperplane LSH signature (nBits ≤ 32) for cosine space:
    *  bit p = sign(v · plane_p), planes derived deterministically from

@@ -27,12 +27,13 @@ import org.apache.spark.sql.functions._
  * bottleneck at scale. The aggregate pre-reduces to O(k) per group per map
  * task and only the tiny buffers shuffle.
  *
- * All vector math is double-cast before multiply so scores are reproducible
- * and comparable with the DuckDB oracle's double cosine.
+ * All vector math runs in the native codegen'd expressions
+ * ([[graft.functions.ArrayDot]]/[[graft.functions.ArrayCosine]]) which
+ * widen each float element to double before multiply — bit-identical to
+ * the DuckDB oracle's CAST(... AS DOUBLE[]) cosine, with no extra
+ * array-cast pass per row.
  */
 object Ann {
-
-  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
   /** Hyperplane signature width by corpus size: bits ≈ log2(n / target)
    *  keeps the expected bucket population ~`target` as the corpus grows
@@ -53,7 +54,7 @@ object Ann {
     val grouped = emb.crossJoin(queries)
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(asDouble(col("q_emb")), asDouble(col("embedding"))).as("cos"))
+        cosine(col("q_emb"), col("embedding")).as("cos"))
       .groupBy("query_id")
       .agg(topK(5)(col("cos"), col("neighbor_id")).as("top"))
     explodeRanks(grouped, "query_id", "neighbor_id")
@@ -71,7 +72,7 @@ object Ann {
         .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb")))
     val assigned = emb.crossJoin(centroids)
       .select(col("vec_id"), col("embedding"), col("centroid_id"),
-        dot(asDouble(col("embedding")), asDouble(col("c_emb"))).as("dot"))
+        dot(col("embedding"), col("c_emb")).as("dot"))
       .groupBy("vec_id")
       .agg(
         first(col("embedding")).as("embedding"),
@@ -83,7 +84,7 @@ object Ann {
     val grouped = assigned.join(queries, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(asDouble(col("q_emb")), asDouble(col("embedding"))).as("cos"))
+        cosine(col("q_emb"), col("embedding")).as("cos"))
       .groupBy("query_id")
       .agg(topK(3)(col("cos"), col("neighbor_id")).as("top"))
     explodeRanks(grouped, "query_id", "neighbor_id")
@@ -100,14 +101,14 @@ object Ann {
     val bits = sigBits(emb.count())
     val sigs = emb
       .select(col("vec_id"), col("embedding"),
-        hyperplaneSig(asDouble(col("embedding")), bits, dim).as("cell"))
+        hyperplaneSig(col("embedding"), bits, dim).as("cell"))
       .persist() // signature feeds both the query set and the probe join
     val queries = broadcast(sigs.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell")))
     val grouped = sigs.join(queries, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(asDouble(col("q_emb")), asDouble(col("embedding"))).as("cos"))
+        cosine(col("q_emb"), col("embedding")).as("cos"))
       .groupBy("query_id")
       .agg(topK(3)(col("cos"), col("neighbor_id")).as("top"))
     explodeRanks(grouped, "query_id", "neighbor_id")

@@ -1,0 +1,75 @@
+package graft.functions
+
+import graft.SparkTestSession
+import graft.functions.TextFunctions.{cosine, dot}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native codegen'd vector expressions: equality with the HOF forms they
+ *  replaced (bit-identical doubles), null/length semantics, and both
+ *  evaluation paths (whole-stage codegen on, off). */
+class VectorExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  test("ArrayDot/ArrayCosine equal the HOF forms bit-for-bit on float arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(64)((Array.fill(64)(rnd.nextFloat()), Array.fill(64)(rnd.nextFloat())))
+    val df = rows.toDF("a", "b")
+    val asD = (c: org.apache.spark.sql.Column) => transform(c, _.cast("double"))
+    val out = df.select(
+      dot(col("a"), col("b")).as("native_dot"),
+      hofDot(asD(col("a")), asD(col("b"))).as("hof_dot"),
+      cosine(col("a"), col("b")).as("native_cos"),
+      (hofDot(asD(col("a")), asD(col("b"))) /
+        (sqrt(hofDot(asD(col("a")), asD(col("a")))) * sqrt(hofDot(asD(col("b")), asD(col("b")))))).as("hof_cos"))
+      .collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) == java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) == java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
+  }
+
+  test("length mismatch and null elements yield NULL; zero vectors yield cosine 0") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0), Array(3.0, 4.0, 5.0)),          // length mismatch
+      (Array(0.0, 0.0), Array(0.0, 0.0))                 // zero norm
+    ).toDF("a", "b")
+    val r = df.select(dot(col("a"), col("b")), cosine(col("a"), col("b"))).collect()
+    assert(r(0).isNullAt(0) && r(0).isNullAt(1))
+    assert(r(1).getDouble(0) == 0.0 && r(1).getDouble(1) == 0.0)
+    val withNullElem = spark.sql("SELECT array(1.0d, cast(null as double)) a, array(1.0d, 2.0d) b")
+    val rn = withNullElem.select(dot(col("a"), col("b")), cosine(col("a"), col("b"))).collect()(0)
+    assert(rn.isNullAt(0) && rn.isNullAt(1))
+  }
+
+  test("interpreted path (codegen off) agrees with codegen path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(16)((Array.fill(8)(rnd.nextFloat()), Array.fill(8)(rnd.nextFloat())))
+    val df = rows.toDF("a", "b")
+    val q = df.select(dot(col("a"), col("b")).as("d"), cosine(col("a"), col("b")).as("c"))
+    val on = q.collect()
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val off = q.collect()
+      assert(on.map(_.toSeq).toSeq == off.map(_.toSeq).toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("float and double arrays mix (hyperplane planes against float vectors)") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Array.fill(16)(0.5f))).toDF("v")
+    val sig = df.select(TextFunctions.hyperplaneSig(col("v"), 8, 16).as("s")).collect()(0).getInt(0)
+    assert(sig >= 0 && sig < 256)
+  }
+}
