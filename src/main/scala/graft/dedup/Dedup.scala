@@ -56,7 +56,7 @@ object Dedup {
     // row (measured 2x the materialization cost).
     val hashed = Tables.documents(spark, dir)
       .filter(size(tokens(col("text"))) >= 3)
-      .select(col("doc_id"), shingleHashes(shingles(col("text"), 3)).as("hs"))
+      .select(col("doc_id"), wordShingleHashes(col("text"), 3).as("hs"))
       .persist() // barrier: hash each shingle string ONCE, not once per seed
     val sigs = hashed
       .select(col("doc_id"), minhashFromHashes(col("hs"), k).as("sig"))
@@ -109,12 +109,18 @@ object Dedup {
 
   /** Exact n-gram Jaccard via inverted index: distinct word-3-gram per doc,
    *  self-join on shingle (frequency-capped), intersection counts per pair,
-   *  Jaccard = |∩| / (|A|+|B|−|∩|) ≥ 0.5. */
+   *  Jaccard = |∩| / (|A|+|B|−|∩|) ≥ 0.5.
+   *
+   *  The inverted index keys on the 64-bit shingle HASH, not the shingle
+   *  string: an 8-byte long shuffles/joins far cheaper than a ~20-byte
+   *  string and set sizes/intersections are identical up to a 64-bit hash
+   *  collision (~n²/2⁶⁴ ≈ 10⁻⁹ at 10⁹ distinct shingles — far below any
+   *  near-dup decision threshold; the SQL oracle on raw strings agrees). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     // materialized: feeds per-doc counts, the hot-shingle scan, and both
     // self-join sides — 4 consumers of the tokenize+shingle chain
     val docShingles = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 3))).as("sh"))
+      .select(col("doc_id"), explode(array_distinct(wordShingleHashes(col("text"), 3))).as("sh"))
       .persist()
     val counts = docShingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // stop-shingle cap: a shingle in >1% of docs can't witness near-dup pairs

@@ -127,12 +127,23 @@ object TextFunctions {
   def shingleHashes(shingleArr: Column): Column =
     transform(shingleArr, s => xxhash64(s))
 
+  /** Word-n-gram shingle hashes straight off the text — the fused native
+   *  form of `shingleHashes(shingles(text, n))` ([[ShingleHashesExpr]]),
+   *  bit-identical, one loop, no intermediate shingle-string array. */
+  def wordShingleHashes(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(ShingleHashesExpr(ColumnBridge.expression(tokens(text)), n))
+  }
+
   /** MinHash signature from pre-hashed shingles: k permutations simulated
    *  by re-mixing each 64-bit hash with the seed (cheap long hashing, no
-   *  string re-tokenization). Empty set → Long.MaxValue sentinels. */
-  def minhashFromHashes(hashes: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => coalesce(array_min(transform(hashes, h => xxhash64(i, h))), lit(Long.MaxValue)))
+   *  string re-tokenization). Empty set → Long.MaxValue sentinels.
+   *  Native fused k×n loop ([[MinHashSigExpr]]), bit-identical to the HOF
+   *  form it replaced. */
+  def minhashFromHashes(hashes: Column, k: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(hashes), k))
+  }
 
   /** MinHash signature straight from a shingle array (convenience form —
    *  for hot paths materialize `shingleHashes` first). */
@@ -146,21 +157,11 @@ object TextFunctions {
       size(sigA).cast("double")
 
   /** 64-bit SimHash over token hashes: per bit, sum +1/-1 across tokens,
-   *  then pack the sign bits. Pure HOF pipeline — one pass over tokens. */
+   *  then pack the sign bits. Native fused loop ([[SimHash64Expr]]),
+   *  bit-identical to the HOF form it replaced. */
   def simhash64(text: Column): Column = {
-    val toks = tokens(text)
-    val counters = aggregate(
-      toks,
-      array_repeat(lit(0), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (c, b) => c + when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
-      })
-    aggregate(
-      zip_with(counters, sequence(lit(0), lit(63)),
-        (c, b) => when(c > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(tokens(text))))
   }
 
   /** Hamming distance between two 64-bit signatures. */
