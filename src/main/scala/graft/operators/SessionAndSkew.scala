@@ -43,13 +43,20 @@ object SessionAndSkew {
    *  over `Salts` reducers. Aggregated so the output is small and
    *  oracle-comparable. */
   def q31SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val li = Tables.lineitem(spark, dir)
       .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(Salts)))
-    val labels = Tables.lineitem(spark, dir)
-      .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
-      .distinct()
+    // the 6-row label dim is the column DOMAIN ({A,N,R} × {F,O}) as a
+    // literal local relation — a pipeline ships tiny dims as config rather
+    // than re-scanning the fact table to distinct() them (inner join, so a
+    // domain value absent from the data can't appear in the output).
+    // shuffle_hash pins the demo to the salted SHUFFLE plan: the operator
+    // models a dim too big to broadcast.
+    val labels = Seq(("A", "F"), ("A", "O"), ("N", "F"), ("N", "O"), ("R", "F"), ("R", "O"))
+      .toDF("rf", "ls")
       .withColumn("label", concat_ws("/", col("rf"), col("ls")))
       .crossJoin(spark.range(Salts).select(col("id").cast("int").as("salt")))
+      .hint("shuffle_hash")
     li.join(labels,
         col("l_returnflag") === col("rf") && col("l_linestatus") === col("ls") &&
         li("salt") === labels("salt"))
