@@ -228,3 +228,96 @@ case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
     copy(child = newChild)
 }
+
+/** Marker-argmax language ID over a token array: per token, one hash-set
+ *  membership probe per language; argmax with first-max tiebreak, "und"
+ *  when nothing matches. Replaces an `aggregate` whose lambda rebuilt a
+ *  5-element counter array per token with 5 `isin` list scans. */
+case class LangIdExpr(child: Expression, langs: Seq[(String, Seq[String])])
+  extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"lang_id expects array<string>, got ${dt.catalogString}")
+  }
+
+  override def prettyName: String = "lang_id"
+
+  @transient private lazy val markerSets: Array[java.util.HashSet[UTF8String]] =
+    langs.map { case (_, ws) =>
+      val set = new java.util.HashSet[UTF8String](ws.size * 2)
+      ws.foreach(w => set.add(UTF8String.fromString(w)))
+      set
+    }.toArray
+
+  @transient private lazy val names: Array[UTF8String] =
+    langs.map(l => UTF8String.fromString(l._1)).toArray
+
+  private val und = UTF8String.fromString("und")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val nLangs = markerSets.length
+    val counts = new Array[Int](nLangs)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        var l = 0
+        while (l < nLangs) {
+          if (markerSets(l).contains(t)) counts(l) += 1
+          l += 1
+        }
+      }
+      i += 1
+    }
+    var best = 0
+    var bi = -1
+    var l = 0
+    while (l < nLangs) {
+      if (counts(l) > best) { best = counts(l); bi = l } // strict > keeps FIRST max
+      l += 1
+    }
+    if (best > 0) names(bi) else und
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val utf8 = classOf[UTF8String].getName
+      val setsRef = ctx.addReferenceObj("markerSets", markerSets, "java.util.HashSet[]")
+      val namesRef = ctx.addReferenceObj("langNames", names, s"$utf8[]")
+      val undRef = ctx.addReferenceObj("undLang", und, utf8)
+      val nLangs = markerSets.length
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val l = ctx.freshName("l")
+      val t = ctx.freshName("t")
+      val counts = ctx.freshName("counts")
+      val best = ctx.freshName("best")
+      val bi = ctx.freshName("bi")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $counts = new int[$nLangs];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    $utf8 $t = $a.getUTF8String($i);
+         |    for (int $l = 0; $l < $nLangs; $l++) {
+         |      if ($setsRef[$l].contains($t)) $counts[$l]++;
+         |    }
+         |  }
+         |}
+         |int $best = 0; int $bi = -1;
+         |for (int $l = 0; $l < $nLangs; $l++) {
+         |  if ($counts[$l] > $best) { $best = $counts[$l]; $bi = $l; }
+         |}
+         |${ev.value} = ($best > 0) ? $namesRef[$bi] : $undRef;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
+    copy(child = newChild)
+}

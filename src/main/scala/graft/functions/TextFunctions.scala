@@ -50,26 +50,12 @@ object TextFunctions {
     "it" -> Seq("il", "di", "che", "la", "per", "con", "del", "una"))
 
   /** Heuristic language ID: argmax of marker-word hits, 'und' (undetermined)
-   *  when nothing matches. Fixed language order breaks ties
-   *  (array_position returns the first maximum).
-   *
-   *  Single pass: one `aggregate` builds all 5 counters at once, and the
-   *  counts array is bound to a lambda variable (`transform(array(...))`)
-   *  so it is evaluated exactly once — Spark excludes higher-order
-   *  functions from subexpression elimination, so the naive
-   *  one-filter-per-language form re-tokenizes the document per language. */
+   *  when nothing matches; fixed language order breaks ties (first max).
+   *  Native fused loop ([[LangIdExpr]]): one hash-set probe per language
+   *  per token, replacing an interpreted HOF aggregate. */
   def langId(text: Column): Column = {
-    val counts = aggregate(
-      tokens(text),
-      array(markers.map(_ => lit(0)): _*),
-      (acc, t) => array(markers.zipWithIndex.map { case ((_, ws), i) =>
-        acc(i) + when(t.isin(ws: _*), 1).otherwise(0)
-      }: _*))
-    val names = array(markers.map { case (lang, _) => lit(lang) }: _*)
-    transform(array(counts), c =>
-      when(array_max(c) > 0,
-        element_at(names, array_position(c, array_max(c)).cast("int")))
-        .otherwise(lit("und"))).getItem(0)
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(LangIdExpr(ColumnBridge.expression(tokens(text)), markers))
   }
 
   // ---- quality scoring -----------------------------------------------------

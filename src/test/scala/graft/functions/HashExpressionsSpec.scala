@@ -58,6 +58,38 @@ class HashExpressionsSpec extends AnyFunSuite {
       Seq.fill(4)(Long.MaxValue))
   }
 
+  test("LangIdExpr matches the HOF marker-argmax, tiebreak and 'und' included") {
+    // inline HOF reference (the replaced form)
+    val markers = Seq(
+      "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for"),
+      "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "por"),
+      "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+      "fr" -> Seq("le", "la", "les", "des", "est", "dans", "pour", "une"),
+      "it" -> Seq("il", "di", "che", "la", "per", "con", "del", "una"))
+    def hofLangId(text: org.apache.spark.sql.Column) = {
+      val counts = aggregate(
+        tokens(text),
+        array(markers.map(_ => lit(0)): _*),
+        (acc, t) => array(markers.zipWithIndex.map { case ((_, ws), i) =>
+          acc(i) + when(t.isin(ws: _*), 1).otherwise(0)
+        }: _*))
+      val names = array(markers.map { case (lang, _) => lit(lang) }: _*)
+      transform(array(counts), c =>
+        when(array_max(c) > 0,
+          element_at(names, array_position(c, array_max(c)).cast("int")))
+          .otherwise(lit("und"))).getItem(0)
+    }
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val diff = docs.select(langId(col("text")).as("native"), hofLangId(col("text")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0)
+    // 'la' appears in es, fr AND it marker lists: first-max tiebreak must pick es
+    val tie = spark.sql("SELECT 'la la la' AS text")
+    assert(tie.select(langId(col("text"))).first().getString(0) == "es")
+    assert(tie.select(hofLangId(col("text"))).first().getString(0) == "es")
+    assert(spark.sql("SELECT 'zzz qqq' AS text").select(langId(col("text"))).first().getString(0) == "und")
+  }
+
   test("ShingleHashesExpr is bit-identical to shingleHashes(shingles(...))") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001").limit(200)
     val diff = docs.select(
