@@ -42,7 +42,7 @@ object TextFunctions {
   /** Tiny per-language stopword marker sets (public knowledge). The corpus
    *  is synthetic, so what matters is a deterministic, scalable heuristic
    *  shape: count marker hits per language, argmax with a fixed tiebreak. */
-  private val markers: Seq[(String, Seq[String])] = Seq(
+  private[graft] val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "por"),
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),

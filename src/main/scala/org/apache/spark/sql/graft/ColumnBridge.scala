@@ -18,3 +18,17 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Injects the [[graft.GraftExtensions]] function catalog into an
+ *  ALREADY-RUNNING session's function registry (tests, notebooks, REPLs —
+ *  anywhere `spark.sql.extensions` wasn't set at session creation). */
+object GraftFunctions {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    graft.GraftExtensions.catalog.foreach { case (name, info, builder) =>
+      registry.registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
+    }
+  }
+}
