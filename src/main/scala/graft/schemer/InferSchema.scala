@@ -40,12 +40,29 @@ object InferSchema {
   /** Infer the witness of a dataset of NDJSON lines. Fail-fast on malformed
    *  or shape-conflicting rows, like the reference; diagnostics carry
    *  partition + record index instead of a global line number (documented
-   *  deviation, SURVEY.md §7.4). */
-  def inferWitness(ds: Dataset[String]): Witness = {
+   *  deviation, SURVEY.md §7.4).
+   *
+   *  The reduce is ORDER-PRESERVING (merge is commutative only up to
+   *  rendered type; first-seen column order must equal a sequential read).
+   *  Beyond `rangeSize` partitions it runs two-level: ranges of
+   *  `rangeSize` consecutive partition-witnesses fold in a distributed
+   *  stage (each sorted by partition index), then the driver folds the
+   *  range-witnesses in range order — O(#partitions / rangeSize) driver
+   *  memory, so an 800k-split corpus collects ~800 range witnesses, not
+   *  800k. One level suffices up to rangeSize² (≈1M) splits. */
+  def inferWitness(ds: Dataset[String], rangeSize: Int = 1024): Witness = {
     val parts = ds.rdd
       .mapPartitionsWithIndex(foldPartition, preservesPartitioning = true)
-      .collect()
-    parts.sortBy(_._1).iterator.map(_._2)
+    val ranged =
+      if (parts.getNumPartitions <= rangeSize) parts
+      else parts
+        .map { case (idx, w) => (idx / rangeSize, (idx, w)) }
+        .groupByKey() // one tiny witness per input partition
+        .map { case (range, ws) =>
+          range -> ws.toArray.sortBy(_._1).iterator.map(_._2)
+            .foldLeft(Witness.bottom)(Witness.merge(_, _, s"range $range reduce"))
+        }
+    ranged.collect().sortBy(_._1).iterator.map(_._2)
       .foldLeft(WObj.empty: Witness)(Witness.merge(_, _, "final reduce"))
   }
 

@@ -39,6 +39,17 @@ class InferSchemaSpec extends AnyFunSuite {
     assert(HiveRender.definition(one, 1) == HiveRender.definition(sequential, 1))
   }
 
+  test("two-level ranged reduce equals the direct collect byte-for-byte") {
+    import spark.implicits._
+    val ds = spark.createDataset(rows).repartition(7)
+    // rangeSize=2 forces the distributed range-fold stage on 7 partitions;
+    // order preservation must make it identical to the direct path on the
+    // SAME partitioning, first-seen column order included
+    val direct = InferSchema.inferWitness(ds, rangeSize = 1024)
+    val ranged = InferSchema.inferWitness(ds, rangeSize = 2)
+    assert(HiveRender.definition(ranged, 1) == HiveRender.definition(direct, 1))
+  }
+
   test("infer_hive_type UDAF works inside a DataFrame aggregation") {
     import spark.implicits._
     val df = Seq(
