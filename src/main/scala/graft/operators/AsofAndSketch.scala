@@ -38,26 +38,10 @@ object AsofAndSketch {
   }
 
   /** Streaming dedup: watermarked dropDuplicates on (user_id, event_type),
-   *  replayed with AvailableNow. The single-file replay arrives in one
-   *  micro-batch, so state never ages past the watermark and the batch
-   *  DISTINCT is an exact oracle; a multi-batch replay would only
-   *  guarantee within-watermark dedup (standard streaming semantics). */
-  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.events(spark, dir).schema
-    val name = s"stream_dedup_${System.nanoTime()}"
-    val q = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("event_time", "30 minutes")
-      .dropDuplicates("user_id", "event_type")
-      .select("user_id", "event_type")
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(name).orderBy("user_id", "event_type")
-  }
+   *  run inside [[graft.streaming.EventStreams]]'s shared AvailableNow
+   *  replay (one pass for all four stream_* entries). */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.streamDedup(spark, dir)
 
   /** Sketch aggregates: HyperLogLog distinct and approximate quantiles —
    *  the constant-memory forms a 100 TB profile pass uses. Sketch outputs

@@ -19,11 +19,12 @@ import java.nio.file.{Files, Paths}
  *  - sessionization keys state by user_id — state size is O(active users),
  *    closed sessions flush on event-time timeout;
  *  - the harness entries replay the parquet table through the SAME
- *    streaming plans with Trigger.AvailableNow into memory sinks. The three
- *    replays share ONE pass: all three queries start concurrently against
- *    the same source files, so the per-query streaming fixed cost
- *    (microbatch planning, state-store setup, sink commit) is paid once
- *    per scale-factor directory instead of three times.
+ *    streaming plans with Trigger.AvailableNow into memory sinks. The four
+ *    stream_* entries (hourly counts, sessions, schema evolution, dedup)
+ *    share ONE pass: all queries start concurrently against the same
+ *    source files, so the per-query streaming fixed cost (microbatch
+ *    planning, state-store setup, sink commit) is paid once per
+ *    scale-factor directory instead of four times.
  *  - the session replay appends one SENTINEL event per user far beyond the
  *    last real timestamp; the sorted per-user fold closes every real
  *    session when it reaches the sentinel, so the emitted set equals the
@@ -130,10 +131,11 @@ object EventStreams {
     (tmp.toString, sentinelTs / 1000L)
   }
 
-  private final case class Replay(hourly: DataFrame, sessions: DataFrame, schema: DataFrame)
+  private final case class Replay(
+      hourly: DataFrame, sessions: DataFrame, schema: DataFrame, dedup: DataFrame)
   private val replays = scala.collection.concurrent.TrieMap.empty[String, Replay]
 
-  /** One shared AvailableNow replay per sf directory: the three streaming
+  /** One shared AvailableNow replay per sf directory: the four streaming
    *  harness queries start concurrently and are awaited together, then each
    *  entry reads its own memory sink. Whichever entry the harness calls
    *  first pays the (single) replay; the others are lookups. */
@@ -143,6 +145,7 @@ object EventStreams {
       val hourlyName = s"stream_hourly_$tag"
       val schemaName = s"stream_schema_$tag"
       val sessName = s"stream_sessions_$tag"
+      val dedupName = s"stream_dedup_$tag"
       // state-store count follows shuffle.partitions; the replay harness
       // runs at tiny SF where 32 stores per query is pure fixed cost — a
       // production stream sizes this to its cluster instead
@@ -165,13 +168,20 @@ object EventStreams {
         val qSess = sessionize(sessEvents)
           .writeStream.format("memory").queryName(sessName)
           .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
-        Seq(qHourly, qSchema, qSess).foreach(_.awaitTermination())
+        val qDedup = withEventTime(eventsStream(spark, dir))
+          .withWatermark("event_time", "30 minutes")
+          .dropDuplicates("user_id", "event_type")
+          .select("user_id", "event_type")
+          .writeStream.format("memory").queryName(dedupName)
+          .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+        Seq(qHourly, qSchema, qSess, qDedup).foreach(_.awaitTermination())
         Replay(
           hourly = spark.table(hourlyName).orderBy("hour_start_us", "event_type"),
           sessions = spark.table(sessName)
             .filter(col("session_start_us") < sentinelUs)
             .orderBy("user_id", "session_start_us"),
-          schema = spark.table(schemaName).orderBy("event_type"))
+          schema = spark.table(schemaName).orderBy("event_type"),
+          dedup = spark.table(dedupName).orderBy("user_id", "event_type"))
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     })
 
@@ -185,6 +195,14 @@ object EventStreams {
    *  sessions, so it carries a real oracle. */
   def streamSessions(spark: SparkSession, dir: String): DataFrame =
     replay(spark, dir).sessions
+
+  /** Streaming dedup: watermarked dropDuplicates on (user_id, event_type).
+   *  The single-file replay arrives in one micro-batch, so state never ages
+   *  past the watermark and the batch DISTINCT is an exact oracle; a
+   *  multi-batch replay would only guarantee within-watermark dedup
+   *  (standard streaming semantics). Part of the shared replay. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame =
+    replay(spark, dir).dedup
 
   /** Evolving-schema-over-a-stream: the witness aggregator (the engine's
    *  core) running as a STREAMING stateful aggregation — per event type,
