@@ -21,6 +21,7 @@ object SparkEntry {
     graft.sources.Sinks.defs ++
     graft.operators.SchemerQueries.defs ++
     graft.operators.TextQueries.defs ++
+    graft.operators.CurationPipeline.defs ++
     graft.dedup.Dedup.defs ++
     graft.similarity.Ann.defs ++
     graft.multimodal.Media.defs ++

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.Tables
+import graft.Tables.QueryDef
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The end-to-end corpus-curation chain a training-data run actually
+ * executes, composed from the engine's own operators: language ID →
+ * quality gate → exact dedup → retention stats.
+ *
+ * Scale shape: language/quality are map-side native expressions over the
+ * scan (no shuffle); the dedup is ONE hash shuffle on the content hash
+ * with `min_by` carrying the kept doc's attributes (no self-join, no
+ * window); the final per-source rollup is a partial-aggregated groupBy on
+ * a low-cardinality key. Two shuffles total for the whole pipeline,
+ * regardless of corpus size.
+ */
+object CurationPipeline {
+
+  /** Keep English docs with quality ≥ 0.5, drop exact duplicates (lowest
+   *  doc_id wins), report per-source retention. */
+  def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(
+        col("doc_id"), col("source"), col("text"),
+        tokenCount(col("text")).cast("long").as("ntok"),
+        langId(col("text")).as("pred_lang"),
+        round(qualityScore(col("text")) * 10000).cast("long").as("qbp"))
+    val kept = scored.filter(col("pred_lang") === "en" && col("qbp") >= 5000L)
+    val deduped = kept
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min_by(struct(col("source"), col("qbp"), col("ntok")), col("doc_id")).as("doc"))
+      .select(col("doc.source").as("source"), col("doc.qbp").as("qbp"), col("doc.ntok").as("ntok"))
+    deduped
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        round(sum(col("qbp")).cast("double") / (count(lit(1)) * lit(10000.0d)), 3).as("avg_quality"),
+        sum(col("ntok")).as("kept_tokens"))
+      .orderBy("source")
+  }
+
+  // oracle: the same chain in DuckDB — tokenization, marker argmax with
+  // first-max tiebreak, integer quality arithmetic, md5 dedup keeping the
+  // lowest doc_id (arg-min via row_number, fine at oracle scale)
+  val defs: Vector[QueryDef] = Vector(
+    QueryDef("pipeline_clean_corpus", cleanCorpus, Some("""
+      WITH t AS (
+        SELECT doc_id, source, text,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS ntok,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        FROM documents),
+      f AS (
+        SELECT doc_id, source, text, ntok, toks,
+          least(ntok / 64.0, 1.0) AS len_score,
+          CASE WHEN ntok = 0 THEN 0
+               ELSE (length(replace(trim(text), ' ', '')) * 100) // ntok END / 100.0 AS mean_len,
+          (length(text) - length(translate(text, '.,;:!?', '')))
+            / greatest(length(text), 1.0) AS punct_ratio,
+          length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))
+            / greatest(length(text), 1.0) AS alpha_ratio
+        FROM t),
+      s AS (
+        SELECT doc_id, source, text, ntok,
+          cast(round(round((len_score * 0.4
+            + (CASE WHEN mean_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.4 END) * 0.2
+            + (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.3 END) * 0.2
+            + alpha_ratio * 0.2), 4) * 10000) as bigint) AS qbp,
+          len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','for'], x))) AS c_en,
+          len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','los','por'], x))) AS c_es,
+          len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','mit','ein'], x))) AS c_de,
+          len(list_filter(toks, x -> list_contains(['le','la','les','des','est','dans','pour','une'], x))) AS c_fr,
+          len(list_filter(toks, x -> list_contains(['il','di','che','la','per','con','del','una'], x))) AS c_it
+        FROM f),
+      kept AS (
+        SELECT doc_id, source, text, ntok, qbp FROM s
+        WHERE qbp >= 5000
+          AND greatest(c_en, c_es, c_de, c_fr, c_it) > 0
+          AND c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_it),
+      deduped AS (
+        SELECT source, qbp, ntok FROM (
+          SELECT source, qbp, ntok,
+                 row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM kept) WHERE rn = 1)
+      SELECT source, count(*) AS n_kept,
+             round(cast(sum(qbp) as double) / (count(*) * 10000.0), 3) AS avg_quality,
+             cast(sum(ntok) as bigint) AS kept_tokens
+      FROM deduped GROUP BY source ORDER BY source"""))
+  )
+}

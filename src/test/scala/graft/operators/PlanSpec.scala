@@ -59,6 +59,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("curation pipeline: no join, no window — dedup is one min_by shuffle") {
+    val p = plan("pipeline_clean_corpus")
+    assert(!p.contains("Join"), "exact dedup must be a groupBy min_by, not a self-join")
+    assert(!p.contains("Window"), "no window anywhere in the pipeline")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "min_by(struct, doc_id) should plan as an object/sort aggregate")
+  }
+
+  test("q31: literal label dim joins via shuffle hash (the salted demo plan)") {
+    val p = plan("q31_salted_join")
+    assert(p.contains("ShuffledHashJoin"), "salted join must stay a shuffle join")
+    assert(!p.contains("Scan parquet") || "Scan parquet".r.findAllIn(p).size == 1,
+      "only the fact table scans parquet; labels are a literal local relation")
+  }
+
   test("q33 ntile never sorts globally in one task (no empty-partitionBy window)") {
     val df = graft.SparkEntry.queries("q33_ntile")(spark, dir)
     val windows = df.queryExecution.optimizedPlan.collect {
