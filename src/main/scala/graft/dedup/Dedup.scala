@@ -166,6 +166,48 @@ object Dedup {
       .limit(20)
   }
 
+  /** Distributed connected components over a near-dup pair set: min-label
+   *  propagation to fixpoint. Each round sends every node's current label
+   *  across its edges and keeps the minimum — shuffles carry only
+   *  (node, label) longs, never documents. Rounds = O(component diameter);
+   *  near-dup clusters are shallow (a dup cluster's pair graph is dense),
+   *  so a handful of rounds converges. At extreme scale the alternating
+   *  large-star/small-star variant caps rounds at O(log n) with the same
+   *  per-round shape; the convergence check is one count per round, not a
+   *  data collect. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).persist()
+    var converged = labels.isEmpty
+    var i = 0
+    while (!converged && i < maxIter) {
+      val msgs = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+      val newLabels = msgs.union(labels.select("node", "label"))
+        .groupBy("node").agg(min("label").as("label")).persist()
+      val changed = newLabels.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = newLabels
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-dup CLUSTERS: connected components of the n-gram-Jaccard pair
+   *  graph — the step that turns pairwise evidence into the keep/drop
+   *  groups a dedup run acts on. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(ngramJaccard(spark, dir).select("id_a", "id_b"))
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy("cluster_id")
+
   /** Fingerprint dedup: rolling-hash fingerprint groupBy — catches
    *  whitespace-only variants that md5(text) misses. */
   def fingerprintDup(spark: SparkSession, dir: String): DataFrame =
@@ -210,6 +252,40 @@ object Dedup {
       WHERE cast(inter as double) / cast(a.n_sh + b.n_sh - inter as double) >= 0.5
       ORDER BY id_a, id_b""")),
     QueryDef("dedup_embedding", embeddingNearDup, None),
+    // components via recursive transitive closure in SQL (fine at oracle
+    // scale); the Spark side is the distributed label propagation
+    QueryDef("dedup_clusters", dedupClusters, Some("""
+      WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3),
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 100),
+      cold AS (SELECT * FROM sh ANTI JOIN hot USING (sh)),
+      pc AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+        FROM cold x JOIN cold y USING (sh)
+        WHERE x.doc_id < y.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id_a, id_b FROM pc
+        JOIN counts a ON a.doc_id = id_a
+        JOIN counts b ON b.doc_id = id_b
+        WHERE cast(inter as double) / cast(a.n_sh + b.n_sh - inter as double) >= 0.5),
+      und AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT a, b FROM (SELECT a, b FROM und UNION SELECT a, a FROM und)
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+      SELECT cluster_id, count(*) AS n_members FROM (
+        SELECT a AS node, min(b) AS cluster_id FROM reach GROUP BY a) c
+      GROUP BY cluster_id ORDER BY cluster_id""")),
     QueryDef("dedup_fingerprint", fingerprintDup, None)
   )
 }
