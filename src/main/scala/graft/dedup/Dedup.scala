@@ -181,17 +181,23 @@ object Dedup {
       .persist()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).persist()
+    var cached = labels // the persisted frame backing `labels`
     var converged = labels.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
+      // ONE shuffle per round: the node's previous label rides along as
+      // `old` (null on message rows, min() ignores nulls), so convergence
+      // falls out of the same aggregation instead of a second join+count
       val msgs = edges.join(labels, edges("src") === labels("node"))
-        .select(col("dst").as("node"), col("label"))
-      val newLabels = msgs.union(labels.select("node", "label"))
-        .groupBy("node").agg(min("label").as("label")).persist()
-      val changed = newLabels.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = newLabels
+        .select(col("dst").as("node"), col("label"), lit(null).cast("bigint").as("old"))
+      val newState = msgs
+        .union(labels.select(col("node"), col("label"), col("label").as("old")))
+        .groupBy("node").agg(min("label").as("label"), min("old").as("old"))
+        .persist()
+      val changed = newState.filter(col("label") =!= col("old")).count()
+      cached.unpersist()
+      cached = newState
+      labels = newState.select("node", "label")
       converged = changed == 0
       i += 1
     }
