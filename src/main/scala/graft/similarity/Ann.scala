@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
  *  - IVF-style partitioned search: corpus pre-assigned to its nearest
  *    centroid (a broadcast argmax pass, done once and cheap to persist);
  *    queries probe only their own cell — the classic recall/cost trade.
- *    Centroids here are seed vectors taken deterministically from the
- *    corpus; a production build would k-means them, the Spark plumbing is
- *    identical.
+ *    `ivfTopK` uses deterministic seed vectors (which keeps it
+ *    SQL-oracle-able); `kmeansIvfTopK` runs the production path — real
+ *    Lloyd training via [[kmeansCentroids]] with order-independent
+ *    decimal sums, so the index build is reproducible on any cluster.
  *
  * Top-k everywhere is the bounded [[TopKAgg]] aggregate, NOT a
  * `row_number()` window: a window partitioned by query_id would funnel the
@@ -43,6 +44,60 @@ object Ann {
     val buckets = math.max(1L, corpusSize / math.max(1L, targetBucket))
     math.min(30, math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)))
   }
+
+  /** Lloyd k-means over the embedding corpus — the real centroid training
+   *  the IVF index needs. Seeds are the lowest `k` vec_ids (deterministic);
+   *  each round broadcast-assigns every vector to its nearest centroid
+   *  (argmin L2 via the expanded form `argmax 2x·c − ‖c‖²`, computed with
+   *  the native [[graft.functions.ArrayDot]]) and recomputes means with
+   *  EXACT DECIMAL dimension sums — order-independent, so the centroids
+   *  are bit-identical on any partitioning, which makes the index build
+   *  reproducible. Only assignments are distributed; the k×dim centroid
+   *  table itself stays a broadcast literal. Empty cells keep their old
+   *  centroid. */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+    var centroids: Array[Array[Double]] = emb.filter(col("vec_id") < k).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 1 to iters) {
+      val cells = assignCells(emb, centroids)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("cell", "dim")
+        .agg(sum(col("v").cast("decimal(27,10)")).as("s"), count(lit(1)).as("n"))
+        .collect() // k × dim tiny rows — the only driver-side data
+      val next = centroids.map(_.clone())
+      cells.foreach { r =>
+        val cell = r.getInt(0); val d = r.getInt(1)
+        next(cell)(d) = (r.getDecimal(2).doubleValue() / r.getLong(3)).toDouble
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** `2·x·c − ‖c‖²` per centroid — argmax of this equals argmin ‖x−c‖². */
+  private def cellScores(centroids: Array[Array[Double]]): Column =
+    array(centroids.map { c =>
+      val cLit = array(c.map(lit): _*)
+      val norm2 = c.map(v => v * v).sum
+      lit(2.0) * dot(col("embedding"), cLit) - lit(norm2)
+    }: _*)
+
+  /** Nearest-centroid assignment as a single map-side expression:
+   *  cell = argmax of [[cellScores]], ties to the lowest cell id
+   *  (array_position returns the first maximum). */
+  def assignCells(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val scores = cellScores(centroids)
+    emb.withColumn("cell",
+      (array_position(scores, array_max(scores)) - 1).cast("int"))
+  }
+
+  /** Within-cluster sum of squares for a given centroid set — the k-means
+   *  objective (‖x−c‖² = x·x − max score), used by the spec to check the
+   *  Lloyd iterations improve it. */
+  def wcss(emb: DataFrame, centroids: Array[Array[Double]]): Double =
+    emb.select((dot(col("embedding"), col("embedding")) - array_max(cellScores(centroids))).as("d2"))
+      .agg(sum("d2")).head().getDouble(0)
 
   /** Exact brute-force top-5 cosine neighbors for query vectors
    *  (vec_id < 8), self excluded; rank ties broken by neighbor id. */
@@ -79,6 +134,27 @@ object Ann {
         // argmax with a deterministic tiebreak: highest dot, then lowest id
         max_by(col("centroid_id"), struct(col("dot"), (-col("centroid_id")).as("nid"))).as("cell"))
       .persist() // the cell assignment feeds both the query set and the corpus side
+    val queries = broadcast(assigned.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell")))
+    val grouped = assigned.join(queries, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+      .groupBy("query_id")
+      .agg(topK(3)(col("cos"), col("neighbor_id")).as("top"))
+    explodeRanks(grouped, "query_id", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF with TRAINED centroids: Lloyd iterations ([[kmeansCentroids]])
+   *  instead of raw seed vectors, then the same cell-probe search as
+   *  [[ivfTopK]] — the production index-build path. Not SQL-oracle-able
+   *  (the oracle would need the full Lloyd unroll); correctness rides on
+   *  the determinism + WCSS specs and the rows-only check. */
+  def kmeansIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = kmeansCentroids(emb, k = 16, iters = 3)
+    val assigned = assignCells(emb, centroids).persist()
     val queries = broadcast(assigned.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell")))
     val grouped = assigned.join(queries, "cell")
@@ -150,6 +226,7 @@ object Ann {
         WHERE a.vec_id <> q.query_id) t
       WHERE rank <= 3
       ORDER BY query_id, rank""")),
-    QueryDef("ann_lsh_topk", lshTopK, None)
+    QueryDef("ann_lsh_topk", lshTopK, None),
+    QueryDef("ann_kmeans_ivf", kmeansIvfTopK, None)
   )
 }
