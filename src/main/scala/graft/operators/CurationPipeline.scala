@@ -43,6 +43,34 @@ object CurationPipeline {
       .orderBy("source")
   }
 
+  /** Benchmark decontamination — the OTHER overlap problem dedup doesn't
+   *  cover: training docs that leak evaluation content must be dropped
+   *  even when they aren't duplicates of each other. Docs whose id ≡ 0
+   *  (mod 97) stand in for the held-out benchmark; any other doc sharing
+   *  ≥ 5 distinct word-3-grams with ANY benchmark doc is flagged.
+   *
+   *  Scale shape: shingles key on their 64-bit hash; the benchmark
+   *  shingle set is reached by an inverted-index equi-join (it is O(eval
+   *  corpus) — too big to broadcast at 100 TB), and the flag is one
+   *  groupBy per contaminated doc. No cross join, no per-doc set
+   *  materialization. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docShingles = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(wordShingleHashes(col("text"), 3))).as("sh"))
+      .persist() // feeds the benchmark index and the probe side
+    val isBench = col("doc_id") % 97 === 0
+    val benchShingles = docShingles.filter(isBench).select("sh").distinct()
+    val flagged = docShingles.filter(!isBench)
+      .join(benchShingles, "sh")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 5)
+    flagged.groupBy("source")
+      .agg(count(lit(1)).as("n_flagged"), sum("n_shared").as("total_shared"))
+      .orderBy("source")
+  }
+
   // oracle: the same chain in DuckDB — tokenization, marker argmax with
   // first-max tiebreak, integer quality arithmetic, md5 dedup keeping the
   // lowest doc_id (arg-min via row_number, fine at oracle scale)
@@ -90,6 +118,25 @@ object CurationPipeline {
       SELECT source, count(*) AS n_kept,
              round(cast(sum(qbp) as double) / (count(*) * 10000.0), 3) AS avg_quality,
              cast(sum(ntok) as bigint) AS kept_tokens
-      FROM deduped GROUP BY source ORDER BY source"""))
+      FROM deduped GROUP BY source ORDER BY source""")),
+    QueryDef("pipeline_decontaminate", decontaminate, Some("""
+      WITH toks AS (
+        SELECT doc_id, source,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3),
+      bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+      flagged AS (
+        SELECT doc_id, source, count(*) AS n_shared
+        FROM sh JOIN bench USING (sh)
+        WHERE doc_id % 97 <> 0
+        GROUP BY doc_id, source
+        HAVING count(*) >= 5)
+      SELECT source, count(*) AS n_flagged, cast(sum(n_shared) as bigint) AS total_shared
+      FROM flagged GROUP BY source ORDER BY source"""))
   )
 }
