@@ -62,6 +62,35 @@ object TextQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "pred_lang")
 
+  /** Intra-document repetition — the quality signal that catches boilerplate
+   *  and spam the inter-document dedups can't see: repeated tokens and
+   *  repeated word-2-grams WITHIN one doc. Ratios are exact integer
+   *  basis points (no float drift), aggregated per source with integer
+   *  sums so the result is partitioning-independent and oracle-able. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val n1 = size(toks)
+    val d1 = size(array_distinct(toks))
+    val g2 = shingles(col("text"), 2)
+    val n2 = size(g2)
+    val d2 = size(array_distinct(g2))
+    // Column./ on longs is TRUE division (doubles); basis points must be
+    // the integer quotient to match the oracle's `//`
+    val dupTokBp = when(n1 > 0,
+      floor((n1 - d1).cast("long") * 10000L / n1.cast("long")).cast("long")).otherwise(0L)
+    val dup2Bp = when(n2 > 0,
+      floor((n2 - d2).cast("long") * 10000L / n2.cast("long")).cast("long")).otherwise(0L)
+    Tables.documents(spark, dir)
+      .select(col("source"), dupTokBp.as("dup_tok_bp"), dup2Bp.as("dup_2gram_bp"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("dup_tok_bp").as("sum_dup_tok_bp"),
+        sum("dup_2gram_bp").as("sum_dup_2gram_bp"),
+        count(when(col("dup_tok_bp") >= 5000L, 1)).as("n_heavy_repeat"))
+      .orderBy("source")
+  }
+
   /** Document fingerprints (rolling hash) for the lowest doc_ids — the
    *  per-doc form of dedup_fingerprint. xxhash64-based → rows-only. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
@@ -81,6 +110,31 @@ object TextQueries {
              cast(sum(n_chars) as bigint) AS total_chars,
              count(*) AS n_docs
       FROM documents GROUP BY lang ORDER BY lang""")),
+    QueryDef("text_repetition_stats", repetitionStats, Some("""
+      WITH t AS (
+        SELECT source,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        FROM documents),
+      g AS (
+        SELECT source, toks,
+               CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+                    ELSE [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))] END AS g2
+        FROM t),
+      b AS (
+        SELECT source,
+          CASE WHEN len(toks) > 0
+               THEN ((len(toks) - len(list_distinct(toks))) * 10000) // len(toks)
+               ELSE 0 END AS dup_tok_bp,
+          CASE WHEN len(g2) > 0
+               THEN ((len(g2) - len(list_distinct(g2))) * 10000) // len(g2)
+               ELSE 0 END AS dup_2gram_bp
+        FROM g)
+      SELECT source, count(*) AS n_docs,
+             cast(sum(dup_tok_bp) as bigint) AS sum_dup_tok_bp,
+             cast(sum(dup_2gram_bp) as bigint) AS sum_dup_2gram_bp,
+             count(CASE WHEN dup_tok_bp >= 5000 THEN 1 END) AS n_heavy_repeat
+      FROM b GROUP BY source ORDER BY source""")),
     QueryDef("text_quality_features", qualityFeatures, Some("""
       SELECT doc_id,
              CASE WHEN length(trim(text)) = 0 THEN 0
