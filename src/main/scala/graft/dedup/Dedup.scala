@@ -179,8 +179,10 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).persist()
+    // seed = min(self, direct neighbors): the first propagation round as a
+    // single join-free aggregation — saves one full join+shuffle round
+    var labels = edges.groupBy(col("src").as("node"))
+      .agg(least(min(col("dst")), col("src")).as("label")).persist()
     var cached = labels // the persisted frame backing `labels`
     var converged = labels.isEmpty
     var i = 0
