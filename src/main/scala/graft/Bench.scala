@@ -23,10 +23,20 @@ object Bench {
       spark.catalog.clearCache()
       name -> sec
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal rounding keeps the whole line under ~2 KB so a tail-capture
+    // of stdout still contains the complete JSON object (r1/r2 both lost the
+    // head of the unrounded ~2.5 KB line to truncation)
+    def f(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // belt and braces: also persist the line where a driver can parse it as a
+    // file instead of regexing an sbt-banner-wrapped stdout tail
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8")) catch { case _: Throwable => }
+    println(line)
     spark.stop()
   }
 }

@@ -166,45 +166,86 @@ object Dedup {
       .limit(20)
   }
 
-  /** Distributed connected components over a near-dup pair set: min-label
-   *  propagation to fixpoint. Each round sends every node's current label
-   *  across its edges and keeps the minimum — shuffles carry only
-   *  (node, label) longs, never documents. Rounds = O(component diameter);
-   *  near-dup clusters are shallow (a dup cluster's pair graph is dense),
-   *  so a handful of rounds converges. At extreme scale the alternating
-   *  large-star/small-star variant caps rounds at O(log n) with the same
-   *  per-round shape; the convergence check is one count per round, not a
+  /** Distributed connected components over a near-dup pair set, via
+   *  alternating LARGE-STAR / SMALL-STAR rounds (Kiveris et al.,
+   *  "Connected Components in MapReduce and Beyond"): each round rewires
+   *  every node toward the minimum of its neighborhood, which provably
+   *  converges to per-component stars in O(log n) rounds REGARDLESS of
+   *  component diameter — a path graph of n nodes needs ~log n rounds where
+   *  plain min-label propagation needs n. Shuffles carry only (long, long)
+   *  edges, never documents; the convergence check is one tiny aggregate
+   *  per round (count + order-independent hash of the edge set), not a
    *  data collect. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist()
-    // seed = min(self, direct neighbors): the first propagation round as a
-    // single join-free aggregation — saves one full join+shuffle round
-    var labels = edges.groupBy(col("src").as("node"))
-      .agg(least(min(col("dst")), col("src")).as("label")).persist()
-    var cached = labels // the persisted frame backing `labels`
-    var converged = labels.isEmpty
-    var i = 0
-    while (!converged && i < maxIter) {
-      // ONE shuffle per round: the node's previous label rides along as
-      // `old` (null on message rows, min() ignores nulls), so convergence
-      // falls out of the same aggregation instead of a second join+count
-      val msgs = edges.join(labels, edges("src") === labels("node"))
-        .select(col("dst").as("node"), col("label"), lit(null).cast("bigint").as("old"))
-      val newState = msgs
-        .union(labels.select(col("node"), col("label"), col("label").as("old")))
-        .groupBy("node").agg(min("label").as("label"), min("old").as("old"))
-        .persist()
-      val changed = newState.filter(col("label") =!= col("old")).count()
-      cached.unpersist()
-      cached = newState
-      labels = newState.select("node", "label")
-      converged = changed == 0
-      i += 1
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame =
+    starComponents(pairs, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of rounds taken — exposed so
+   *  the spec can assert the O(log n) bound on a path graph. */
+  private[graft] def starComponents(pairs: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+    // iterative-algorithm state management: CHECKPOINT each round's edge
+    // set, don't just persist it. persist() caches data but keeps the
+    // logical plan, so each round's plan nests the previous round's
+    // (doubling per round — `large` feeds `small` twice), and cache
+    // plan-matching proved unreliable across the loop (measured: round
+    // times GREW each round, full-lineage recompute). Checkpointing
+    // truncates the plan to the materialized rows: reliable checkpoint
+    // when the cluster has a checkpoint dir (fault-tolerant, the 100 TB
+    // path), local checkpoint otherwise (single-JVM harness).
+    def ckpt(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    // canonical directed form: every undirected edge stored once as
+    // (hi > lo); self-pairs carry no component information
+    var edges = ckpt(pairs
+      .select(greatest(col("id_a"), col("id_b")).as("hi"),
+        least(col("id_a"), col("id_b")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct())
+    // order-independent edge-set signature: (count, XOR of per-edge hashes —
+    // xor, not sum: summing longs trips ANSI overflow, and edges are
+    // distinct so nothing cancels). Equal signatures across a round ⇒ the
+    // round was a no-op ⇒ the graph is per-component stars (large/small-star
+    // fix exactly those), modulo a ~2⁻⁶⁴ hash-collision chance — the
+    // standard set-equality check that avoids an except() anti-join per
+    // round.
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("hi"), col("lo"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
     }
-    edges.unpersist()
-    labels
+    var sig = signature(edges)
+    var rounds = 0
+    var converged = sig._1 == 0L
+    while (!converged && rounds < maxIter) {
+      // LARGE-STAR: for each node u, m = min(N(u) ∪ {u}); every neighbor
+      // STRICTLY GREATER than u re-links to m. Neighborhoods are read in
+      // both directions; one groupBy + one join per round.
+      val nbrs = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = nbrs.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      val large = nbrs.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+      // SMALL-STAR: orient edges from each node to its SMALLER neighbors;
+      // m = min of those; every smaller neighbor and u itself link to m.
+      // m ≤ lo < hi keeps the (hi, lo) canonical form without re-sorting.
+      val mins2 = large.groupBy("hi").agg(min(col("lo")).as("m"))
+      val joined = large.join(mins2, "hi")
+      val small = ckpt(joined.filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(joined.select(col("hi"), col("m").as("lo")))
+        .distinct())
+      val nextSig = signature(small)
+      edges = small
+      converged = nextSig == sig
+      sig = nextSig
+      rounds += 1
+    }
+    // at the star fixpoint every edge is (member, root): members label to
+    // their root, each root labels to itself (min() collapses the two roles
+    // into one row per node, and stays correct if maxIter cut the loop)
+    val labels = edges.select(col("hi").as("node"), col("lo").as("label"))
+      .union(edges.select(col("lo").as("node"), col("lo").as("label")))
+      .groupBy("node").agg(min(col("label")).as("label"))
+    (labels, rounds)
   }
 
   /** Near-dup CLUSTERS: connected components of the n-gram-Jaccard pair

@@ -175,10 +175,19 @@ object TextFunctions {
    *  0 when either vector is all-zero. */
   def cosine(a: Column, b: Column): Column = native2(ArrayCosine)(a, b)
 
-  /** Random-hyperplane LSH signature (nBits ≤ 32) for cosine space:
+  /** Random-hyperplane LSH signature (nBits ≤ 30) for cosine space:
    *  bit p = sign(v · plane_p), planes derived deterministically from
-   *  xxhash64(p, j) — no stored model, same planes on every executor. */
-  def hyperplaneSig(vec: Column, nBits: Int, dim: Int): Column =
+   *  xxhash64(p, j) — no stored model, same planes on every executor.
+   *  Native fused loop over a precomputed plane matrix
+   *  ([[HyperplaneSigExpr]]), bit-identical to the HOF form it replaced. */
+  def hyperplaneSig(vec: Column, nBits: Int, dim: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(HyperplaneSigExpr(ColumnBridge.expression(vec), nBits, dim))
+  }
+
+  /** The interpreted HOF predecessor of [[hyperplaneSig]], retained as the
+   *  parity oracle for the native expression's spec. */
+  private[graft] def hyperplaneSigHof(vec: Column, nBits: Int, dim: Int): Column =
     aggregate(
       transform(sequence(lit(0), lit(nBits - 1)), p => {
         val plane = transform(sequence(lit(0), lit(dim - 1)),

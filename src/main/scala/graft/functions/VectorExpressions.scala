@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /**
  * Native codegen'd vector math over `array<float>` / `array<double>`
@@ -150,4 +151,117 @@ case class ArrayCosine(left: Expression, right: Expression) extends VectorBinary
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ArrayCosine =
     copy(left = newLeft, right = newRight)
+}
+
+/**
+ * Random-hyperplane LSH signature — the native form of the HOF
+ * `aggregate(transform(sequence(0,nBits-1), p => when(dot(vec, plane_p) > 0,
+ * 1 << p).otherwise(0)), 0, or)` with plane_p(j) = (pmod(xxhash64(p, j),
+ * 100003) / 100003.0) - 0.5.
+ *
+ * Bit-identical to that HOF: the plane matrix is precomputed once per
+ * expression instance (driver side, shipped as a reference object) with the
+ * exact same seed-42 XXH64 fold, pmod, and double arithmetic order; the dot
+ * product accumulates left-to-right in double like [[ArrayDot]]. The HOF
+ * yields 0 (not NULL) for a NULL vector, a length-mismatched vector, or a
+ * vector with NULL elements (`when(NULL > 0)` takes the otherwise branch for
+ * every bit) — mirrored here, so the expression is never-null.
+ *
+ * Replaces the last interpreted aggregate on a signature scan path: the HOF
+ * evaluated nBits × dim interpreted lambda steps per row even after the
+ * plane subtree constant-folded; this is one fused primitive loop over a
+ * cached double[][].
+ */
+case class HyperplaneSigExpr(child: Expression, nBits: Int, dim: Int) extends UnaryExpression {
+
+  require(nBits > 0 && nBits <= 30, "nBits must be in [1,30]")
+  require(dim > 0, "dim must be positive")
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override def prettyName: String = "hyperplane_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_sig expects array<float>/array<double>, got ${dt.catalogString}")
+  }
+
+  @transient private lazy val childIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** planes(p)(j) = (pmod(xxhash64(p, j), 100003) / 100003.0) - 0.5 with
+   *  xxhash64's left-to-right child fold from seed 42. */
+  @transient private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(nBits, dim) { (p, j) =>
+      val h = XXH64.hashInt(j, XXH64.hashInt(p, 42L))
+      val r = h % 100003L
+      val m = if (r < 0) r + 100003L else r
+      (m.toDouble / 100003.0d) - 0.5d
+    }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return 0
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n != dim) return 0
+    var j = 0
+    while (j < n) { if (arr.isNullAt(j)) return 0; j += 1 }
+    var sig = 0
+    var p = 0
+    while (p < nBits) {
+      val plane = planes(p)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val e = if (childIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        s += e * plane(i)
+        i += 1
+      }
+      if (s > 0.0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val planesRef = ctx.addReferenceObj("hyperplanes", planes, "double[][]")
+    val a = ctx.freshName("arr")
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val j = ctx.freshName("j")
+    val p = ctx.freshName("p")
+    val s = ctx.freshName("s")
+    val ok = ctx.freshName("ok")
+    val plane = ctx.freshName("plane")
+    val elem = if (childIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+    val code = code"""
+       |${c.code}
+       |int ${ev.value} = 0;
+       |if (!${c.isNull}) {
+       |  org.apache.spark.sql.catalyst.util.ArrayData $a = ${c.value};
+       |  int $n = $a.numElements();
+       |  boolean $ok = ($n == $dim);
+       |  for (int $j = 0; $ok && $j < $n; $j++) {
+       |    if ($a.isNullAt($j)) $ok = false;
+       |  }
+       |  if ($ok) {
+       |    for (int $p = 0; $p < $nBits; $p++) {
+       |      double[] $plane = $planesRef[$p];
+       |      double $s = 0.0;
+       |      for (int $i = 0; $i < $n; $i++) {
+       |        $s += $elem * $plane[$i];
+       |      }
+       |      if ($s > 0.0) ${ev.value} |= (1 << $p);
+       |    }
+       |  }
+       |}
+     """.stripMargin
+    ev.copy(code = code, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSigExpr =
+    copy(child = newChild)
 }

@@ -262,7 +262,8 @@ object Media {
       .select("doc_id", "media", "format", "n_bytes").as[MediaRecord]
     sampleFrames(vids, frameSize = 32, stride = 2)
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_frames"), max(octet_length(col("frame"))).as("frame_bytes"))
+      .agg(count(lit(1)).as("n_frames"),
+        max(octet_length(col("frame"))).cast("bigint").as("frame_bytes"))
       .orderBy("doc_id")
   }
 
@@ -303,6 +304,17 @@ object Media {
              cast(max(height) as bigint) AS max_h,
              cast(sum(dur) as bigint) AS sum_duration_ms
       FROM feat GROUP BY format ORDER BY format""")),
-    QueryDef("media_frame_samples", frameSampleStats, None)
+    // frame geometry is pure octet_length arithmetic: payload = UTF-8 text
+    // bytes, nFrames = len/32 (floor), sampled every 2nd frame =>
+    // (len/32 + 1)/2 rows, and each slice is exactly 32 bytes because
+    // (i+1)*32 <= nFrames*32 <= len; docs with len < 32 emit no rows
+    QueryDef("media_frame_samples", frameSampleStats, Some("""
+      SELECT doc_id,
+             (octet_length(encode(text)) // 32 + 1) // 2 AS n_frames,
+             cast(32 as bigint) AS frame_bytes
+      FROM documents
+      WHERE substr(md5(text),1,1) > 'b'
+        AND octet_length(encode(text)) >= 32
+      ORDER BY doc_id"""))
   )
 }

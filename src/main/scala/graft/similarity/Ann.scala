@@ -167,10 +167,27 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
-  /** LSH-bucketed ANN: hyperplane signature as the cell key instead of
-   *  centroids — zero model state, works on any scale, lower recall.
-   *  Signature width scales with the corpus ([[sigBits]]) so buckets stay
-   *  bounded as data grows. */
+  /** All `bits`-wide XOR masks with popcount ≤ radius — the multi-probe
+   *  neighborhood of an LSH bucket, enumerated combinatorially (never
+   *  2^bits). */
+  private[similarity] def probeMasks(bits: Int, radius: Int): Seq[Int] =
+    (0 to radius).flatMap(k =>
+      (0 until bits).combinations(k).map(_.foldLeft(0)((m, b) => m | (1 << b))))
+
+  /** MULTI-PROBE LSH-bucketed ANN: hyperplane signature as the cell key
+   *  instead of centroids — zero model state, works on any scale. Each
+   *  query probes every bucket within Hamming radius 4 of its own
+   *  signature (the standard multi-probe trick: a true neighbor's
+   *  signature differs in a few low-margin bits far more often than it
+   *  lands in the exact same bucket, so probing the Hamming ball
+   *  multiplies recall at a tiny candidate cost — Σ₀⁴C(bits,k) of 2^bits
+   *  buckets, 0.01 % at the 24-bit width a 10⁹-vector corpus gets from
+   *  [[sigBits]]). The probe set rides the broadcast query side as an
+   *  exploded (query, cell) list; the corpus is never re-hashed.
+   *  On this corpus (random vectors, weakest-possible LSH structure)
+   *  radius 4 at 8 bits measures recall@3 ≈ 0.7 vs exact brute force
+   *  (RecallSpec) — the zero-model fallback tier; the trained-IVF tier is
+   *  the higher-recall path. */
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
     val dim = 64
     val emb = Tables.embeddings(spark, dir)
@@ -179,8 +196,10 @@ object Ann {
       .select(col("vec_id"), col("embedding"),
         hyperplaneSig(col("embedding"), bits, dim).as("cell"))
       .persist() // signature feeds both the query set and the probe join
+    val masks = typedlit(probeMasks(bits, radius = 4))
     val queries = broadcast(sigs.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(transform(masks, m => col("cell").bitwiseXOR(m))).as("cell")))
     val grouped = sigs.join(queries, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

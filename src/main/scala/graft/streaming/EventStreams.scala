@@ -124,10 +124,14 @@ object EventStreams {
       .select(lit(-1L).as("event_id"), lit(sentinelTs).as("ts"), col("user_id"),
         lit("sentinel").as("event_type"), lit(0.0).as("value"),
         lit(null).cast("string").as("props"))
-      .coalesce(1).write.parquet(build.toString)
-    val part = Files.list(build).filter(p => p.toString.endsWith(".parquet"))
-      .findFirst().orElseThrow(() => new IllegalStateException("sentinel part file missing"))
-    Files.move(part, tmp.resolve("sentinel.parquet"))
+      .write.parquet(build.toString)
+    // no coalesce(1): at 100 TB/day a single sentinel writer is a straggler.
+    // Every task writes its own part file; all of them are globbed into the
+    // stream source alongside the real events file.
+    val it = Files.list(build).filter(p => p.toString.endsWith(".parquet")).iterator()
+    var i = 0
+    while (it.hasNext) { Files.move(it.next(), tmp.resolve(s"sentinel_$i.parquet")); i += 1 }
+    require(i > 0, "sentinel part files missing")
     (tmp.toString, sentinelTs / 1000L)
   }
 

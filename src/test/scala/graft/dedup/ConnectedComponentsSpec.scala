@@ -32,6 +32,48 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(components().isEmpty)
   }
 
+  /** Independent oracle: plain driver-side union-find with min-id roots. */
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("large-star/small-star equals union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val n = 30 + trial * 10
+      val nEdges = n / 2 + rnd.nextInt(n)
+      val pairs = Seq.fill(nEdges)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (pairs.nonEmpty) {
+        val df = pairs.toDF("id_a", "id_b")
+        val star = Dedup.connectedComponents(df).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(star == unionFind(pairs), s"trial $trial: star=$star expected=${unionFind(pairs)}")
+      }
+    }
+  }
+
+  test("path graph converges in O(log n) rounds, not O(n)") {
+    import spark.implicits._
+    val n = 64
+    val path = (0L until (n - 1)).map(i => (i, i + 1))
+    val (labels, rounds) = Dedup.starComponents(path.toDF("id_a", "id_b"))
+    val c = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c.values.toSet == Set(0L) && c.keySet == (0L until n).toSet)
+    // diameter 63; propagation would need ~63 rounds, star needs ~log2(64)+slack
+    assert(rounds <= 2 * 6 + 4, s"took $rounds rounds")
+  }
+
   test("dedup_clusters members sum to the docs appearing in ngram pairs") {
     val dir = "/root/testdata/sf0.001"
     val pairs = Dedup.ngramJaccard(spark, dir).select("id_a", "id_b").collect()

@@ -72,4 +72,46 @@ class VectorExpressionsSpec extends AnyFunSuite {
     val sig = df.select(TextFunctions.hyperplaneSig(col("v"), 8, 16).as("s")).collect()(0).getInt(0)
     assert(sig >= 0 && sig < 256)
   }
+
+  test("native hyperplaneSig equals the HOF form bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(128)(Tuple1(Array.fill(64)(rnd.nextFloat() - 0.5f)))
+    val df = rows.toDF("v")
+    val out = df.select(
+      TextFunctions.hyperplaneSig(col("v"), 12, 64).as("native"),
+      TextFunctions.hyperplaneSigHof(col("v"), 12, 64).as("hof")).collect()
+    out.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    assert(out.map(_.getInt(0)).distinct.length > 1) // signatures actually vary
+  }
+
+  test("hyperplaneSig degenerate inputs yield 0 like the HOF (never null)") {
+    val df = spark.sql(
+      "SELECT cast(null as array<float>) a, array(1.0f, 2.0f) b, array(1.0f, cast(null as float)) c")
+    val r = df.select(
+      TextFunctions.hyperplaneSig(col("a"), 8, 64),   // null vector
+      TextFunctions.hyperplaneSig(col("b"), 8, 64),   // wrong length
+      TextFunctions.hyperplaneSig(col("c"), 8, 2)     // null element
+    ).collect()(0)
+    assert(!r.isNullAt(0) && r.getInt(0) == 0)
+    assert(!r.isNullAt(1) && r.getInt(1) == 0)
+    assert(!r.isNullAt(2) && r.getInt(2) == 0)
+  }
+
+  test("hyperplaneSig interpreted path agrees with codegen path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val df = Seq.fill(32)(Tuple1(Array.fill(64)(rnd.nextFloat() - 0.5f))).toDF("v")
+    val q = df.select(TextFunctions.hyperplaneSig(col("v"), 16, 64).as("s"))
+    val on = q.collect().map(_.getInt(0)).toSeq
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      assert(q.collect().map(_.getInt(0)).toSeq == on)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
 }
