@@ -13,7 +13,14 @@ object Bench {
     // JVM/codegen warmup so the first measured query doesn't absorb
     // class-loading + first-parquet-footer costs
     spark.range(1000000).selectExpr("sum(id)").collect()
-    try spark.read.parquet(s"$sfDir/region.parquet").count() catch { case _: Throwable => }
+    // touch EVERY table once (footers + OS page cache): otherwise the
+    // first-touch I/O cost of each table lands on whichever query happens
+    // to read it first — r2 profiling showed that cost is 3-8x a query's
+    // steady-state time and lands name-sort-arbitrarily
+    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings")) {
+      try spark.read.parquet(s"$sfDir/$t.parquet").count() catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
