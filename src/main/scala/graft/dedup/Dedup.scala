@@ -257,11 +257,15 @@ object Dedup {
       .agg(count(lit(1)).as("n_members"))
       .orderBy("cluster_id")
 
-  /** Fingerprint dedup: rolling-hash fingerprint groupBy — catches
-   *  whitespace-only variants that md5(text) misses. */
+  /** Fingerprint dedup: normalized-token-stream fingerprint groupBy —
+   *  catches whitespace-only variants that md5(raw text) misses. Uses the
+   *  cross-engine md5 form so the whitespace-collapse semantics carry an
+   *  exact oracle; a production run swaps in the 64-bit
+   *  [[graft.functions.TextFunctions.fingerprint]] (same normalization,
+   *  8-byte shuffle key — spec'd equivalent in TextFunctionsSpec). */
   def fingerprintDup(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .groupBy(fingerprint(col("text")).as("fp"))
+      .groupBy(fingerprintMd5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
       .orderBy("fp")
 
@@ -335,6 +339,14 @@ object Dedup {
       SELECT cluster_id, count(*) AS n_members FROM (
         SELECT a AS node, min(b) AS cluster_id FROM reach GROUP BY a) c
       GROUP BY cluster_id ORDER BY cluster_id""")),
-    QueryDef("dedup_fingerprint", fingerprintDup, None)
+    // exact oracle: identical tokenize (\s+ on trimmed text) + chr(1)
+    // sentinel join + md5 in both engines; empty/blank text joins to ''
+    // in both (Spark empty token array, DuckDB [''])
+    QueryDef("dedup_fingerprint", fingerprintDup, Some("""
+      SELECT md5(array_to_string(
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+') END, chr(1))) AS fp,
+             min(doc_id) AS keep_id, count(*) AS dup_count
+      FROM documents GROUP BY 1 ORDER BY fp"""))
   )
 }

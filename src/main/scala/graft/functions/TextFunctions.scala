@@ -97,6 +97,14 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     xxhash64(array_join(tokens(text), "\u0001"))
 
+  /** Cross-engine form of [[fingerprint]]: md5 of the same normalized token
+   *  stream (sentinel-joined tokens). Same whitespace-collapse semantics,
+   *  but reproducible in any SQL engine -- the oracle-checkable face of
+   *  fingerprint dedup. (The 64-bit [[fingerprint]] stays the production
+   *  shuffle key: 8 bytes vs this form's 32.) */
+  def fingerprintMd5(text: Column): Column =
+    md5(array_join(tokens(text), "\u0001"))
+
   /** Word n-gram shingles as strings ("w1 w2 … wn"); empty when the doc has
    *  fewer than n tokens. */
   def shingles(text: Column, n: Int): Column = {

@@ -71,6 +71,27 @@ object CurationPipeline {
       .orderBy("source")
   }
 
+  /** Deterministic STRATIFIED sampling: exactly 20 docs per source, chosen
+   *  by smallest md5(text) (a content-keyed pseudo-random order both
+   *  engines can reproduce), ties to the lowest doc_id — the "same sample
+   *  on every run/cluster" property a curation pipeline needs for
+   *  ablations.
+   *
+   *  Scale shape: per-stratum bottom-k via the bounded
+   *  [[graft.similarity.TopKMinStrAgg]] aggregate — each map task keeps an
+   *  O(k) buffer per stratum and only buffers shuffle. A
+   *  `row_number() OVER (PARTITION BY source)` would funnel the whole
+   *  corpus into #sources reducer tasks; this never does. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.TopK._
+    val grouped = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), md5(col("text")).as("h"))
+      .groupBy("source")
+      .agg(topKMinStr(20)(col("h"), col("doc_id")).as("top"))
+    explodeRanks(grouped, "source", "doc_id")
+      .orderBy("source", "rank")
+  }
+
   // oracle: the same chain in DuckDB — tokenization, marker argmax with
   // first-max tiebreak, integer quality arithmetic, md5 dedup keeping the
   // lowest doc_id (arg-min via row_number, fine at oracle scale)
@@ -137,6 +158,14 @@ object CurationPipeline {
         GROUP BY doc_id, source
         HAVING count(*) >= 5)
       SELECT source, count(*) AS n_flagged, cast(sum(n_shared) as bigint) AS total_shared
-      FROM flagged GROUP BY source ORDER BY source"""))
+      FROM flagged GROUP BY source ORDER BY source""")),
+    // md5 hex ordering is plain ASCII-lexicographic in both engines
+    QueryDef("pipeline_stratified_sample", stratifiedSample, Some("""
+      SELECT source, doc_id, rank FROM (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rank
+        FROM documents) t
+      WHERE rank <= 20
+      ORDER BY source, rank"""))
   )
 }

@@ -82,7 +82,10 @@ object RelationalQueries2 {
 
   /** Median (exact, interpolated) of an integer column per group — the
    *  continuous quantile at 0.5; .0/.5 halves are exactly representable so
-   *  the double compares clean. */
+   *  the double compares clean. Exact median sorts each group, which is the
+   *  right default only while groups stay modest (150 part types here); the
+   *  scale path for high-cardinality groups or 100 TB inputs is the sketch
+   *  twin (`sketch_stats`' `percentile_approx`, bounded memory per group). */
   def q21Median(spark: SparkSession, dir: String): DataFrame =
     Tables.part(spark, dir)
       .groupBy("p_type")

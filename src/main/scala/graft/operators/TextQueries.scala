@@ -91,6 +91,39 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** CROSS-document boilerplate: the fraction of each doc's distinct
+   *  word-3-grams that are corpus-common (shared by > 100 docs) — headers,
+   *  footers, license blurbs. Complements [[repetitionStats]] (intra-doc)
+   *  and the pair dedups (whole-doc): boilerplate-heavy docs aren't
+   *  duplicates of anything in particular, they're stitched from common
+   *  fragments.
+   *
+   *  Scale shape: the shingle index keys on 64-bit hashes
+   *  (map-side native expression), one groupBy finds the common set —
+   *  which is SMALL by construction (shingles in >100 docs) so the
+   *  per-doc membership probe is a broadcast semi-join, not a shuffle of
+   *  the corpus. Ratios are exact integer basis points over integer sums,
+   *  so the per-source rollup is partitioning-independent and oracled. */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val docSh = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(wordShingleHashes(col("text"), 3))).as("sh"))
+      .persist() // feeds the common-set scan and the per-doc counts
+    val common = docSh.groupBy("sh").count().filter(col("count") > 100).select("sh")
+    val hotPerDoc = docSh.join(broadcast(common), Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hot"))
+    val perDoc = docSh.groupBy("doc_id", "source").agg(count(lit(1)).as("n_sh"))
+    perDoc.join(hotPerDoc, Seq("doc_id"), "left")
+      .select(col("source"), col("n_sh"), coalesce(col("n_hot"), lit(0L)).as("n_hot"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs_with_shingles"),
+        sum("n_hot").as("sum_hot"),
+        sum("n_sh").as("sum_sh"),
+        floor(sum("n_hot") * 10000L / sum("n_sh")).cast("long").as("boilerplate_bp"))
+      .orderBy("source")
+  }
+
   /** Document fingerprints (rolling hash) for the lowest doc_ids — the
    *  per-doc form of dedup_fingerprint. xxhash64-based → rows-only. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
@@ -219,6 +252,28 @@ object TextQueries {
         FROM c)
       SELECT lang, pred_lang, count(*) AS n
       FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang""")),
+    // same tokenize + trigram construction as the dedup oracles; the
+    // common set is counted over DISTINCT per-doc shingles in both engines
+    QueryDef("text_boilerplate", boilerplate, Some("""
+      WITH toks AS (
+        SELECT doc_id, source,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3),
+      hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 100),
+      perdoc AS (
+        SELECT doc_id, source, count(*) AS n_sh,
+               count(CASE WHEN sh IN (SELECT sh FROM hot) THEN 1 END) AS n_hot
+        FROM sh GROUP BY doc_id, source)
+      SELECT source, count(*) AS n_docs_with_shingles,
+             cast(sum(n_hot) as bigint) AS sum_hot,
+             cast(sum(n_sh) as bigint) AS sum_sh,
+             (cast(sum(n_hot) as bigint) * 10000) // cast(sum(n_sh) as bigint) AS boilerplate_bp
+      FROM perdoc GROUP BY source ORDER BY source""")),
     QueryDef("text_fingerprints", fingerprints, None)
   )
 }

@@ -42,11 +42,42 @@ class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
   def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
 }
 
+/** One string-keyed candidate: LOWER `score` wins (lexicographic), ties
+ *  broken by lower `id` — the ordering of a deterministic hash sample. */
+final case class ScoredStr(score: String, id: Long)
+
+/** Bounded BOTTOM-k by string key — same scale story as [[TopKAgg]] (O(k)
+ *  buffer per group per map task, only buffers shuffle), for per-stratum
+ *  deterministic sampling: keep the k lexicographically-smallest
+ *  (hash, id) pairs per group instead of a per-group row_number window. */
+class TopKMinStrAgg(k: Int) extends Aggregator[ScoredStr, Seq[ScoredStr], Seq[ScoredStr]] {
+  private def better(a: ScoredStr, b: ScoredStr): Boolean =
+    a.score < b.score || (a.score == b.score && a.id < b.id)
+
+  def zero: Seq[ScoredStr] = Vector.empty
+
+  def reduce(buf: Seq[ScoredStr], in: ScoredStr): Seq[ScoredStr] =
+    if (buf.size >= k && !better(in, buf.last)) buf
+    else (buf :+ in).sortWith(better).take(k)
+
+  def merge(a: Seq[ScoredStr], b: Seq[ScoredStr]): Seq[ScoredStr] =
+    (a ++ b).sortWith(better).take(k)
+
+  def finish(r: Seq[ScoredStr]): Seq[ScoredStr] = r
+
+  def bufferEncoder: Encoder[Seq[ScoredStr]] = ExpressionEncoder()
+  def outputEncoder: Encoder[Seq[ScoredStr]] = ExpressionEncoder()
+}
+
 object TopK {
 
   /** `topK(k)(scoreCol, idCol)` → `array<struct<score,id>>`, best first. */
   def topK(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(new TopKAgg(k))
+
+  /** `topKMinStr(k)(hashCol, idCol)` → the k smallest, in order. */
+  def topKMinStr(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new TopKMinStrAgg(k))
 
   /** Explode a grouped top-k result into (group..., id, rank) rows with a
    *  1-based BIGINT rank. `top` must be the aggregator's output column. */

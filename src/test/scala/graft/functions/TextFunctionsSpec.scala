@@ -50,6 +50,19 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(a == b && a != c)
   }
 
+  test("fingerprintMd5 induces the same grouping as the 64-bit fingerprint") {
+    import spark.implicits._
+    val docs = Seq("a b  c", " a b c ", "a b d", "", "  ", "x", "x ", "a b d  ")
+    val df = docs.toDF("t")
+      .select(fingerprint(col("t")).as("f64"), fingerprintMd5(col("t")).as("fmd5"))
+    // equal partitions: every f64 class maps to exactly one md5 class and back
+    assert(df.select("f64", "fmd5").distinct().count() == df.select("f64").distinct().count())
+    assert(df.select("f64").distinct().count() == df.select("fmd5").distinct().count())
+    // whitespace-only and empty collapse together; md5('') of the empty join
+    val m = docs.map(d => d -> Seq(d).toDF("t").select(fingerprintMd5(col("t"))).collect()(0).getString(0)).toMap
+    assert(m("") == m("  ") && m("x") == m("x ") && m("a b d") == m("a b d  "))
+  }
+
   test("shingles produce word n-grams") {
     import spark.implicits._
     def sh(t: String): Seq[String] =

@@ -24,6 +24,25 @@ class TopKSpec extends AnyFunSuite {
     assert(merged == buf)
   }
 
+  test("bottom-k string aggregator equals the window form (stratified sample shape)") {
+    import graft.similarity.{ScoredStr, TopKMinStrAgg}
+    val agg = new TopKMinStrAgg(2)
+    val items = Seq(ScoredStr("bb", 1), ScoredStr("aa", 7), ScoredStr("aa", 3), ScoredStr("zz", 0))
+    val buf = items.foldLeft(agg.zero)(agg.reduce)
+    assert(buf == Seq(ScoredStr("aa", 3), ScoredStr("aa", 7)))
+    val (l, r) = items.splitAt(1)
+    assert(agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce)) == buf)
+
+    val df = (1 to 500).map(i => (i % 5, f"${i * 2654435761L % 1000}%03d", i.toLong))
+      .toDF("g", "h", "id").repartition(7)
+    val grouped = df.groupBy("g").agg(TopK.topKMinStr(4)(col("h"), col("id")).as("top"))
+    val got = TopK.explodeRanks(grouped, "g", "id")
+    val w = Window.partitionBy("g").orderBy(col("h"), col("id"))
+    val want = df.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 4).select("g", "id", "rank")
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+  }
+
   test("grouped top-k equals the row_number window form") {
     val df = (1 to 2000)
       .map(i => (i % 7, (i * 2654435761L % 1000).toDouble, i.toLong))
