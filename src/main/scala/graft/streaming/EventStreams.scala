@@ -136,7 +136,8 @@ object EventStreams {
   }
 
   private final case class Replay(
-      hourly: DataFrame, sessions: DataFrame, schema: DataFrame, dedup: DataFrame)
+      hourly: DataFrame, sessions: DataFrame, schema: DataFrame, dedup: DataFrame,
+      enriched: DataFrame)
   private val replays = scala.collection.concurrent.TrieMap.empty[String, Replay]
 
   /** One shared AvailableNow replay per sf directory: the four streaming
@@ -178,14 +179,37 @@ object EventStreams {
           .select("user_id", "event_type")
           .writeStream.format("memory").queryName(dedupName)
           .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
-        Seq(qHourly, qSchema, qSess, qDedup).foreach(_.awaitTermination())
+        // STREAM-STATIC enrichment: the unbounded event stream joins a
+        // broadcast dimension (customer → nation, the id mapping is
+        // user_id+1 = c_custkey) — the standard enrichment shape: the dim
+        // is read once per micro-batch planning, ships as a broadcast, and
+        // the join adds NO stream state; only the final small aggregate is
+        // stateful.
+        val enrichedName = s"stream_enriched_$tag"
+        val custDim = Tables.customer(spark, dir)
+          .join(Tables.nation(spark, dir),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name"))
+        val qEnriched = eventsStream(spark, dir)
+          .join(broadcast(custDim), col("user_id") + 1 === col("c_custkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(12,2)")).as("sv"))
+          .select(col("n_name").as("nation"), col("n_events"),
+            // exact decimal sum inside, double at the output boundary (the
+            // suite-wide oracle convention: never DECIMAL in final schema)
+            col("sv").cast("double").as("sum_value"))
+          .writeStream.format("memory").queryName(enrichedName)
+          .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+        Seq(qHourly, qSchema, qSess, qDedup, qEnriched).foreach(_.awaitTermination())
         Replay(
           hourly = spark.table(hourlyName).orderBy("hour_start_us", "event_type"),
           sessions = spark.table(sessName)
             .filter(col("session_start_us") < sentinelUs)
             .orderBy("user_id", "session_start_us"),
           schema = spark.table(schemaName).orderBy("event_type"),
-          dedup = spark.table(dedupName).orderBy("user_id", "event_type"))
+          dedup = spark.table(dedupName).orderBy("user_id", "event_type"),
+          enriched = spark.table(enrichedName).orderBy("nation"))
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     })
 
@@ -217,8 +241,24 @@ object EventStreams {
   def streamSchemaEvolution(spark: SparkSession, dir: String): DataFrame =
     replay(spark, dir).schema
 
+  /** Stream-static enrichment: events joined to the broadcast
+   *  customer→nation dimension inside the stream, aggregated per nation.
+   *  The join is stateless (dim re-broadcast per micro-batch); only the
+   *  25-row aggregate holds state, so it runs unchanged on an unbounded
+   *  stream. Replayed bounded ⇒ equals the batch join+agg ⇒ exact oracle.
+   *  Part of the shared replay. */
+  def streamEnriched(spark: SparkSession, dir: String): DataFrame =
+    replay(spark, dir).enriched
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("stream_schema_evolution", streamSchemaEvolution, None),
+    QueryDef("stream_enriched", streamEnriched, Some("""
+      SELECT n.n_name AS nation, count(*) AS n_events,
+             cast(sum(cast(value as decimal(12,2))) as double) AS sum_value
+      FROM events e
+      JOIN customer c ON c.c_custkey = e.user_id + 1
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1 ORDER BY 1""")),
     QueryDef("stream_hourly_counts", streamHourlyCounts, Some("""
       SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_start_us,
              event_type, count(*) AS n,
