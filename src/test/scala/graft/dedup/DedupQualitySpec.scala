@@ -1,0 +1,95 @@
+package graft.dedup
+
+import graft.SparkTestSession
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * End-to-end quality guarantees for the three dedup tiers whose outputs are
+ * hash-keyed and therefore carry no SQL oracle — each gets the strongest
+ * statement its algorithm actually makes:
+ *  - SimHash + 4×16-bit pigeonhole is COMPLETE for hamming ≤ 3 (any two
+ *    64-bit signatures differing in ≤3 bits agree on ≥1 chunk), so the
+ *    query output must EQUAL the brute-force all-pairs answer.
+ *  - MinHash LSH (8 bands × 4 rows) is probabilistic, but at J ≥ 0.9 the
+ *    per-pair catch probability is 1−(1−0.9⁴)⁸ ≈ 0.9998 — every truly
+ *    near-identical pair in the corpus must be emitted, and the estimate
+ *    must track exact shingle-set Jaccard.
+ *  - Embedding near-dup pairs must reproduce their exact cosine and the
+ *    is_dup verdict.
+ */
+class DedupQualitySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  test("simhash pigeonhole output EQUALS brute-force hamming<=3 pairs") {
+    val sigs = Tables.documents(spark, dir)
+      .select(col("doc_id"), simhash64(col("text")).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (for {
+      i <- sigs.indices.iterator
+      j <- (i + 1) until sigs.length
+      h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+      if h <= 3
+    } yield {
+      val (a, b) = (sigs(i)._1, sigs(j)._1)
+      (math.min(a, b), math.max(a, b)) -> h.toLong
+    }).toMap
+    val got = Dedup.simhashDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2).toLong).toMap
+    assert(got == expected, s"got ${got.size} pairs, expected ${expected.size}")
+    assert(expected.nonEmpty, "test premise: corpus contains near-dup signatures")
+  }
+
+  test("minhash LSH catches every exact-Jaccard>=0.9 pair; estimates track truth") {
+    val shingleSets = Tables.documents(spark, dir)
+      .filter(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"), wordShingleHashes(col("text"), 3).as("hs"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSet))
+    def jac(a: Set[Long], b: Set[Long]): Double =
+      if (a.isEmpty && b.isEmpty) 0.0 else a.intersect(b).size.toDouble / a.union(b).size
+    val highJ = (for {
+      i <- shingleSets.indices.iterator
+      j <- (i + 1) until shingleSets.length
+      if jac(shingleSets(i)._2, shingleSets(j)._2) >= 0.9
+    } yield (math.min(shingleSets(i)._1, shingleSets(j)._1),
+      math.max(shingleSets(i)._1, shingleSets(j)._1))).toSet
+    val emitted = Dedup.minhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(highJ.nonEmpty, "test premise: corpus contains near-identical docs")
+    val missed = highJ.diff(emitted.keySet)
+    assert(missed.isEmpty, s"LSH missed high-Jaccard pairs: $missed")
+    // k=32 estimator: sd ≈ √(J(1−J)/32) ≤ 0.09; 0.35 is a ~4σ band
+    val bySet = shingleSets.toMap
+    emitted.foreach { case ((a, b), est) =>
+      val exact = jac(bySet(a), bySet(b))
+      assert(math.abs(est - exact) <= 0.35, f"pair ($a,$b): est $est%.2f vs exact $exact%.2f")
+    }
+  }
+
+  test("embedding near-dup pairs reproduce exact cosines and verdicts") {
+    val embs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var xy = 0.0; var xx = 0.0; var yy = 0.0
+      var i = 0
+      while (i < x.length) {
+        val xv = x(i).toDouble; val yv = y(i).toDouble
+        xy += xv * yv; xx += xv * xv; yy += yv * yv; i += 1
+      }
+      val d = math.sqrt(xx) * math.sqrt(yy)
+      if (d == 0.0) 0.0 else xy / d
+    }
+    val rows = Dedup.embeddingNearDup(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val expected = cos(embs(a), embs(b))
+      assert(math.abs(r.getDouble(3) - expected) < 1e-12, s"pair ($a,$b)")
+      assert(r.getBoolean(2) == (r.getDouble(3) >= 0.9))
+    }
+  }
+}
