@@ -38,10 +38,52 @@ object Sinks {
       .orderBy("source")
   }
 
+  /** Write orders and lineitem BUCKETED (8 buckets, sorted) on the join
+   *  key, then join the bucketed tables: both sides arrive pre-partitioned
+   *  AND pre-sorted, so the sort-merge join runs with NO shuffle and NO
+   *  sort — the layout a 100 TB warehouse uses so its biggest recurring
+   *  join never re-shuffles the fact tables (PlanSpec asserts the
+   *  shuffle-free join plan). Result oracled against the plain join. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    joinSides(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** The bucket-join input (pre-agg) — separated so the spec can assert
+   *  the join subplan is exchange- and sort-free. */
+  private[graft] def joinSides(spark: SparkSession, dir: String): DataFrame = {
+    val key = s"${spark.sparkContext.applicationId}_$dir".replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_bucketed_$key"
+    val (tOrders, tLine) = (s"graft_bkt_orders_$key", s"graft_bkt_lineitem_$key")
+    if (written.add(base)) {
+      // repartition on the bucket key first: ONE file per bucket, which is
+      // the layout Spark trusts to elide the merge-join sort (with several
+      // files per bucket only per-file order is known and it re-sorts)
+      Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
+        .repartition(8, col("o_orderkey"))
+        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/orders").saveAsTable(tOrders)
+      Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice")
+        .repartition(8, col("l_orderkey"))
+        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/lineitem").saveAsTable(tLine)
+    }
+    spark.table(tOrders).join(spark.table(tLine),
+      col("o_orderkey") === col("l_orderkey"))
+  }
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("sink_partition_pruning", partitionPruning, Some("""
       SELECT source, count(*) AS n_en_docs, cast(sum(n_chars) as bigint) AS total_chars
       FROM documents WHERE lang = 'en'
-      GROUP BY source ORDER BY source"""))
+      GROUP BY source ORDER BY source""")),
+    QueryDef("sink_bucketed_join", bucketedJoin, Some("""
+      SELECT o_orderpriority, count(*) AS n_items,
+             cast(sum(cast(l_extendedprice as decimal(12,2))) as double) AS revenue
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -81,4 +81,26 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(windows.isEmpty, "found a global (no partitionBy) window in q33")
   }
+
+  test("bucketed join runs with no shuffle and no sort on either side") {
+    // at toy SF the planner would (rightly) broadcast; disable it so the
+    // test exercises the big-fact-join path bucketing exists for
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val join = graft.sources.Sinks.joinSides(spark, dir)
+      // force execution once so AQE finalizes the plan it would really run
+      join.count()
+      val p = join.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      // the scale win: both fact sides arrive pre-partitioned, zero
+      // Exchange anywhere in the join. (A per-bucket in-memory sort
+      // remains: since SPARK-28595 the scan only reports sortBy order
+      // behind a legacy flag; the sort is linear per bucket and never
+      // shuffles, so it is not the 100 TB bottleneck the Exchange was.)
+      assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+      assert(p.contains("Bucketed: true"), p)
+      assert(p.contains("SelectedBucketsCount: 8 out of 8"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
