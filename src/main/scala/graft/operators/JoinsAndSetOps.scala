@@ -33,6 +33,41 @@ object JoinsAndSetOps {
       .orderBy("nationkey")
   }
 
+  /** MERGE/upsert (SCD-style): apply a change set to a base table in one
+   *  full-outer join + coalesce pass — the batch form of `MERGE INTO`
+   *  (update matched keys, insert new keys, pass unmatched rows through),
+   *  which vanilla parquet lacks as a statement but a pipeline still needs.
+   *  Change set = per-customer order spend (matched keys -> updated
+   *  balance) plus a deterministic slice of shifted keys standing in for
+   *  brand-new rows. One shuffle per side on the merge key; at warehouse
+   *  scale both sides would be bucketed on it ([[graft.sources.Sinks]]
+   *  demonstrates that layout). Output: per-op row counts + exact decimal
+   *  balance sums. */
+  def q38Upsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("key"), col("c_acctbal").cast("decimal(12,2)").as("bal"))
+    // the %3 slice leaves ~a third of the base untouched so all three
+    // merge outcomes (update / insert / keep) are exercised and oracled
+    val changes = Tables.orders(spark, dir)
+      .filter(col("o_custkey") % 3 =!= 0)
+      .groupBy(col("o_custkey").as("key"))
+      .agg(sum(col("o_totalprice").cast("decimal(12,2)")).as("new_bal"))
+      .unionByName(
+        Tables.orders(spark, dir)
+          .filter(col("o_custkey") % 100 === 0)
+          .groupBy((col("o_custkey") + 1000000L).as("key"))
+          .agg(sum(col("o_totalprice").cast("decimal(12,2)")).as("new_bal")))
+    base.join(changes, Seq("key"), "full_outer")
+      .select(
+        when(col("new_bal").isNotNull && col("bal").isNotNull, "update")
+          .when(col("new_bal").isNotNull, "insert")
+          .otherwise("keep").as("op"),
+        coalesce(col("new_bal"), col("bal")).as("merged_bal"))
+      .groupBy("op")
+      .agg(count(lit(1)).as("n"), sum(col("merged_bal")).cast("double").as("total_bal"))
+      .orderBy("op")
+  }
+
   /** EXCEPT (distinct): churned customers — ordered before 1998, never
    *  after. */
   def q28Except(spark: SparkSession, dir: String): DataFrame = {
@@ -83,6 +118,23 @@ object JoinsAndSetOps {
   }
 
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("q38_upsert", q38Upsert, Some("""
+      WITH base AS (
+        SELECT c_custkey AS key, cast(c_acctbal as decimal(12,2)) AS bal FROM customer),
+      changes AS (
+        SELECT o_custkey AS key, sum(cast(o_totalprice as decimal(12,2))) AS new_bal
+        FROM orders WHERE o_custkey % 3 <> 0 GROUP BY 1
+        UNION ALL
+        SELECT o_custkey + 1000000 AS key, sum(cast(o_totalprice as decimal(12,2))) AS new_bal
+        FROM orders WHERE o_custkey % 100 = 0 GROUP BY 1),
+      merged AS (
+        SELECT CASE WHEN c.new_bal IS NOT NULL AND b.bal IS NOT NULL THEN 'update'
+                    WHEN c.new_bal IS NOT NULL THEN 'insert'
+                    ELSE 'keep' END AS op,
+               coalesce(c.new_bal, b.bal) AS merged_bal
+        FROM base b FULL OUTER JOIN changes c USING (key))
+      SELECT op, count(*) AS n, cast(sum(merged_bal) as double) AS total_bal
+      FROM merged GROUP BY op ORDER BY op""")),
     QueryDef("q34_range_join", q34RangeJoin, Some("""
       SELECT a.o_custkey AS custkey, count(*) AS n_pairs,
              max(date_diff('day', cast(a.o_orderdate as date), cast(b.o_orderdate as date))) AS max_gap_days
