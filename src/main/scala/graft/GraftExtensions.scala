@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayCosine, ArrayDot, LangIdExpr, MinHashSigExpr, ShingleHashesExpr, SimHash64Expr}
+import graft.functions.{ArrayCosine, ArrayDot, HyperplaneSigExpr, LangIdExpr, MinHashSigExpr, ShingleHashesExpr, SimHash64Expr}
 import graft.schemer.HiveWitnessAgg
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -56,6 +56,9 @@ object GraftExtensions {
     ("shingle_hashes", info("shingle_hashes", classOf[ShingleHashesExpr]),
       (es: Seq[Expression]) => ShingleHashesExpr(es(0), intArg("shingle_hashes", es(1)))),
     ("lang_id", info("lang_id", classOf[LangIdExpr]),
-      (es: Seq[Expression]) => LangIdExpr(es.head, graft.functions.TextFunctions.markers))
+      (es: Seq[Expression]) => LangIdExpr(es.head, graft.functions.TextFunctions.markers)),
+    ("hyperplane_sig", info("hyperplane_sig", classOf[HyperplaneSigExpr]),
+      (es: Seq[Expression]) => HyperplaneSigExpr(es(0),
+        intArg("hyperplane_sig", es(1)), intArg("hyperplane_sig", es(2))))
   )
 }
