@@ -154,6 +154,74 @@ object Media {
       (0, 0, durationMs, if (nSamples == 0) 0.0 else sum.toDouble / nSamples / 32768.0, fingerprint(b))
     }
 
+    /** BMP writer from a grayscale pixel matrix (row 0 = top), the inverse
+     *  of [[decodeBmp]]'s scan — used by [[resizeBmp]]. */
+    def bmpFromGray(w: Int, h: Int, pix: Array[Byte]): Array[Byte] = {
+      val rowBytes = (w * 3 + 3) & ~3
+      val imageSize = rowBytes * h
+      val out = ByteBuffer.allocate(54 + imageSize).order(ByteOrder.LITTLE_ENDIAN)
+      out.put('B'.toByte).put('M'.toByte).putInt(54 + imageSize).putInt(0).putInt(54)
+      out.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24).putInt(0)
+        .putInt(imageSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      var row = h - 1
+      while (row >= 0) {
+        var x = 0
+        while (x < w) {
+          val v = pix(row * w + x)
+          out.put(v).put(v).put(v)
+          x += 1
+        }
+        var pad = rowBytes - w * 3
+        while (pad > 0) { out.put(0.toByte); pad -= 1 }
+        row -= 1
+      }
+      out.array()
+    }
+
+    /** REAL image resize: box-average downscale of a 24-bit BMP by an
+     *  integer factor (each output pixel = integer mean luma of its f×f
+     *  source block, partial blocks at the edges use their actual size).
+     *  Output dims: max(1, w/f) × max(1, h/f). Pure pixel arithmetic —
+     *  no codec library needed for this container. */
+    def resizeBmp(b: Array[Byte], factor: Int): Array[Byte] = {
+      require(factor >= 1, "factor must be >= 1")
+      val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      val offset = buf.getInt(10)
+      val w = buf.getInt(18)
+      val h = math.abs(buf.getInt(22))
+      require(buf.getShort(28) == 24, "unsupported BMP bpp")
+      val rowBytes = (w * 3 + 3) & ~3
+      val wN = math.max(1, w / factor)
+      val hN = math.max(1, h / factor)
+      val pix = new Array[Byte](wN * hN)
+      var y = 0
+      while (y < hN) {
+        var x = 0
+        while (x < wN) {
+          var sum = 0L; var n = 0
+          var sy = y * factor
+          val syEnd = math.min(h, (y + 1) * factor)
+          while (sy < syEnd) {
+            var sx = x * factor
+            val sxEnd = math.min(w, (x + 1) * factor)
+            // file stores rows bottom-up: logical row sy is file row h-1-sy
+            val base = offset + (h - 1 - sy) * rowBytes
+            while (sx < sxEnd) {
+              val p = base + sx * 3
+              val bl = b(p) & 0xFF; val g = b(p + 1) & 0xFF; val r = b(p + 2) & 0xFF
+              sum += (299 * r + 587 * g + 114 * bl) / 1000
+              n += 1; sx += 1
+            }
+            sy += 1
+          }
+          pix(y * wN + x) = (sum / n).toByte
+          x += 1
+        }
+        y += 1
+      }
+      bmpFromGray(wN, hN, pix)
+    }
+
     /** STUB for formats without an in-container codec (jpeg, mp4): derives
      *  plausible, deterministic features from raw bytes. A real codec slots
      *  in here with the same signature and batching. */
@@ -254,6 +322,25 @@ object Media {
         sum(col("duration_ms")).as("sum_duration_ms"))
       .orderBy("format")
 
+  /** REAL resize pipeline over the BMP containers: decode → box-average
+   *  half-scale → re-encode, streamed per partition; emits the resized
+   *  geometry, which the oracle recomputes from octet_length alone
+   *  (orig w ≈ √n capped 256 ⇒ wN = max(1, w/2), hN = max(1, h/2),
+   *  bytes = 54 + padded rows). Pixel fidelity (mean preservation) is
+   *  verified round-trip in MediaSpec — SQL can't fold over blob bytes. */
+  def resizeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaContainers(spark, dir)
+      .filter(col("format") === "bmp").as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        val resized = Codec.resizeBmp(r.media, 2)
+        val (w, h, _, _, _) = Codec.decodeBmp(resized)
+        (r.doc_id, w.toLong, h.toLong, resized.length.toLong)
+      })
+      .toDF("doc_id", "new_w", "new_h", "new_bytes")
+      .orderBy("doc_id")
+  }
+
   /** Frame sampling stats: frames per doc for the "videos". */
   def frameSampleStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -304,6 +391,23 @@ object Media {
              cast(max(height) as bigint) AS max_h,
              cast(sum(dur) as bigint) AS sum_duration_ms
       FROM feat GROUP BY format ORDER BY format""")),
+    QueryDef("media_resize_stats", resizeStats, Some("""
+      WITH base AS (
+        SELECT doc_id, greatest(octet_length(encode(text)), 1) AS n1
+        FROM documents WHERE doc_id % 2 = 0),
+      geo AS (
+        SELECT doc_id,
+               least(256, greatest(1, cast(ceil(sqrt(cast(n1 as double))) as bigint))) AS w,
+               n1
+        FROM base),
+      dims AS (
+        SELECT doc_id,
+               greatest(1, w // 2) AS new_w,
+               greatest(1, ((n1 + w - 1) // w) // 2) AS new_h
+        FROM geo)
+      SELECT doc_id, new_w, new_h,
+             54 + ((new_w*3 + 3) // 4) * 4 * new_h AS new_bytes
+      FROM dims ORDER BY doc_id""")),
     // frame geometry is pure octet_length arithmetic: payload = UTF-8 text
     // bytes, nFrames = len/32 (floor), sampled every 2nd frame =>
     // (len/32 + 1)/2 rows, and each slice is exactly 32 bytes because

@@ -74,4 +74,19 @@ class MediaSpec extends AnyFunSuite {
     assert(frames.map(_.getInt(1)).toSeq.sorted == Seq(0, 2))
     assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 32))
   }
+
+  test("BMP resize halves dims, preserves mean luma, output is a valid BMP") {
+    val rnd = new scala.util.Random(5)
+    val payload = Array.fill[Byte](900)((rnd.nextInt(256) - 128).toByte)
+    val bmp = Containers.bmp(payload) // 30x30
+    val (w0, h0, _, mean0, _) = Codec.decodeBmp(bmp)
+    val half = Codec.resizeBmp(bmp, 2)
+    val (w1, h1, _, mean1, _) = Codec.decodeBmp(half) // re-decodes => valid container
+    assert(w1 == w0 / 2 && h1 == h0 / 2)
+    // box average preserves the mean up to integer truncation per block
+    assert(math.abs(mean1 - mean0) < 0.01, s"$mean1 vs $mean0")
+    // factor larger than the image floors at 1x1
+    val (w2, h2, _, _, _) = Codec.decodeBmp(Codec.resizeBmp(bmp, 1000))
+    assert(w2 == 1 && h2 == 1)
+  }
 }
