@@ -222,6 +222,43 @@ object Media {
       bmpFromGray(wN, hN, pix)
     }
 
+    /** REAL audio resample: downsample a 16-bit mono PCM WAV by an integer
+     *  factor — each output sample is the integer mean of its source group
+     *  (trailing partial group dropped, like a polyphase decimator's edge),
+     *  sample rate divided accordingly so DURATION is preserved. Pure
+     *  sample arithmetic, no codec library. */
+    def resampleWav(b: Array[Byte], factor: Int): Array[Byte] = {
+      require(factor >= 1, "factor must be >= 1")
+      val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      var pos = 12
+      var sampleRate = 0; var dataOff = -1; var dataLen = 0
+      while (pos + 8 <= b.length) {
+        val id = new String(b, pos, 4, "US-ASCII")
+        val len = buf.getInt(pos + 4)
+        if (id == "fmt ") sampleRate = buf.getInt(pos + 12)
+        else if (id == "data") { dataOff = pos + 8; dataLen = len }
+        pos += 8 + len + (len & 1)
+      }
+      require(sampleRate > 0 && dataOff >= 0, "unsupported WAV layout")
+      val n = dataLen / 2
+      val nOut = n / factor
+      val rateOut = math.max(1, sampleRate / factor)
+      val out = ByteBuffer.allocate(44 + nOut * 2).order(ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + nOut * 2).put("WAVE".getBytes("US-ASCII"))
+      out.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+        .putInt(rateOut).putInt(rateOut * 2).putShort(2).putShort(16)
+      out.put("data".getBytes("US-ASCII")).putInt(nOut * 2)
+      var i = 0
+      while (i < nOut) {
+        var sum = 0L
+        var j = 0
+        while (j < factor) { sum += buf.getShort(dataOff + (i * factor + j) * 2); j += 1 }
+        out.putShort((sum / factor).toShort)
+        i += 1
+      }
+      out.array()
+    }
+
     /** STUB for formats without an in-container codec (jpeg, mp4): derives
      *  plausible, deterministic features from raw bytes. A real codec slots
      *  in here with the same signature and batching. */
@@ -341,6 +378,25 @@ object Media {
       .orderBy("doc_id")
   }
 
+  /** REAL resample pipeline over the WAV containers: decode → pair-average
+   *  half-rate → re-encode, streamed per partition; emits resampled sample
+   *  count, byte size, and duration — all recomputed exactly by the SQL
+   *  oracle from octet_length (one source sample per payload byte, 4 kHz
+   *  output rate). Sample fidelity (duration + mean level) is verified
+   *  round-trip in MediaSpec. */
+  def resampleStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaContainers(spark, dir)
+      .filter(col("format") === "wav").as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        val out = Codec.resampleWav(r.media, 2)
+        val (_, _, durMs, _, _) = Codec.decodeWav(out)
+        (r.doc_id, (out.length - 44L) / 2L, out.length.toLong, durMs)
+      })
+      .toDF("doc_id", "new_samples", "new_bytes", "new_duration_ms")
+      .orderBy("doc_id")
+  }
+
   /** Frame sampling stats: frames per doc for the "videos". */
   def frameSampleStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -391,6 +447,15 @@ object Media {
              cast(max(height) as bigint) AS max_h,
              cast(sum(dur) as bigint) AS sum_duration_ms
       FROM feat GROUP BY format ORDER BY format""")),
+    // one 16-bit sample per payload byte; resample drops the trailing
+    // partial pair, rate 8000 -> 4000, duration = n2*1000 // 4000
+    QueryDef("media_resample_stats", resampleStats, Some("""
+      SELECT doc_id,
+             octet_length(encode(text)) // 2 AS new_samples,
+             44 + (octet_length(encode(text)) // 2) * 2 AS new_bytes,
+             ((octet_length(encode(text)) // 2) * 1000) // 4000 AS new_duration_ms
+      FROM documents WHERE doc_id % 2 = 1
+      ORDER BY doc_id""")),
     QueryDef("media_resize_stats", resizeStats, Some("""
       WITH base AS (
         SELECT doc_id, greatest(octet_length(encode(text)), 1) AS n1

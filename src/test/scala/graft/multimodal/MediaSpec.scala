@@ -89,4 +89,18 @@ class MediaSpec extends AnyFunSuite {
     val (w2, h2, _, _, _) = Codec.decodeBmp(Codec.resizeBmp(bmp, 1000))
     assert(w2 == 1 && h2 == 1)
   }
+
+  test("WAV resample halves rate and samples, preserves duration and mean level") {
+    // a slowly-varying signal: adjacent samples are near-equal, so the
+    // pair average tracks the signal (white noise would LOSE |amplitude|
+    // by ~1/sqrt(2) under averaging — that's physics, not a bug)
+    val payload = Array.tabulate[Byte](801)(i => ((i / 8) % 256 - 128).toByte)
+    val wav = Containers.wav(payload)
+    val (_, _, dur0, mean0, _) = Codec.decodeWav(wav)
+    val half = Codec.resampleWav(wav, 2)
+    val (_, _, dur1, mean1, _) = Codec.decodeWav(half) // re-decodes => valid container
+    assert((half.length - 44) / 2 == 400)
+    assert(math.abs(dur1 - dur0) <= 1, s"$dur1 vs $dur0") // duration preserved (ms rounding)
+    assert(math.abs(mean1 - mean0) < 0.01, s"$mean1 vs $mean0")
+  }
 }
