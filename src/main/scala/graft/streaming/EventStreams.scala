@@ -137,7 +137,7 @@ object EventStreams {
 
   private final case class Replay(
       hourly: DataFrame, sessions: DataFrame, schema: DataFrame, dedup: DataFrame,
-      enriched: DataFrame)
+      enriched: DataFrame, sliding: DataFrame)
   private val replays = scala.collection.concurrent.TrieMap.empty[String, Replay]
 
   /** One shared AvailableNow replay per sf directory: the four streaming
@@ -201,7 +201,17 @@ object EventStreams {
             col("sv").cast("double").as("sum_value"))
           .writeStream.format("memory").queryName(enrichedName)
           .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
-        Seq(qHourly, qSchema, qSess, qDedup, qEnriched).foreach(_.awaitTermination())
+        // SLIDING windows (2 h window / 1 h slide): every event lands in
+        // exactly two windows; same watermark bound on state as tumbling
+        val slidingName = s"stream_sliding_$tag"
+        val qSliding = withEventTime(eventsStream(spark, dir))
+          .withWatermark("event_time", "30 minutes")
+          .groupBy(window(col("event_time"), "2 hours", "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_micros(col("window.start")).as("win_start_us"), col("event_type"), col("n"))
+          .writeStream.format("memory").queryName(slidingName)
+          .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+        Seq(qHourly, qSchema, qSess, qDedup, qEnriched, qSliding).foreach(_.awaitTermination())
         Replay(
           hourly = spark.table(hourlyName).orderBy("hour_start_us", "event_type"),
           sessions = spark.table(sessName)
@@ -209,7 +219,8 @@ object EventStreams {
             .orderBy("user_id", "session_start_us"),
           schema = spark.table(schemaName).orderBy("event_type"),
           dedup = spark.table(dedupName).orderBy("user_id", "event_type"),
-          enriched = spark.table(enrichedName).orderBy("nation"))
+          enriched = spark.table(enrichedName).orderBy("nation"),
+          sliding = spark.table(slidingName).orderBy("win_start_us", "event_type"))
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     })
 
@@ -250,6 +261,14 @@ object EventStreams {
   def streamEnriched(spark: SparkSession, dir: String): DataFrame =
     replay(spark, dir).enriched
 
+  /** Sliding-window counts (2 h / 1 h): each event contributes to exactly
+   *  two overlapping windows — the overlap form of [[streamHourlyCounts]].
+   *  Spark aligns window starts to the epoch, so the oracle reproduces the
+   *  window set as t−(t mod 1 h) and the hour before it. Part of the
+   *  shared replay. */
+  def streamSlidingCounts(spark: SparkSession, dir: String): DataFrame =
+    replay(spark, dir).sliding
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("stream_schema_evolution", streamSchemaEvolution, None),
     QueryDef("stream_enriched", streamEnriched, Some("""
@@ -259,6 +278,12 @@ object EventStreams {
       JOIN customer c ON c.c_custkey = e.user_id + 1
       JOIN nation n ON n.n_nationkey = c.c_nationkey
       GROUP BY 1 ORDER BY 1""")),
+    QueryDef("stream_sliding_counts", streamSlidingCounts, Some("""
+      SELECT ws AS win_start_us, event_type, count(*) AS n FROM (
+        SELECT ((epoch_us(ts) // 3600000000) - u.k) * 3600000000 AS ws, event_type
+        FROM events, (VALUES (0), (1)) u(k)) t
+      GROUP BY 1, 2
+      ORDER BY win_start_us, event_type""")),
     QueryDef("stream_hourly_counts", streamHourlyCounts, Some("""
       SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_start_us,
              event_type, count(*) AS n,
