@@ -16,10 +16,14 @@ object Bench {
     // touch EVERY table once (footers + OS page cache): otherwise the
     // first-touch I/O cost of each table lands on whichever query happens
     // to read it first — r2 profiling showed that cost is 3-8x a query's
-    // steady-state time and lands name-sort-arbitrarily
+    // steady-state time and lands name-sort-arbitrarily. Hash over ALL
+    // columns, not count(): a bare count() answers from row-group
+    // metadata and never reads the data pages the queries will.
     for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings")) {
-      try spark.read.parquet(s"$sfDir/$t.parquet").count() catch { case _: Throwable => }
+      try spark.read.parquet(s"$sfDir/$t.parquet")
+        .selectExpr("count(xxhash64(struct(*)))").collect()
+      catch { case _: Throwable => }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -182,21 +182,22 @@ object Dedup {
   /** [[connectedComponents]] plus the number of rounds taken — exposed so
    *  the spec can assert the O(log n) bound on a path graph. */
   private[graft] def starComponents(pairs: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
-    // iterative-algorithm state management: CHECKPOINT each round's edge
-    // set, don't just persist it. persist() caches data but keeps the
-    // logical plan, so each round's plan nests the previous round's
-    // (doubling per round — `large` feeds `small` twice), and cache
-    // plan-matching proved unreliable across the loop (measured: round
-    // times GREW each round, full-lineage recompute). Checkpointing
-    // truncates the plan to the materialized rows: reliable checkpoint
-    // when the cluster has a checkpoint dir (fault-tolerant, the 100 TB
-    // path), local checkpoint otherwise (single-JVM harness).
-    def ckpt(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
+    // iterative-algorithm state management: SNAPSHOT each round's edge set
+    // (persisted InternalRow RDD wrapped as a LogicalRDD frame,
+    // [[org.apache.spark.sql.graft.DatasetBridge]]), don't just persist
+    // the Dataset. persist() caches data but keeps the logical plan, so
+    // each round's plan nests the previous round's (doubling per round —
+    // `large` feeds `small` twice), and cache plan-matching proved
+    // unreliable across the loop (measured: round times GREW each round,
+    // full-lineage recompute). The snapshot keeps plans constant-size AND
+    // gives an explicit release handle, so peak storage is one round's
+    // edges, not O(rounds) — `localCheckpoint`'s blocks would linger until
+    // GC. RDD lineage stays intact, so a lost block recomputes correctly.
+    import org.apache.spark.sql.graft.DatasetBridge
     // canonical directed form: every undirected edge stored once as
-    // (hi > lo); self-pairs carry no component information
-    var edges = ckpt(pairs
+    // (hi > lo); self-pairs carry no component information (isolated
+    // self-pair nodes are re-added as singleton labels at the end)
+    var edges = DatasetBridge.snapshot(pairs
       .select(greatest(col("id_a"), col("id_b")).as("hi"),
         least(col("id_a"), col("id_b")).as("lo"))
       .filter(col("hi") =!= col("lo")).distinct())
@@ -211,29 +212,35 @@ object Dedup {
       val r = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("hi"), col("lo"))), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
-    var sig = signature(edges)
+    var sig = signature(edges.df)
     var rounds = 0
     var converged = sig._1 == 0L
     while (!converged && rounds < maxIter) {
       // LARGE-STAR: for each node u, m = min(N(u) ∪ {u}); every neighbor
       // STRICTLY GREATER than u re-links to m. Neighborhoods are read in
       // both directions; one groupBy + one join per round.
-      val nbrs = edges.select(col("hi").as("u"), col("lo").as("v"))
-        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val nbrs = edges.df.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.df.select(col("lo").as("u"), col("hi").as("v")))
       val mins = nbrs.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
-      val large = nbrs.join(mins, "u").filter(col("v") > col("u"))
-        .select(col("v").as("hi"), col("m").as("lo"))
-        .distinct()
+      // snapshot: `large` is consumed three times below (mins2 + both
+      // union branches of `small`) — without the barrier each consumer
+      // re-runs the join+aggregate subtree
+      val large = DatasetBridge.snapshot(
+        nbrs.join(mins, "u").filter(col("v") > col("u"))
+          .select(col("v").as("hi"), col("m").as("lo"))
+          .distinct())
       // SMALL-STAR: orient edges from each node to its SMALLER neighbors;
       // m = min of those; every smaller neighbor and u itself link to m.
       // m ≤ lo < hi keeps the (hi, lo) canonical form without re-sorting.
-      val mins2 = large.groupBy("hi").agg(min(col("lo")).as("m"))
-      val joined = large.join(mins2, "hi")
-      val small = ckpt(joined.filter(col("lo") =!= col("m"))
+      val mins2 = large.df.groupBy("hi").agg(min(col("lo")).as("m"))
+      val joined = large.df.join(mins2, "hi")
+      val small = DatasetBridge.snapshot(joined.filter(col("lo") =!= col("m"))
         .select(col("lo").as("hi"), col("m").as("lo"))
         .union(joined.select(col("hi"), col("m").as("lo")))
         .distinct())
-      val nextSig = signature(small)
+      val nextSig = signature(small.df) // materializes small; large/edges now free
+      large.release()
+      edges.release()
       edges = small
       converged = nextSig == sig
       sig = nextSig
@@ -242,10 +249,16 @@ object Dedup {
     // at the star fixpoint every edge is (member, root): members label to
     // their root, each root labels to itself (min() collapses the two roles
     // into one row per node, and stays correct if maxIter cut the loop)
-    val labels = edges.select(col("hi").as("node"), col("lo").as("label"))
-      .union(edges.select(col("lo").as("node"), col("lo").as("label")))
+    val starLabels = edges.df.select(col("hi").as("node"), col("lo").as("label"))
+      .union(edges.df.select(col("lo").as("node"), col("lo").as("label")))
       .groupBy("node").agg(min(col("label")).as("label"))
-    (labels, rounds)
+    // nodes whose ONLY evidence is a self-pair have no edges but are still
+    // nodes of the input graph — emit them as singleton clusters
+    val selfOnly = pairs.filter(col("id_a") === col("id_b"))
+      .select(col("id_a").as("node")).distinct()
+      .join(starLabels.select("node"), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("label"))
+    (starLabels.union(selfOnly), rounds)
   }
 
   /** Near-dup CLUSTERS: connected components of the n-gram-Jaccard pair

@@ -119,8 +119,11 @@ object TextQueries {
       .agg(
         count(lit(1)).as("n_docs_with_shingles"),
         sum("n_hot").as("sum_hot"),
-        sum("n_sh").as("sum_sh"),
-        floor(sum("n_hot") * 10000L / sum("n_sh")).cast("long").as("boilerplate_bp"))
+        sum("n_sh").as("sum_sh"))
+      // `div` = exact long integer division, matching the oracle's `//` at
+      // any scale — floor(a/b) on longs goes through double and can land
+      // on the wrong side of an integer boundary once sums exceed ~2^52
+      .withColumn("boilerplate_bp", expr("sum_hot * 10000 div sum_sh"))
       .orderBy("source")
   }
 

@@ -128,9 +128,12 @@ object EventStreams {
     // no coalesce(1): at 100 TB/day a single sentinel writer is a straggler.
     // Every task writes its own part file; all of them are globbed into the
     // stream source alongside the real events file.
-    val it = Files.list(build).filter(p => p.toString.endsWith(".parquet")).iterator()
+    val listing = Files.list(build)
     var i = 0
-    while (it.hasNext) { Files.move(it.next(), tmp.resolve(s"sentinel_$i.parquet")); i += 1 }
+    try {
+      val it = listing.filter(p => p.toString.endsWith(".parquet")).iterator()
+      while (it.hasNext) { Files.move(it.next(), tmp.resolve(s"sentinel_$i.parquet")); i += 1 }
+    } finally listing.close()
     require(i > 0, "sentinel part files missing")
     (tmp.toString, sentinelTs / 1000L)
   }

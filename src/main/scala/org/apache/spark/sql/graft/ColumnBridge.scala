@@ -19,6 +19,29 @@ object ColumnBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
 
+/** Iterative-algorithm state management: snapshot a DataFrame's rows into
+ *  a persisted `InternalRow` RDD and wrap it back as a DataFrame whose plan
+ *  is just `LogicalRDD` — constant-size plans across loop rounds (no
+ *  Catalyst plan nesting, no cache plan-matching fragility) WITH an
+ *  explicit release handle, which `Dataset.localCheckpoint` doesn't give
+ *  (its blocks linger until GC). Rows are copied before caching
+ *  (`UnsafeRow` instances are reused by the scan), the RDD keeps its
+ *  lineage, so an unpersisted block recomputes correctly. Lives in this
+ *  shim package for `internalCreateDataFrame` (private[sql]). */
+object DatasetBridge {
+  final case class Snapshot(df: org.apache.spark.sql.DataFrame,
+                            rdd: org.apache.spark.rdd.RDD[_]) {
+    def release(): Unit = rdd.unpersist(blocking = false)
+  }
+
+  def snapshot(df: org.apache.spark.sql.DataFrame): Snapshot = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Snapshot(spark.internalCreateDataFrame(rdd, df.schema), rdd)
+  }
+}
+
 /** Injects the [[graft.GraftExtensions]] function catalog into an
  *  ALREADY-RUNNING session's function registry (tests, notebooks, REPLs —
  *  anywhere `spark.sql.extensions` wasn't set at session creation). */

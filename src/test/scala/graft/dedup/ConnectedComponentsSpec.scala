@@ -32,6 +32,11 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(components().isEmpty)
   }
 
+  test("self-pairs yield singleton clusters, not silent node loss") {
+    val c = components((5L, 5L), (1L, 2L), (2L, 2L))
+    assert(c == Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
+  }
+
   /** Independent oracle: plain driver-side union-find with min-id roots. */
   private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map.empty[Long, Long]

@@ -89,8 +89,10 @@ class PlanSpec extends AnyFunSuite {
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val join = graft.sources.Sinks.joinSides(spark, dir)
-      // force execution once so AQE finalizes the plan it would really run
-      join.count()
+      // collect() executes THIS QueryExecution (count() would plan a new
+      // one), so the asserted AdaptiveSparkPlan is the finalized one that
+      // really ran — a runtime AQE re-plan would be caught here
+      join.collect()
       val p = join.queryExecution.executedPlan.toString
       assert(p.contains("SortMergeJoin"), p)
       // the scale win: both fact sides arrive pre-partitioned, zero
