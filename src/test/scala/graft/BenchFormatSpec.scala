@@ -1,0 +1,59 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver captures only the last 2000 chars of the bench run's stdout and
+ *  the sbt `[success]` banner (~80 chars) lands after our line — so the line
+ *  BenchFormat prints must stay inside BenchFormat.Budget for the REAL query
+ *  inventory, including adversarially slow timings, or the driver records
+ *  `parsed: null` (as it did rounds 1-3). */
+class BenchFormatSpec extends AnyFunSuite {
+  private val mapper = new ObjectMapper()
+  private val names = SparkEntry.queries.keys.toSeq.sorted
+
+  test("real inventory with worst-case timings fits the tail budget") {
+    val qs = names.map(n => n -> 99.94) // 4-char rendering, the compact max
+    val line = BenchFormat.line(qs.map(_._2).sum, qs, "/root/testdata/sf0.1")
+    assert(line.length <= BenchFormat.Budget, s"len=${line.length}: $line")
+    val node = mapper.readTree(line)
+    assert(node.get("metric").asText == "total")
+    assert(node.get("unit").asText == "sec")
+    assert(node.get("sf").asDouble == 0.1)
+    assert(node.get("queries").size + node.path("omitted").asInt(0) == names.size)
+  }
+
+  test("typical timings render compactly and parse back to the same values") {
+    val qs = names.zipWithIndex.map { case (n, i) => n -> (0.05 + (i % 7) * 1.31) }
+    val line = BenchFormat.line(qs.map(_._2).sum, qs, "/root/testdata/sf0.01")
+    assert(line.length <= BenchFormat.Budget)
+    val node = mapper.readTree(line)
+    // every query present (no omission needed at this size), values within
+    // 1-decimal rounding — the coarsest precision mode short of omission
+    assert(node.path("omitted").asInt(0) == 0)
+    for ((n, v) <- qs) {
+      val got = node.get("queries").get(n).asDouble
+      assert(math.abs(got - v) <= 0.051, s"$n: $got vs $v")
+    }
+  }
+
+  test("oversized inventories degrade by omitting the fastest queries") {
+    val qs = (1 to 300).map(i => f"synthetic_query_name_$i%03d" -> i.toDouble)
+    val line = BenchFormat.line(qs.map(_._2).sum, qs, "/tmp/custom-dir")
+    assert(line.length <= BenchFormat.Budget)
+    val node = mapper.readTree(line)
+    val kept = node.get("queries")
+    assert(node.get("omitted").asInt > 0)
+    assert(kept.size + node.get("omitted").asInt == 300)
+    // the slowest query always survives omission; sf falls back to the dir
+    assert(kept.has("synthetic_query_name_300"))
+    assert(node.get("sf").asText == "/tmp/custom-dir")
+  }
+
+  test("full-resolution file form keeps 4 decimals everywhere") {
+    val line = BenchFormat.fullLine(12.34567, Seq("a" -> 12.34567), "/d")
+    val node = mapper.readTree(line)
+    assert(node.get("queries").get("a").asDouble == 12.3457)
+    assert(node.get("value").asDouble == 12.3457)
+  }
+}
