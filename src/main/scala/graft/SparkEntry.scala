@@ -22,6 +22,7 @@ object SparkEntry {
     graft.operators.SchemerQueries.defs ++
     graft.operators.TextQueries.defs ++
     graft.operators.CurationPipeline.defs ++
+    graft.operators.TrainingOps.defs ++
     graft.dedup.Dedup.defs ++
     graft.similarity.Ann.defs ++
     graft.multimodal.Media.defs ++

@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Character-frequency statistics for corpus-quality scoring, as native
+ * expressions so a 100 TB scan computes them map-side inside whole-stage
+ * codegen (the HOF equivalent — `transform(array_distinct(split(text,'')),
+ * c -> size(filter(split(text,''), …)))` — re-evaluates the split per
+ * lambda and is quadratic in distinct chars).
+ *
+ * Both stats are EXACT integers over Unicode code points, so downstream
+ * rollups are partitioning-independent and DuckDB-oracle-able — the reason
+ * the diversity metric is the Simpson concentration Σc² (a rational number
+ * in integer arithmetic) rather than Shannon entropy, whose floating logs
+ * would make cross-engine hash equality a coin flip at rounding boundaries.
+ */
+object CharStat {
+  /** Σ count(cp)² over code points of s; 0 for empty. Fits a long for any
+   *  realistic document (len ≤ 2^31 ⇒ Σc² ≤ len² ≤ 2^62). */
+  def sumSq(s: UTF8String): Long = {
+    val str = s.toString
+    val m = new java.util.HashMap[Integer, Integer]()
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      val prev = m.get(cp)
+      m.put(cp, if (prev == null) 1 else prev + 1)
+    }
+    var acc = 0L
+    val it = m.values().iterator()
+    while (it.hasNext) { val c = it.next().toLong; acc += c * c }
+    acc
+  }
+
+  /** Number of distinct code points in s. */
+  def distinctChars(s: UTF8String): Int = {
+    val str = s.toString
+    val seen = new java.util.HashSet[Integer]()
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      seen.add(cp)
+    }
+    seen.size
+  }
+}
+
+abstract class CharStatExpr extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${dt.catalogString}")
+  }
+}
+
+/** Σ count(c)² over the code points of a string — the Simpson concentration
+ *  numerator. */
+case class CharSumSqExpr(child: Expression) extends CharStatExpr {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "char_sum_sq"
+  override def nullSafeEval(input: Any): Any =
+    CharStat.sumSq(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharStat.sumSq($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharSumSqExpr =
+    copy(child = newChild)
+}
+
+/** Distinct code points of a string. */
+case class CharDistinctExpr(child: Expression) extends CharStatExpr {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "char_distinct"
+  override def nullSafeEval(input: Any): Any =
+    CharStat.distinctChars(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharStat.distinctChars($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharDistinctExpr =
+    copy(child = newChild)
+}

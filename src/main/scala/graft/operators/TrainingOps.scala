@@ -1,0 +1,261 @@
+package graft.operators
+
+import graft.Tables
+import graft.Tables.QueryDef
+import graft.functions.{CharDistinctExpr, CharSumSqExpr}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+/**
+ * Training-data curation operators beyond dedup: PII redaction, URL
+ * normalization, vocabulary statistics, character-diversity scoring, and
+ * SCD-2 history construction. Everything is map-side column expressions plus
+ * one small aggregation — no self-joins, no windows over the whole corpus —
+ * so each query is a single scan + one bounded shuffle at any scale.
+ *
+ * The documents testdata carries no real PII/URLs, so the redaction and URL
+ * queries first append a DETERMINISTIC synthetic tail derived from
+ * (doc_id, source, lang) — identically in the oracle — and then run the real
+ * extraction machinery over it. The operators are exercised for real; only
+ * the payload is synthesized (the same trick the media suite uses for its
+ * binary columns).
+ */
+object TrainingOps {
+
+  private def bridged(c: Column)(f: org.apache.spark.sql.catalyst.expressions.Expression
+      => org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    ColumnBridge.column(f(ColumnBridge.expression(c)))
+
+  def charSumSq(text: Column): Column = bridged(text)(CharSumSqExpr)
+  def charDistinct(text: Column): Column = bridged(text)(CharDistinctExpr)
+
+  // ---- PII redaction ------------------------------------------------------
+
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val IpPat = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private val SsnPat = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  private val PhonePat = "\\b555-[0-9]{4}\\b"
+
+  /** The deterministic PII-bearing text both engines construct. */
+  private def piiText: Column = concat(
+    col("text"),
+    lit(" contact user"), col("doc_id").cast("string"),
+    lit("@example.com or 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+    lit(" at 10.0."), (col("doc_id") % 256).cast("string"),
+    lit(".7 ssn 123-45-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+
+  /** Scrub emails, IPs, SSNs and phone-shaped strings; report per-source
+   *  counts and a content witness (min/max md5 of the redacted text) so the
+   *  oracle verifies the REDACTED BYTES, not just the counts. Redaction
+   *  order matters (an SSN tail is phone-shaped): email → ip → ssn → phone,
+   *  identical in the oracle. */
+  def piiRedaction(spark: SparkSession, dir: String): DataFrame = {
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(piiText, EmailPat, "<EMAIL>"),
+            IpPat, "<IP>"),
+          SsnPat, "<SSN>"),
+        PhonePat, "<PHONE>")
+    Tables.documents(spark, dir)
+      .select(
+        col("source"),
+        size(regexp_extract_all(piiText, lit(EmailPat), lit(0))).cast("long").as("n_email"),
+        size(regexp_extract_all(piiText, lit(IpPat), lit(0))).cast("long").as("n_ip"),
+        size(regexp_extract_all(piiText, lit(SsnPat), lit(0))).cast("long").as("n_ssn"),
+        md5(redacted).as("red_md5"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_email").as("sum_email"),
+        sum("n_ip").as("sum_ip"),
+        sum("n_ssn").as("sum_ssn"),
+        min("red_md5").as("min_red_md5"),
+        max("red_md5").as("max_red_md5"))
+      .orderBy("source")
+  }
+
+  // ---- URL parsing --------------------------------------------------------
+
+  /** The deterministic URL both engines construct per doc. */
+  private def urlCol: Column = concat(
+    lit("https://"), col("source"), lit(".example."),
+    element_at(array(lit("com"), lit("org"), lit("net")), (col("doc_id") % 3 + 1).cast("int")),
+    lit("/"), col("lang"), lit("/p"), col("doc_id").cast("string"),
+    lit("?ref=r"), (col("doc_id") % 5).cast("string"))
+
+  /** Host/path/param extraction via Spark's native `parse_url`, rolled up
+   *  per host: the "which domains feed the corpus, in which languages"
+   *  report every crawl-curation pass starts with. */
+  def urlStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        parse_url(urlCol, lit("HOST")).as("host"),
+        parse_url(urlCol, lit("PATH")).as("path"),
+        parse_url(urlCol, lit("QUERY"), lit("ref")).as("ref"))
+      .select(col("host"), split_part(col("path"), lit("/"), lit(2)).as("path_lang"), col("ref"))
+      .groupBy("host")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("path_lang")).as("n_langs"),
+        countDistinct(col("ref")).as("n_refs"))
+      .orderBy("host")
+
+  // ---- Vocabulary (Zipf head) --------------------------------------------
+
+  /** Global top-50 tokens by frequency (count desc, token asc tiebreak).
+   *  Shape: map-side partial count per token, then `TakeOrdered` — each
+   *  partition keeps its own top-50 and only those merge on the driver, so
+   *  no global sort of the vocabulary ever happens. */
+  def tokenZipf(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(50)
+
+  // ---- Character diversity ------------------------------------------------
+
+  /** Per-source character-diversity rollup from the native char stats:
+   *  Simpson concentration Σc²·10⁴ / len² (integer basis points — exact,
+   *  see [[graft.functions.CharStat]]) and distinct-char counts. Catches
+   *  single-character spam and alphabet-soup noise that token-level quality
+   *  features miss. */
+  def charDiversity(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        charSumSq(col("text")).as("char_sum_sq_v"),
+        charDistinct(col("text")).cast("long").as("n_distinct_chars"),
+        length(col("text")).cast("long").as("char_len"))
+      .withColumn("simpson_bp",
+        when(col("char_len") > 0,
+          expr("char_sum_sq_v * 10000 div (char_len * char_len)")).otherwise(0L))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("simpson_bp").as("sum_simpson_bp"),
+        sum("n_distinct_chars").as("sum_distinct_chars"),
+        max("n_distinct_chars").as("max_distinct_chars"))
+      .orderBy("source")
+  }
+
+  // ---- SCD-2 history ------------------------------------------------------
+
+  /** Slowly-changing-dimension (type 2) build over the event stream: for
+   *  each user, collapse consecutive same-type events into validity
+   *  intervals [valid_from, valid_to) and report per-user version counts.
+   *  The windows partition BY USER — each user's history sorts within its
+   *  own task, so the shuffle is one hash exchange and no global sort
+   *  exists at any corpus size. Timestamps are exact micros (`ts div
+   *  1000`), ties broken by event_id. */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val evs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+    val versions = evs
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to", lead("us", 1).over(w))
+    versions.groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_versions"),
+        min("us").as("first_from"),
+        max("us").as("last_from"),
+        sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("n_open"))
+      .orderBy("user_id")
+  }
+
+  val defs: Vector[QueryDef] = Vector(
+    QueryDef("text_pii_redaction", piiRedaction, Some(s"""
+      WITH synth AS (
+        SELECT source,
+               text || ' contact user' || cast(doc_id as varchar)
+                    || '@example.com or 555-' || lpad(cast(doc_id % 10000 as varchar), 4, '0')
+                    || ' at 10.0.' || cast(doc_id % 256 as varchar)
+                    || '.7 ssn 123-45-' || lpad(cast(doc_id % 10000 as varchar), 4, '0') AS t
+        FROM documents),
+      red AS (
+        SELECT source,
+               len(regexp_extract_all(t, '$EmailPat')) AS n_email,
+               len(regexp_extract_all(t, '$IpPat')) AS n_ip,
+               len(regexp_extract_all(t, '$SsnPat')) AS n_ssn,
+               md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+                 '$EmailPat', '<EMAIL>', 'g'),
+                 '$IpPat', '<IP>', 'g'),
+                 '$SsnPat', '<SSN>', 'g'),
+                 '$PhonePat', '<PHONE>', 'g')) AS red_md5
+        FROM synth)
+      SELECT source, count(*) AS n_docs,
+             cast(sum(n_email) as bigint) AS sum_email,
+             cast(sum(n_ip) as bigint) AS sum_ip,
+             cast(sum(n_ssn) as bigint) AS sum_ssn,
+             min(red_md5) AS min_red_md5,
+             max(red_md5) AS max_red_md5
+      FROM red GROUP BY source ORDER BY source""")),
+    QueryDef("text_url_stats", urlStats, Some("""
+      WITH u AS (
+        SELECT 'https://' || source || '.example.'
+               || ['com','org','net'][cast(doc_id % 3 as int) + 1]
+               || '/' || lang || '/p' || cast(doc_id as varchar)
+               || '?ref=r' || cast(doc_id % 5 as varchar) AS url
+        FROM documents),
+      p AS (
+        SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+               regexp_extract(url, '^https://[^/]+/([^/]+)/', 1) AS path_lang,
+               regexp_extract(url, 'ref=([^&#]*)', 1) AS ref
+        FROM u)
+      SELECT host, count(*) AS n_docs,
+             count(DISTINCT path_lang) AS n_langs,
+             count(DISTINCT ref) AS n_refs
+      FROM p GROUP BY host ORDER BY host""")),
+    QueryDef("text_token_zipf", tokenZipf, Some("""
+      WITH t AS (
+        SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        FROM documents)
+      SELECT token, count(*) AS n
+      FROM (SELECT unnest(toks) AS token FROM t)
+      GROUP BY token ORDER BY n DESC, token LIMIT 50""")),
+    QueryDef("text_char_diversity", charDiversity, Some("""
+      WITH c AS (
+        SELECT source, length(text) AS n,
+               list_sum(list_transform(list_distinct(chars),
+                 ch -> len(list_filter(chars, x -> x = ch))
+                       * len(list_filter(chars, x -> x = ch)))) AS sum_sq,
+               len(list_distinct(chars)) AS n_distinct
+        FROM (SELECT source, text,
+                     CASE WHEN length(text) = 0 THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(text, '') END AS chars
+              FROM documents))
+      SELECT source, count(*) AS n_docs,
+             cast(sum(CASE WHEN n > 0 THEN (sum_sq * 10000) // (n * n) ELSE 0 END) as bigint)
+               AS sum_simpson_bp,
+             cast(sum(n_distinct) as bigint) AS sum_distinct_chars,
+             cast(max(n_distinct) as bigint) AS max_distinct_chars
+      FROM c GROUP BY source ORDER BY source""")),
+    QueryDef("q39_scd2", scd2, Some("""
+      WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        FROM events),
+      v AS (
+        SELECT user_id, us, event_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_type
+        FROM e),
+      k AS (
+        SELECT user_id, us, event_id,
+               lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to
+        FROM v
+        WHERE prev_type IS NULL OR prev_type <> event_type)
+      SELECT user_id, count(*) AS n_versions,
+             cast(min(us) as bigint) AS first_from,
+             cast(max(us) as bigint) AS last_from,
+             cast(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) as bigint) AS n_open
+      FROM k GROUP BY user_id ORDER BY user_id"""))
+  )
+}
