@@ -71,6 +71,45 @@ object CurationPipeline {
       .orderBy("source")
   }
 
+  /** Bloom-prefiltered decontamination — the runtime-filter variant of
+   *  [[decontaminate]]. A Bloom filter of the benchmark shingle set (docs
+   *  with id ≡ 0 mod 89 here) is built with Spark's native
+   *  `BloomFilterAggregate`, collected (it is O(bits) — ~1 MB at 3% FP for
+   *  a million-shingle eval set, broadcastable at any corpus size, unlike
+   *  the exact shingle set), and applied map-side with `might_contain`
+   *  BEFORE the shuffle: ~97% of non-matching corpus shingles never leave
+   *  their scan task. The exact equi-join then runs on the surviving sliver
+   *  only, so Bloom false positives cannot reach the output — the result
+   *  is bit-identical to the no-bloom plan and the oracle is plain SQL. */
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    val docShingles = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(wordShingleHashes(col("text"), 3))).as("sh"))
+      .persist()
+    val isBench = col("doc_id") % 89 === 0
+    val benchShingles = docShingles.filter(isBench).select("sh").distinct()
+    val bloomBin = benchShingles
+      .select(ColumnBridge.column(
+        new BloomFilterAggregate(ColumnBridge.expression(col("sh")), 1L << 20)
+          .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal.create(bloomBin, BinaryType), ColumnBridge.expression(col("sh"))))
+    val flagged = docShingles.filter(!isBench)
+      .filter(mightContain) // map-side prefilter, no shuffle yet
+      .join(benchShingles, "sh") // exact confirm on the sliver
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+    flagged.groupBy("source")
+      .agg(count(lit(1)).as("n_flagged"), sum("n_shared").as("total_shared"))
+      .orderBy("source")
+  }
+
   /** Deterministic STRATIFIED sampling: exactly 20 docs per source, chosen
    *  by smallest md5(text) (a content-keyed pseudo-random order both
    *  engines can reproduce), ties to the lowest doc_id — the "same sample
@@ -157,6 +196,25 @@ object CurationPipeline {
         WHERE doc_id % 97 <> 0
         GROUP BY doc_id, source
         HAVING count(*) >= 5)
+      SELECT source, count(*) AS n_flagged, cast(sum(n_shared) as bigint) AS total_shared
+      FROM flagged GROUP BY source ORDER BY source""")),
+    QueryDef("pipeline_bloom_decontaminate", bloomDecontaminate, Some("""
+      WITH toks AS (
+        SELECT doc_id, source,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3),
+      bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 89 = 0),
+      flagged AS (
+        SELECT doc_id, source, count(*) AS n_shared
+        FROM sh JOIN bench USING (sh)
+        WHERE doc_id % 89 <> 0
+        GROUP BY doc_id, source
+        HAVING count(*) >= 3)
       SELECT source, count(*) AS n_flagged, cast(sum(n_shared) as bigint) AS total_shared
       FROM flagged GROUP BY source ORDER BY source""")),
     // md5 hex ordering is plain ASCII-lexicographic in both engines
