@@ -17,8 +17,10 @@ package graft
  */
 object BenchFormat {
 
-  /** Max chars for the printed line: 2000-char tail minus the sbt banner. */
-  val Budget = 1850
+  /** Max chars for the printed line: the 2000-char tail must hold
+   *  `"[info] " + line + "\n" + <sbt success banner ~75 chars> + "\n"`,
+   *  i.e. line ≤ ~1918; 1900 keeps a small margin for banner variation. */
+  val Budget = 1900
 
   def fmt(v: Double, decimals: Int): String = {
     // compact modes (<=2 decimals) drop to 1 decimal once values hit 10s;

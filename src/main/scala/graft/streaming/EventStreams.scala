@@ -140,7 +140,7 @@ object EventStreams {
 
   private final case class Replay(
       hourly: DataFrame, sessions: DataFrame, schema: DataFrame, dedup: DataFrame,
-      enriched: DataFrame, sliding: DataFrame)
+      enriched: DataFrame, sliding: DataFrame, typeUserCounts: DataFrame)
   private val replays = scala.collection.concurrent.TrieMap.empty[String, Replay]
 
   /** One shared AvailableNow replay per sf directory: the four streaming
@@ -214,7 +214,18 @@ object EventStreams {
           .select(unix_micros(col("window.start")).as("win_start_us"), col("event_type"), col("n"))
           .writeStream.format("memory").queryName(slidingName)
           .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
-        Seq(qHourly, qSchema, qSess, qDedup, qEnriched, qSliding).foreach(_.awaitTermination())
+        // Leaderboard state: per-(event_type, user) counts maintained by the
+        // stream; the top-k itself is computed ON READ from the sink (see
+        // [[streamTopk]]) — chaining a second stateful rank into the same
+        // streaming query is unsupported (and unnecessary: rank-on-read is
+        // how a live leaderboard actually serves).
+        val topkName = s"stream_topk_$tag"
+        val qTopk = eventsStream(spark, dir)
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName(topkName)
+          .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+        Seq(qHourly, qSchema, qSess, qDedup, qEnriched, qSliding, qTopk).foreach(_.awaitTermination())
         Replay(
           hourly = spark.table(hourlyName).orderBy("hour_start_us", "event_type"),
           sessions = spark.table(sessName)
@@ -223,7 +234,8 @@ object EventStreams {
           schema = spark.table(schemaName).orderBy("event_type"),
           dedup = spark.table(dedupName).orderBy("user_id", "event_type"),
           enriched = spark.table(enrichedName).orderBy("nation"),
-          sliding = spark.table(slidingName).orderBy("win_start_us", "event_type"))
+          sliding = spark.table(slidingName).orderBy("win_start_us", "event_type"),
+          typeUserCounts = spark.table(topkName))
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     })
 
@@ -272,7 +284,32 @@ object EventStreams {
   def streamSlidingCounts(spark: SparkSession, dir: String): DataFrame =
     replay(spark, dir).sliding
 
+  /** Streaming leaderboard: top-3 users per event type. The stream maintains
+   *  the per-(type, user) counts (Complete-mode state, O(types × users));
+   *  the rank is computed on read with the bounded [[graft.similarity
+   *  .TopKAgg]] — O(k) buffer per map task, only buffers shuffle, never a
+   *  per-group window over the counts. Replayed bounded ⇒ counts equal the
+   *  batch groupBy ⇒ exact oracle. Part of the shared replay. */
+  def streamTopk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.TopK._
+    replay(spark, dir).typeUserCounts
+      .groupBy("event_type")
+      .agg(topK(3)(col("n").cast("double"), col("user_id")).as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), col("col.id").as("user_id"),
+        (col("pos") + 1).cast("bigint").as("rank"),
+        col("col.score").cast("bigint").as("n"))
+      .orderBy("event_type", "rank")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("stream_topk", streamTopk, Some("""
+      SELECT event_type, user_id, rank, n FROM (
+        SELECT event_type, user_id, count(*) AS n,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY count(*) DESC, user_id) AS rank
+        FROM events GROUP BY event_type, user_id) t
+      WHERE rank <= 3 ORDER BY event_type, rank""")),
     QueryDef("stream_schema_evolution", streamSchemaEvolution, None),
     QueryDef("stream_enriched", streamEnriched, Some("""
       SELECT n.n_name AS nation, count(*) AS n_events,
