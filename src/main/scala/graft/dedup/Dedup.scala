@@ -323,6 +323,28 @@ object Dedup {
       .agg(count(lit(1)).as("n_members"))
       .orderBy("cluster_id")
 
+  /** Canonical-document selection — the step AFTER clustering: each
+   *  near-dup cluster keeps exactly one representative, chosen by highest
+   *  quality score with lowest doc_id as the tiebreak. The argmax is a
+   *  `max_by` over a (qbp, −doc_id) struct — one aggregate over the
+   *  cluster labels, never a per-cluster window, so the selection is one
+   *  shuffle on the cluster id regardless of corpus size. */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val labels = connectedComponents(ngramJaccard(spark, dir).select("id_a", "id_b"))
+    val quality = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        qualityBp(col("text")).as("qbp"))
+    labels.join(quality, col("node") === col("doc_id"))
+      .groupBy(col("label").as("cluster_id"))
+      .agg(
+        max_by(struct(col("doc_id"), col("qbp")),
+          struct(col("qbp"), (-col("doc_id")).as("neg_id"))).as("k"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("k.doc_id").as("keep_id"),
+        col("k.qbp").as("keep_qbp"), col("n_members"))
+      .orderBy("cluster_id")
+  }
+
   /** Fingerprint dedup: normalized-token-stream fingerprint groupBy —
    *  catches whitespace-only variants that md5(raw text) misses. Uses the
    *  cross-engine md5 form so the whitespace-collapse semantics carry an
@@ -405,6 +427,59 @@ object Dedup {
       SELECT cluster_id, count(*) AS n_members FROM (
         SELECT a AS node, min(b) AS cluster_id FROM reach GROUP BY a) c
       GROUP BY cluster_id ORDER BY cluster_id""")),
+    // cluster CTEs as in dedup_clusters; quality CTEs as in the
+    // pipeline_clean_corpus oracle; argmax via row_number (oracle scale)
+    QueryDef("dedup_canonical", dedupCanonical, Some(s"""
+      WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3),
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 100),
+      cold AS (SELECT * FROM sh ANTI JOIN hot USING (sh)),
+      pc AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+        FROM cold x JOIN cold y USING (sh)
+        WHERE x.doc_id < y.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id_a, id_b FROM pc
+        JOIN counts a ON a.doc_id = id_a
+        JOIN counts b ON b.doc_id = id_b
+        WHERE cast(inter as double) / cast(a.n_sh + b.n_sh - inter as double) >= 0.5),
+      und AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT a, b FROM (SELECT a, b FROM und UNION SELECT a, a FROM und)
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+      labels AS (SELECT a AS node, min(b) AS cluster_id FROM reach GROUP BY a),
+      qt AS (
+        SELECT doc_id, text,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS ntok
+        FROM documents),
+      qf AS (
+        SELECT doc_id, ntok,
+               ${graft.Tables.QbpParts}
+        FROM qt),
+      q AS (
+        SELECT doc_id,
+          ${graft.Tables.QbpExpr} AS qbp
+        FROM qf),
+      ranked AS (
+        SELECT l.cluster_id, l.node, q.qbp,
+               row_number() OVER (PARTITION BY l.cluster_id
+                                  ORDER BY q.qbp DESC, l.node) AS rn,
+               count(*) OVER (PARTITION BY l.cluster_id) AS n_members
+        FROM labels l JOIN q ON q.doc_id = l.node)
+      SELECT cluster_id, node AS keep_id, qbp AS keep_qbp, n_members
+      FROM ranked WHERE rn = 1 ORDER BY cluster_id""")),
     // exact oracle: identical tokenize (\s+ on trimmed text) + chr(1)
     // sentinel join + md5 in both engines; empty/blank text joins to ''
     // in both (Spark empty token array, DuckDB [''])

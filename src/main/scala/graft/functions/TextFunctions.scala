@@ -72,20 +72,39 @@ object TextFunctions {
       .otherwise((length(translate(trim(text), " ", "")).cast("long") * 100L) / n.cast("long"))
   }
 
-  /** Heuristic document quality score in [0,1]: length sweet-spot,
-   *  punctuation presence, word-length sanity, alpha ratio. Weights are
-   *  arbitrary but fixed; the value is a deterministic double. */
-  def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text).cast("double")
-    val lenScore = least(nTok / lit(64.0), lit(1.0)) // saturates at 64 tokens
-    val meanLen = meanTokenLenX100(text).cast("double") / 100.0
-    val wordScore = when(meanLen.between(3.0, 10.0), 1.0).otherwise(0.4)
-    val punctRatio = punctCount(text).cast("double") / greatest(length(text).cast("double"), lit(1.0))
-    val punctScore = when(punctRatio <= 0.1, 1.0).otherwise(0.3)
-    val alphaRatio = length(regexp_replace(text, "[^a-zA-Z ]", "")).cast("double") /
-      greatest(length(text).cast("double"), lit(1.0))
-    round(lenScore * 0.4 + wordScore * 0.2 + punctScore * 0.2 + alphaRatio * 0.2, 4)
+  /** Heuristic document quality score in BASIS POINTS [0, 10000] as a
+   *  long: length sweet-spot (40%), word-length sanity (20%), punctuation
+   *  presence (20%), alpha ratio (20%).
+   *
+   *  EXACT INTEGER ARITHMETIC throughout: the score is the rational
+   *  `N / (64·len)` rounded half-up via `(2N + D) div 2D` — no doubles
+   *  anywhere, so Spark and any SQL oracle agree bit-for-bit. The earlier
+   *  double formulation (`round(Σ wᵢsᵢ, 4)·10⁴`) sat one ulp from a
+   *  rounding boundary on real docs and diverged from DuckDB by ±1 bp —
+   *  invisible in per-source averages, exposed the moment a query outputs
+   *  per-document scores (dedup_canonical). Threshold comparisons are
+   *  integer too: `punct·10 ≤ len` replaces `punct/len ≤ 0.1` (equivalent
+   *  for len ≤ 10¹⁶ — the ratio can never fall within 5.5e-18 above 0.1),
+   *  and the word-length gate uses the exact `(nonspace·100) div ntok`. */
+  def qualityBp(text: Column): Column = {
+    def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+    val ntok = tokenCount(text).cast("long")
+    val len1 = greatest(length(text).cast("long"), lit(1L))
+    val nonspace = length(translate(trim(text), " ", "")).cast("long")
+    val m = when(ntok === 0L, 0L).otherwise(idiv(nonspace * 100L, ntok))
+    val wordBp = when(m.between(300L, 1000L), 2000L).otherwise(800L)
+    val punctBp = when(punctCount(text).cast("long") * 10L <= len1, 2000L).otherwise(600L)
+    val alpha = length(regexp_replace(text, "[^a-zA-Z ]", "")).cast("long")
+    val num = lit(4000L) * least(ntok, lit(64L)) * len1 +
+      (wordBp + punctBp) * 64L * len1 + lit(2000L) * alpha * 64L
+    val den = lit(64L) * len1
+    idiv(num * 2L + den, den * 2L)
   }
+
+  /** [[qualityBp]] as a [0,1] double — presentation form only; every
+   *  oracled path aggregates the exact integer basis points. */
+  def qualityScore(text: Column): Column =
+    qualityBp(text).cast("double") / 10000.0
 
   // ---- fingerprinting / hashing -------------------------------------------
 

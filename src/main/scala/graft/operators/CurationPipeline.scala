@@ -28,7 +28,7 @@ object CurationPipeline {
         col("doc_id"), col("source"), col("text"),
         tokenCount(col("text")).cast("long").as("ntok"),
         langId(col("text")).as("pred_lang"),
-        round(qualityScore(col("text")) * 10000).cast("long").as("qbp"))
+        qualityBp(col("text")).as("qbp"))
     val kept = scored.filter(col("pred_lang") === "en" && col("qbp") >= 5000L)
     val deduped = kept
       .groupBy(md5(col("text")).as("text_md5"))
@@ -131,34 +131,46 @@ object CurationPipeline {
       .orderBy("source", "rank")
   }
 
+  /** Exact integer CASE ladder for the power-of-2 length bucket — shared
+   *  verbatim by the Spark expression and the DuckDB oracle so neither
+   *  engine touches floating log2 at integer boundaries. */
+  private val bucketLadder: String = {
+    val cases = (20 to 0 by -1).map(k => s"WHEN ntok >= ${1L << k} THEN ${1L << k}").mkString(" ")
+    s"CASE $cases ELSE 0 END"
+  }
+
+  /** Sequence-length bucketing — the batch-shaping pass before training:
+   *  docs grouped into power-of-2 token-count buckets, with the packed
+   *  2048-token sequence estimate per bucket (`ceil(Σtok / 2048)` in exact
+   *  integer arithmetic). Map-side arithmetic + one ~21-row aggregate. */
+  def lengthBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(tokenCount(col("text")).cast("long").as("ntok"))
+      .withColumn("bucket_lo", expr(bucketLadder).cast("long"))
+      .groupBy("bucket_lo")
+      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("sum_tokens"))
+      .withColumn("packed_seqs", expr("(sum_tokens + 2047) div 2048"))
+      .orderBy("bucket_lo")
+
   // oracle: the same chain in DuckDB — tokenization, marker argmax with
   // first-max tiebreak, integer quality arithmetic, md5 dedup keeping the
   // lowest doc_id (arg-min via row_number, fine at oracle scale)
   val defs: Vector[QueryDef] = Vector(
-    QueryDef("pipeline_clean_corpus", cleanCorpus, Some("""
+    QueryDef("pipeline_clean_corpus", cleanCorpus, Some(s"""
       WITH t AS (
         SELECT doc_id, source, text,
                CASE WHEN length(trim(text)) = 0 THEN 0
                     ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS ntok,
                CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+                    ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
         FROM documents),
       f AS (
         SELECT doc_id, source, text, ntok, toks,
-          least(ntok / 64.0, 1.0) AS len_score,
-          CASE WHEN ntok = 0 THEN 0
-               ELSE (length(replace(trim(text), ' ', '')) * 100) // ntok END / 100.0 AS mean_len,
-          (length(text) - length(translate(text, '.,;:!?', '')))
-            / greatest(length(text), 1.0) AS punct_ratio,
-          length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))
-            / greatest(length(text), 1.0) AS alpha_ratio
+               ${graft.Tables.QbpParts}
         FROM t),
       s AS (
         SELECT doc_id, source, text, ntok,
-          cast(round(round((len_score * 0.4
-            + (CASE WHEN mean_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.4 END) * 0.2
-            + (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.3 END) * 0.2
-            + alpha_ratio * 0.2), 4) * 10000) as bigint) AS qbp,
+          ${graft.Tables.QbpExpr} AS qbp,
           len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','for'], x))) AS c_en,
           len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','los','por'], x))) AS c_es,
           len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','mit','ein'], x))) AS c_de,
@@ -198,6 +210,16 @@ object CurationPipeline {
         HAVING count(*) >= 5)
       SELECT source, count(*) AS n_flagged, cast(sum(n_shared) as bigint) AS total_shared
       FROM flagged GROUP BY source ORDER BY source""")),
+    QueryDef("pipeline_length_buckets", lengthBuckets, Some(s"""
+      WITH t AS (
+        SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS ntok
+        FROM documents)
+      SELECT bucket_lo, count(*) AS n_docs,
+             cast(sum(ntok) as bigint) AS sum_tokens,
+             (cast(sum(ntok) as bigint) + 2047) // 2048 AS packed_seqs
+      FROM (SELECT ntok, cast($bucketLadder as bigint) AS bucket_lo FROM t) b
+      GROUP BY bucket_lo ORDER BY bucket_lo""")),
     QueryDef("pipeline_bloom_decontaminate", bloomDecontaminate, Some("""
       WITH toks AS (
         SELECT doc_id, source,

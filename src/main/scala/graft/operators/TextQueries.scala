@@ -46,7 +46,7 @@ object TextQueries {
   def qualityBySource(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("source"),
-        round(qualityScore(col("text")) * 10000).cast("long").as("qbp"),
+        qualityBp(col("text")).as("qbp"),
         langId(col("text")).as("pred_lang"))
       .groupBy("source")
       .agg(
@@ -186,30 +186,21 @@ object TextQueries {
     // (en>=all, then es>=rest, ...), same integer arithmetic (// for the
     // long division in meanTokenLenX100), 'g' flag on regexp_replace to
     // match Spark's replace-all.
-    QueryDef("text_quality_by_source", qualityBySource, Some("""
+    QueryDef("text_quality_by_source", qualityBySource, Some(s"""
       WITH t AS (
         SELECT source, text,
                CASE WHEN length(trim(text)) = 0 THEN 0
                     ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS ntok,
                CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+                    ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
         FROM documents),
       f AS (
-        SELECT source, toks,
-          least(ntok / 64.0, 1.0) AS len_score,
-          CASE WHEN ntok = 0 THEN 0
-               ELSE (length(replace(trim(text), ' ', '')) * 100) // ntok END / 100.0 AS mean_len,
-          (length(text) - length(translate(text, '.,;:!?', '')))
-            / greatest(length(text), 1.0) AS punct_ratio,
-          length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))
-            / greatest(length(text), 1.0) AS alpha_ratio
+        SELECT source, toks, ntok,
+               ${graft.Tables.QbpParts}
         FROM t),
       s AS (
         SELECT source, toks,
-          cast(round(round((len_score * 0.4
-            + (CASE WHEN mean_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.4 END) * 0.2
-            + (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.3 END) * 0.2
-            + alpha_ratio * 0.2), 4) * 10000) as bigint) AS qbp,
+          ${graft.Tables.QbpExpr} AS qbp,
           len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','for'], x))) AS c_en,
           len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','los','por'], x))) AS c_es,
           len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','mit','ein'], x))) AS c_de,
