@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayCosine, ArrayDot, HyperplaneSigExpr, LangIdExpr, MinHashSigExpr, ShingleHashesExpr, SimHash64Expr}
+import graft.functions.{ArrayCosine, ArrayDot, CharDistinctExpr, CharSumSqExpr, HyperplaneSigExpr, LangIdExpr, MinHashSigExpr, ShingleHashesExpr, SimHash64Expr}
 import graft.schemer.HiveWitnessAgg
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -59,6 +59,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => LangIdExpr(es.head, graft.functions.TextFunctions.markers)),
     ("hyperplane_sig", info("hyperplane_sig", classOf[HyperplaneSigExpr]),
       (es: Seq[Expression]) => HyperplaneSigExpr(es(0),
-        intArg("hyperplane_sig", es(1)), intArg("hyperplane_sig", es(2))))
+        intArg("hyperplane_sig", es(1)), intArg("hyperplane_sig", es(2)))),
+    ("char_sum_sq", info("char_sum_sq", classOf[CharSumSqExpr]),
+      (es: Seq[Expression]) => CharSumSqExpr(es.head)),
+    ("char_distinct", info("char_distinct", classOf[CharDistinctExpr]),
+      (es: Seq[Expression]) => CharDistinctExpr(es.head))
   )
 }

@@ -17,13 +17,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |       minhash_sig(array(7L, 8L), 4) AS m,
         |       shingle_hashes(array('x', 'y', 'z'), 3) AS sh,
         |       lang_id(array('the', 'cat', 'the')) AS lang,
-        |       hyperplane_sig(array(0.5f, -0.5f), 8, 2) AS hp""".stripMargin).first()
+        |       hyperplane_sig(array(0.5f, -0.5f), 8, 2) AS hp,
+        |       char_sum_sq('aab') AS sq,
+        |       char_distinct('aab') AS dc""".stripMargin).first()
     assert(r.getDouble(0) == 11.0)
     assert(r.getDouble(1) == 1.0)
     assert(r.getSeq[Long](3).length == 4)
     assert(r.getSeq[Long](4).length == 1)
     assert(r.getString(5) == "en")
     assert(r.getInt(6) >= 0 && r.getInt(6) < 256)
+    assert(r.getLong(7) == 5L)
+    assert(r.getInt(8) == 2)
   }
 
   test("infer_hive_type aggregates from SQL and matches the Column API") {
