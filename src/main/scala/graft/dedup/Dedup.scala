@@ -179,37 +179,11 @@ object Dedup {
    *  signature width replicates [[graft.similarity.Ann.sigBits]] with an
    *  exact integer CASE ladder (no floating log2 at integer boundaries). */
   private[graft] lazy val embeddingOracleSql: String = {
-    import org.apache.spark.sql.catalyst.expressions.XXH64
-    val dim = 64
-    val maxPlanes = 30
-    def planeConst(p: Int, j: Int): String = {
-      val h = XXH64.hashInt(j, XXH64.hashInt(p, 42L))
-      val r = h % 100003L
-      val m = if (r < 0) r + 100003L else r
-      s"($m/100003.0 - 0.5)"
-    }
-    def e(tbl: String, j: Int): String = s"cast($tbl.embedding[${j + 1}] as double)"
-    val dots = (0 until maxPlanes).map { p =>
-      val terms = (0 until dim).map(j => s"${e("embeddings", j)}*${planeConst(p, j)}")
-      s"(${terms.mkString(" + ")}) AS d$p"
-    }.mkString(",\n             ")
-    val nrmTerms = (0 until dim).map(j => s"${e("embeddings", j)}*${e("embeddings", j)}")
-    val sigSum = (0 until maxPlanes)
-      .map(p => s"(CASE WHEN $p < b AND d$p > 0 THEN ${1 << p} ELSE 0 END)")
-      .mkString(" + ")
-    val ladder = (maxPlanes to 1 by -1)
-      .map(k => s"WHEN x >= ${1L << (k - 1)} THEN $k").mkString(" ")
-    val xyTerms = (0 until dim).map(j => s"${e("a", j)}*${e("b", j)}")
+    import graft.functions.HyperplaneOracle
+    val xyTerms = (0 until HyperplaneOracle.Dim)
+      .map(j => s"${HyperplaneOracle.elem("a", j)}*${HyperplaneOracle.elem("b", j)}")
     s"""
-      WITH bits AS (
-        SELECT least(30, greatest(8, CASE $ladder ELSE 0 END)) AS b
-        FROM (SELECT greatest(1, count(*) // 64) - 1 AS x FROM embeddings)),
-      v AS (
-        SELECT vec_id, embedding,
-             $dots,
-             (${nrmTerms.mkString(" + ")}) AS nrm
-        FROM embeddings),
-      s AS (SELECT vec_id, embedding, nrm, $sigSum AS sig FROM v, bits)
+      WITH ${HyperplaneOracle.sigCtes}
       SELECT id_a, id_b, cos >= 0.9 AS is_dup, cos FROM (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                CASE WHEN sqrt(a.nrm) * sqrt(b.nrm) = 0 THEN 0.0

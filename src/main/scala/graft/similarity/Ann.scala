@@ -245,7 +245,27 @@ object Ann {
         WHERE a.vec_id <> q.query_id) t
       WHERE rank <= 3
       ORDER BY query_id, rank""")),
-    QueryDef("ann_lsh_topk", lshTopK, None),
+    // GENERATED oracle: the signature CTEs reproduce HyperplaneSigExpr
+    // bit-for-bit (graft.functions.HyperplaneOracle); the radius-4
+    // multi-probe set is equivalently `bit_count(xor(sig_q, sig_c)) <= 4`
+    // (probing cell = q_sig XOR m over all popcount<=4 masks m reaches
+    // exactly the signatures within Hamming distance 4). Rank-only output,
+    // so list_cosine_similarity ordering suffices (as in ann_bruteforce).
+    QueryDef("ann_lsh_topk", lshTopK, Some(s"""
+      WITH ${graft.functions.HyperplaneOracle.sigCtes},
+      q AS (SELECT vec_id AS query_id, embedding AS q_emb, sig AS q_sig
+            FROM s WHERE vec_id < 8)
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+                                                 CAST(c.embedding AS DOUBLE[])) DESC,
+                          c.vec_id) AS rank
+        FROM q JOIN s c
+          ON bit_count(xor(q.q_sig, c.sig)) <= 4 AND c.vec_id <> q.query_id) t
+      WHERE rank <= 3
+      ORDER BY query_id, rank""")),
     QueryDef("ann_kmeans_ivf", kmeansIvfTopK, None)
   )
 }
