@@ -152,10 +152,61 @@ object CurationPipeline {
       .withColumn("packed_seqs", expr("(sum_tokens + 2047) div 2048"))
       .orderBy("bucket_lo")
 
+  /** Chunk geometry: window of 32 tokens, stride 24 (8-token overlap). */
+  private val ChunkW = 32
+  private val ChunkStride = 24
+
+  /** Document CHUNKING — the sequence-shaping pass that turns documents
+   *  into overlapping fixed-width token windows for training/embedding.
+   *  Each doc expands to `1 + ceil(max(0, ntok − W) / stride)` chunks; the
+   *  final chunk may be short (never re-padded here). Output carries the
+   *  md5 of every chunk's text, so the oracle verifies the chunk BYTES,
+   *  not just the geometry.
+   *
+   *  Scale shape: tokenize → per-row `sequence()` explode → map-side
+   *  `slice`/`concat_ws`/`md5` — pure narrow operations over the scan, no
+   *  shuffle at all until whatever consumes the chunks. The expansion
+   *  factor is bounded by W/stride (≈1.33 here), so output size stays
+   *  O(corpus). */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("ntok", size(col("toks")))
+      .filter(col("ntok") > 0)
+      .withColumn("nchunks",
+        expr(s"cast(1 + (greatest(0, ntok - $ChunkW) + ${ChunkStride - 1}) div $ChunkStride as int)"))
+      .select(col("doc_id"), col("toks"), col("ntok"),
+        explode(sequence(lit(0), col("nchunks") - 1)).as("chunk_idx"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        least(lit(ChunkW), col("ntok") - col("chunk_idx") * ChunkStride).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", slice(col("toks"), col("chunk_idx") * ChunkStride + 1, lit(ChunkW)))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
   // oracle: the same chain in DuckDB — tokenization, marker argmax with
   // first-max tiebreak, integer quality arithmetic, md5 dedup keeping the
   // lowest doc_id (arg-min via row_number, fine at oracle scale)
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("pipeline_chunks", chunkDocs, Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id, toks, len(toks) AS ntok,
+               1 + (greatest(0, len(toks) - $ChunkW) + ${ChunkStride - 1}) // $ChunkStride AS nchunks
+        FROM t WHERE len(toks) > 0),
+      c AS (
+        SELECT doc_id, toks, ntok, unnest(generate_series(0, nchunks - 1)) AS chunk_idx
+        FROM g)
+      SELECT doc_id,
+             cast(chunk_idx as bigint) AS chunk_idx,
+             cast(least($ChunkW, ntok - chunk_idx * $ChunkStride) as bigint) AS n_tokens,
+             md5(array_to_string(toks[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkW], ' ')) AS chunk_md5
+      FROM c
+      ORDER BY doc_id, chunk_idx""")),
     QueryDef("pipeline_clean_corpus", cleanCorpus, Some(s"""
       WITH t AS (
         SELECT doc_id, source, text,

@@ -171,7 +171,60 @@ object TrainingOps {
       .orderBy("user_id")
   }
 
+  // ---- TF-IDF keyword search ---------------------------------------------
+
+  /** The fixed query vocabulary for [[tfidfSearch]] — corpus words, so every
+   *  term has a real document frequency. */
+  private val SearchTerms = Seq("spark", "join", "window", "hash")
+
+  /** TF-IDF keyword search: score = Σ_t tf(t,d) · idf(t) over the query
+   *  terms, top-10 documents. The idf is EXACT INTEGER — `(N·10⁶) div df` —
+   *  instead of the textbook `log(N/df)`: monotone in N/df (so rankings
+   *  agree), and integer arithmetic keeps the score bit-identical across
+   *  engines, which floating logs cannot (the suite-wide convention behind
+   *  `qualityBp`).
+   *
+   *  Shape at scale: the term filter lands directly on the exploded token
+   *  stream (map-side, before any shuffle), tf is one partial-aggregated
+   *  groupBy, df is a 4-row aggregate broadcast back, and the global top-10
+   *  is `orderBy.limit` = TakeOrderedAndProject — per-partition top-k, no
+   *  global sort, no window. The corpus row count N comes from a parquet
+   *  count (metadata-only scan). */
+  def tfidfSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count() // metadata-only count; the one scalar the score needs
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin(SearchTerms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "tok")
+      .withColumn("w", col("tf") * expr(s"(${n}L * 1000000L) div df"))
+      .groupBy("doc_id")
+      .agg(sum("w").as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("text_tfidf_search", tfidfSearch, Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                                   ELSE regexp_split_to_array(trim(text), '\s+') END) AS tok
+        FROM documents),
+      tf AS (
+        SELECT doc_id, tok, count(*) AS tf FROM tok
+        WHERE tok IN ('spark', 'join', 'window', 'hash')
+        GROUP BY 1, 2),
+      idf AS (
+        SELECT tok, ((SELECT count(*) FROM documents) * 1000000) // count(*) AS idf
+        FROM tf GROUP BY tok)
+      SELECT doc_id,
+             cast(sum(tf.tf * idf.idf) as bigint) AS score,
+             count(*) AS n_terms
+      FROM tf JOIN idf USING (tok)
+      GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT 10""")),
     QueryDef("text_pii_redaction", piiRedaction, Some(s"""
       WITH synth AS (
         SELECT source,

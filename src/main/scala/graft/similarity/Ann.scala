@@ -167,6 +167,30 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** FILTERED vector search — the RAG-retrieval shape: top-3 cosine
+   *  neighbors restricted by a metadata predicate (here: the candidate must
+   *  share the query's `label`). The predicate participates in the JOIN KEY
+   *  (broadcast hash join on label), so filtering happens before any
+   *  distance is computed — the corpus rows that fail the filter are
+   *  discarded at the probe, never scored. That is the scale-correct order:
+   *  post-filtering an unfiltered top-k (the naive composition) both scores
+   *  too much and under-fills k. */
+  def filteredTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = broadcast(
+      emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("label").as("q_label")))
+    val grouped = emb.join(queries,
+        col("label") === col("q_label") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+      .groupBy("query_id")
+      .agg(topK(3)(col("cos"), col("neighbor_id")).as("top"))
+    explodeRanks(grouped, "query_id", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
   /** All `bits`-wide XOR masks with popcount ≤ radius — the multi-probe
    *  neighborhood of an LSH bucket, enumerated combinatorially (never
    *  2^bits). */
@@ -266,6 +290,18 @@ object Ann {
           ON bit_count(xor(q.q_sig, c.sig)) <= 4 AND c.vec_id <> q.query_id) t
       WHERE rank <= 3
       ORDER BY query_id, rank""")),
-    QueryDef("ann_kmeans_ivf", kmeansIvfTopK, None)
+    QueryDef("ann_kmeans_ivf", kmeansIvfTopK, None),
+    QueryDef("ann_filtered_topk", filteredTopK, Some("""
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC,
+                          e.vec_id) AS rank
+        FROM embeddings q
+        JOIN embeddings e ON e.label = q.label AND e.vec_id <> q.vec_id
+        WHERE q.vec_id < 8) t
+      WHERE rank <= 3
+      ORDER BY query_id, rank"""))
   )
 }

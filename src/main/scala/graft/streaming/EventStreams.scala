@@ -140,7 +140,8 @@ object EventStreams {
 
   private final case class Replay(
       hourly: DataFrame, sessions: DataFrame, schema: DataFrame, dedup: DataFrame,
-      enriched: DataFrame, sliding: DataFrame, typeUserCounts: DataFrame)
+      enriched: DataFrame, sliding: DataFrame, typeUserCounts: DataFrame,
+      attributed: DataFrame)
   private val replays = scala.collection.concurrent.TrieMap.empty[String, Replay]
 
   /** One shared AvailableNow replay per sf directory: the four streaming
@@ -225,7 +226,32 @@ object EventStreams {
           .agg(count(lit(1)).as("n"))
           .writeStream.format("memory").queryName(topkName)
           .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
-        Seq(qHourly, qSchema, qSess, qDedup, qEnriched, qSliding, qTopk).foreach(_.awaitTermination())
+        // STREAM-STREAM interval join — purchase attribution: each purchase
+        // joins every view by the same user in the preceding 30 minutes.
+        // Both sides are watermarked and the join condition carries the
+        // time range, so Spark bounds both state stores to the watermark
+        // horizon — the canonical unbounded two-stream join. Replayed
+        // bounded ⇒ equals the batch interval join ⇒ exact oracle.
+        val joinName = s"stream_join_$tag"
+        val views = withEventTime(eventsStream(spark, dir))
+          .filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+            col("event_time").as("view_time"))
+          .withWatermark("view_time", "30 minutes")
+        val purchases = withEventTime(eventsStream(spark, dir))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("event_time").as("purchase_time"))
+          .withWatermark("purchase_time", "30 minutes")
+        val qJoin = purchases.join(views,
+            col("user_id") === col("v_user") &&
+            col("view_time") <= col("purchase_time") &&
+            col("view_time") >= col("purchase_time") - expr("INTERVAL 30 MINUTES"))
+          .select(col("user_id"), col("view_id"), col("purchase_id"),
+            (unix_micros(col("purchase_time")) - unix_micros(col("view_time"))).as("lag_us"))
+          .writeStream.format("memory").queryName(joinName)
+          .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+        Seq(qHourly, qSchema, qSess, qDedup, qEnriched, qSliding, qTopk, qJoin).foreach(_.awaitTermination())
         Replay(
           hourly = spark.table(hourlyName).orderBy("hour_start_us", "event_type"),
           sessions = spark.table(sessName)
@@ -235,7 +261,9 @@ object EventStreams {
           dedup = spark.table(dedupName).orderBy("user_id", "event_type"),
           enriched = spark.table(enrichedName).orderBy("nation"),
           sliding = spark.table(slidingName).orderBy("win_start_us", "event_type"),
-          typeUserCounts = spark.table(topkName))
+          typeUserCounts = spark.table(topkName),
+          attributed = spark.table(joinName)
+            .orderBy("user_id", "purchase_id", "view_id"))
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     })
 
@@ -302,7 +330,24 @@ object EventStreams {
       .orderBy("event_type", "rank")
   }
 
+  /** Stream-stream interval join (purchase ← views within 30 min, same
+   *  user). Both streams watermarked; the range condition bounds both join
+   *  state stores, so the plan runs unchanged on two unbounded streams.
+   *  Part of the shared replay. */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame =
+    replay(spark, dir).attributed
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("stream_join", streamJoin, Some("""
+      SELECT p.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+             epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+      FROM events p
+      JOIN events v
+        ON v.user_id = p.user_id
+       AND v.event_type = 'view' AND p.event_type = 'purchase'
+       AND epoch_us(v.ts) <= epoch_us(p.ts)
+       AND epoch_us(v.ts) >= epoch_us(p.ts) - 1800000000
+      ORDER BY p.user_id, purchase_id, view_id""")),
     QueryDef("stream_topk", streamTopk, Some("""
       SELECT event_type, user_id, rank, n FROM (
         SELECT event_type, user_id, count(*) AS n,
