@@ -124,6 +124,27 @@ object TextFunctions {
   def fingerprintMd5(text: Column): Column =
     md5(array_join(tokens(text), "\u0001"))
 
+  /** Karp-Rabin POLYNOMIAL rolling hash over the normalized token stream:
+   *  `h = Σ v_i·B^(n-i) mod P` with base B=1000003 and the Mersenne prime
+   *  P=2^61−1; per-token values are the top 60 bits of md5(token). The
+   *  fold runs in EXACT DECIMAL arithmetic (the intermediate product needs
+   *  ~81 bits), which keeps it inside Spark 4's ANSI rules — a raw Long
+   *  polynomial would overflow-error — and makes it bit-reproducible in
+   *  any engine with 128-bit integers (the DuckDB oracle uses
+   *  list_reduce over HUGEINT). Order-sensitive, whitespace-insensitive —
+   *  the classic document fingerprint. [[fingerprint]] (xxhash64) remains
+   *  the cheaper production shuffle key; this is the portable form. */
+  def rollingFingerprint(text: Column): Column = {
+    val P = lit(new java.math.BigDecimal("2305843009213693951"))
+    aggregate(
+      tokens(text),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(20,0)"),
+      (acc, t) => ((acc * lit(1000003) +
+          conv(substring(md5(t), 1, 15), 16, 10).cast("decimal(19,0)")) % P)
+        .cast("decimal(20,0)"))
+      .cast("bigint")
+  }
+
   /** Word n-gram shingles as strings ("w1 w2 … wn"); empty when the doc has
    *  fewer than n tokens. */
   def shingles(text: Column, n: Int): Column = {

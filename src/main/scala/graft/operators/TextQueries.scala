@@ -127,12 +127,15 @@ object TextQueries {
       .orderBy("source")
   }
 
-  /** Document fingerprints (rolling hash) for the lowest doc_ids — the
-   *  per-doc form of dedup_fingerprint. xxhash64-based → rows-only. */
+  /** Document fingerprints for the lowest doc_ids — the per-doc form of
+   *  dedup_fingerprint, now via the TRUE Karp-Rabin rolling hash
+   *  ([[graft.functions.TextFunctions.rollingFingerprint]]): order-
+   *  sensitive, whitespace-insensitive, and bit-reproducible cross-engine,
+   *  so the query carries a full DuckDB oracle. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .filter(col("doc_id") < 100)
-      .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+      .select(col("doc_id"), rollingFingerprint(col("text")).as("fp"),
         subwordCount(col("text")).as("n_subwords"))
       .orderBy("doc_id")
 
@@ -268,6 +271,18 @@ object TextQueries {
              cast(sum(n_sh) as bigint) AS sum_sh,
              (cast(sum(n_hot) as bigint) * 10000) // cast(sum(n_sh) as bigint) AS boilerplate_bp
       FROM perdoc GROUP BY source ORDER BY source""")),
-    QueryDef("text_fingerprints", fingerprints, None)
+    QueryDef("text_fingerprints", fingerprints, Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        FROM documents WHERE doc_id < 100)
+      SELECT doc_id,
+             cast(list_reduce(
+               list_prepend(0::hugeint,
+                 list_transform(toks, tok -> cast(cast(('0x' || substring(md5(tok), 1, 15)) as bigint) as hugeint))),
+               (a, b) -> (a * 1000003 + b) % 2305843009213693951) as bigint) AS fp,
+             cast(coalesce(list_sum(list_transform(toks, tok -> (length(tok) + 3) // 4)), 0) as bigint) AS n_subwords
+      FROM t ORDER BY doc_id"""))
   )
 }

@@ -68,7 +68,12 @@ object Ann {
       val next = centroids.map(_.clone())
       cells.foreach { r =>
         val cell = r.getInt(0); val d = r.getInt(1)
-        next(cell)(d) = (r.getDecimal(2).doubleValue() / r.getLong(3)).toDouble
+        // decimal → double via the PLAIN-STRING parse, not doubleValue():
+        // parseDouble is correctly rounded and so is a SQL engine's
+        // VARCHAR→DOUBLE cast, which lets the DuckDB oracle reproduce the
+        // conversion bit-for-bit (a direct DECIMAL→DOUBLE cast is
+        // implementation-defined double-rounding territory)
+        next(cell)(d) = java.lang.Double.parseDouble(r.getDecimal(2).toPlainString) / r.getLong(3)
       }
       centroids = next
     }
@@ -191,6 +196,35 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** Symmetric INT8 QUANTIZATION of the embedding corpus — the index-
+   *  compression pass a 100 TB vector store runs before serving (4× smaller
+   *  than float32, SIMD-friendly dot products). Per vector: scale
+   *  s = max|v_i|, q_i = round-half-up(127·v_i/s) ∈ [−127, 127]. Output
+   *  carries integer witnesses of the quantized values (position-weighted
+   *  checksum + L1 norm), so the oracle verifies the quantized BYTES.
+   *  Every float op is an explicit left-to-right IEEE double chain the
+   *  DuckDB oracle replays exactly (the dedup_embedding convention). Pure
+   *  map-side per-row arithmetic — no shuffle. */
+  def quantize(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    emb
+      .select(col("vec_id"), col("embedding"),
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))).as("s"))
+      .select(col("vec_id"), col("s"),
+        transform(col("embedding"), x =>
+          when(col("s") === 0.0d, lit(0L))
+            .otherwise(floor(lit(127.0d) * x.cast("double") / col("s") + lit(0.5d)))).as("q"))
+      .select(
+        col("vec_id"),
+        size(col("q")).cast("long").as("n_dims"),
+        aggregate(
+          zip_with(col("q"), sequence(lit(1L), size(col("q")).cast("long")), (x, i) => x * i),
+          lit(0L), (acc, x) => acc + x).as("q_checksum"),
+        aggregate(transform(col("q"), x => abs(x)), lit(0L), (acc, x) => acc + x).as("q_l1"),
+        col("s").as("scale"))
+      .orderBy("vec_id")
+  }
+
   /** All `bits`-wide XOR masks with popcount ≤ radius — the multi-probe
    *  neighborhood of an LSH bucket, enumerated combinatorially (never
    *  2^bits). */
@@ -291,6 +325,23 @@ object Ann {
       WHERE rank <= 3
       ORDER BY query_id, rank""")),
     QueryDef("ann_kmeans_ivf", kmeansIvfTopK, None),
+    QueryDef("embed_quantize", quantize, Some("""
+      WITH q AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding, x -> abs(cast(x as double)))) AS s,
+               embedding
+        FROM embeddings),
+      e AS (
+        SELECT vec_id, s, i,
+               CASE WHEN s = 0 THEN 0
+                    ELSE cast(floor(127.0 * cast(embedding[i] as double) / s + 0.5) as bigint) END AS qv
+        FROM q, unnest(range(1, len(embedding) + 1)) u(i))
+      SELECT vec_id,
+             cast(count(*) as bigint) AS n_dims,
+             cast(sum(qv * i) as bigint) AS q_checksum,
+             cast(sum(abs(qv)) as bigint) AS q_l1,
+             max(s) AS scale
+      FROM e GROUP BY vec_id ORDER BY vec_id""")),
     QueryDef("ann_filtered_topk", filteredTopK, Some("""
       SELECT query_id, neighbor_id, rank FROM (
         SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
