@@ -99,6 +99,24 @@ object RelationalQueries2 {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
+  /** Explicit GROUPING SETS — the general form rollup/cube specialize:
+   *  exactly the (status), (priority), and () sets in one pass (no
+   *  (status, priority) set — the one CUBE would add), plus GROUPING()
+   *  flags to disambiguate real NULLs from subtotal rows. SQL surface via
+   *  a temp view; Catalyst expands it to one Expand + single aggregate. */
+  def q40GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_gs")
+    spark.sql("""
+      SELECT o_orderstatus, o_orderpriority,
+             cast(grouping(o_orderstatus) as bigint) AS g_status,
+             cast(grouping(o_orderpriority) as bigint) AS g_prio,
+             count(*) AS n,
+             cast(sum(cast(o_totalprice as decimal(12,2))) as double) AS total
+      FROM orders_gs
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+  }
+
   /** Conditional aggregation (FILTER/CASE): per-nation account profile. */
   def q23Conditional(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
@@ -275,6 +293,15 @@ object RelationalQueries2 {
       SELECT o_orderstatus, o_orderpriority, count(*) AS n
       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+    QueryDef("q40_grouping_sets", q40GroupingSets, Some("""
+      SELECT o_orderstatus, o_orderpriority,
+             cast(grouping(o_orderstatus) as bigint) AS g_status,
+             cast(grouping(o_orderpriority) as bigint) AS g_prio,
+             count(*) AS n,
+             cast(sum(cast(o_totalprice as decimal(12,2))) as double) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
     QueryDef("q23_conditional", q23Conditional, Some("""
       SELECT c_nationkey, count(*) AS n_cust,
              count(CASE WHEN c_acctbal > 5000 THEN 1 END) AS n_rich,

@@ -153,9 +153,9 @@ object Ann {
 
   /** IVF with TRAINED centroids: Lloyd iterations ([[kmeansCentroids]])
    *  instead of raw seed vectors, then the same cell-probe search as
-   *  [[ivfTopK]] — the production index-build path. Not SQL-oracle-able
-   *  (the oracle would need the full Lloyd unroll); correctness rides on
-   *  the determinism + WCSS specs and the rows-only check. */
+   *  [[ivfTopK]] — the production index-build path. Oracle-checked via the
+   *  GENERATED full-Lloyd unroll ([[KmeansOracle]]): 3 assignment rounds +
+   *  exact-decimal centroid means reproduced in SQL, bit-for-bit. */
   def kmeansIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val centroids = kmeansCentroids(emb, k = 16, iters = 3)
@@ -324,7 +324,7 @@ object Ann {
           ON bit_count(xor(q.q_sig, c.sig)) <= 4 AND c.vec_id <> q.query_id) t
       WHERE rank <= 3
       ORDER BY query_id, rank""")),
-    QueryDef("ann_kmeans_ivf", kmeansIvfTopK, None),
+    QueryDef("ann_kmeans_ivf", kmeansIvfTopK, Some(KmeansOracle.sql)),
     QueryDef("embed_quantize", quantize, Some("""
       WITH q AS (
         SELECT vec_id,
