@@ -335,8 +335,10 @@ object Dedup {
     QueryDef("dedup_exact", exact, Some("""
       SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS dup_count
       FROM documents GROUP BY 1 ORDER BY text_md5""")),
-    QueryDef("dedup_minhash_lsh", minhashLsh, None),
-    QueryDef("dedup_simhash", simhashDup, None),
+    // GENERATED oracles: XXH64 itself reproduced in 128-bit SQL arithmetic
+    // (XxhashOracle), so the signature-derived outputs hash-check too
+    QueryDef("dedup_minhash_lsh", minhashLsh, Some(XxhashOracle.minhashSql)),
+    QueryDef("dedup_simhash", simhashDup, Some(XxhashOracle.simhashSql)),
     // exact twin of ngramJaccard: same tokenize (\s+ on trimmed text),
     // same distinct word-3-grams, same >100-doc stop-shingle cap applied
     // BEFORE pair counting (so `inter` counts cold shingles only, while
