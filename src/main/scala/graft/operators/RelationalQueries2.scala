@@ -199,6 +199,58 @@ object RelationalQueries2 {
         min(year(col("o_orderdate"))).cast("bigint").as("min_year"))
       .orderBy("isodow")
 
+  /** Time-based ROLLING window: per customer, the 30-day trailing order
+   *  count and spend at every order — a RANGE frame over epoch days
+   *  (`RANGE BETWEEN 29 PRECEDING AND CURRENT ROW`), the frame family the
+   *  rest of the window suite doesn't cover (q8 is a ROWS running total).
+   *  RANGE frames include day-peers by definition, so the result is
+   *  order-independent within a day — no tiebreak needed, exact decimal
+   *  sum inside. Partitioned by customer: each user's history sorts in
+   *  its own task, no global sort at any scale. */
+  def q41RollingRange(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy("day")
+      .rangeBetween(-29, 0)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"), to_date(lit("1970-01-01"))).as("day"),
+        dec("o_totalprice").as("price"))
+      .select(col("o_custkey"), col("o_orderkey"), col("day").cast("bigint").as("day"),
+        count(lit(1)).over(w).as("n_30d"),
+        sum(col("price")).over(w).cast("double").as("spend_30d"))
+      .orderBy("o_custkey", "day", "o_orderkey")
+  }
+
+  /** Column PROFILING — the ANALYZE-style pass a pipeline runs before
+   *  ingesting a new table: per column, row/null/exact-distinct counts and
+   *  min/max (numeric and string kept in separate typed columns — no
+   *  cross-engine float-to-string formatting). One scan, one aggregate;
+   *  the approximate twin for 100 TB profiling is sketch_stats. */
+  def q42Profile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("ship_day",
+        datediff(col("l_shipdate").cast("date"), to_date(lit("1970-01-01"))).cast("long"))
+    val agg = li.agg(
+      count(lit(1)).as("n_rows"),
+      count(col("l_quantity")).as("nn_qty"), countDistinct(col("l_quantity")).as("nd_qty"),
+      min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"),
+      count(col("l_returnflag")).as("nn_rf"), countDistinct(col("l_returnflag")).as("nd_rf"),
+      min(col("l_returnflag")).as("min_rf"), max(col("l_returnflag")).as("max_rf"),
+      count(col("ship_day")).as("nn_sd"), countDistinct(col("ship_day")).as("nd_sd"),
+      min(col("ship_day")).as("min_sd"), max(col("ship_day")).as("max_sd"),
+      count(col("l_orderkey")).as("nn_ok"), countDistinct(col("l_orderkey")).as("nd_ok"),
+      min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"))
+    agg.selectExpr(
+      """stack(4,
+         'l_quantity',  n_rows, nn_qty, nd_qty, cast(min_qty as double), cast(max_qty as double), cast(null as string), cast(null as string),
+         'l_returnflag', n_rows, nn_rf, nd_rf, cast(null as double), cast(null as double), min_rf, max_rf,
+         'l_shipdate_day', n_rows, nn_sd, nd_sd, cast(min_sd as double), cast(max_sd as double), cast(null as string), cast(null as string),
+         'l_orderkey', n_rows, nn_ok, nd_ok, cast(min_ok as double), cast(max_ok as double), cast(null as string), cast(null as string)
+       ) AS (col_name, n_rows, n_nonnull, n_distinct, min_num, max_num, min_str, max_str)""")
+      .orderBy("col_name")
+  }
+
   /** JSON function family: extract + type + aggregate over the raw props
    *  JSON strings (the scalar-query face of the schemer engine). */
   def q37Json(spark: SparkSession, dir: String): DataFrame =
@@ -213,6 +265,43 @@ object RelationalQueries2 {
       .orderBy("event_type")
 
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("q41_rolling_range", q41RollingRange, Some("""
+      SELECT o_custkey, o_orderkey,
+             date_diff('day', DATE '1970-01-01', cast(o_orderdate as date)) AS day,
+             count(*) OVER w AS n_30d,
+             cast(sum(cast(o_totalprice as decimal(12,2))) OVER w as double) AS spend_30d
+      FROM orders
+      WINDOW w AS (
+        PARTITION BY o_custkey
+        ORDER BY date_diff('day', DATE '1970-01-01', cast(o_orderdate as date))
+        RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, day, o_orderkey""")),
+    QueryDef("q42_profile", q42Profile, Some("""
+      WITH li AS (
+        SELECT *, date_diff('day', DATE '1970-01-01', cast(l_shipdate as date)) AS ship_day
+        FROM lineitem),
+      a AS (
+        SELECT count(*) AS n_rows,
+               count(l_quantity) AS nn_qty, count(DISTINCT l_quantity) AS nd_qty,
+               min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+               count(l_returnflag) AS nn_rf, count(DISTINCT l_returnflag) AS nd_rf,
+               min(l_returnflag) AS min_rf, max(l_returnflag) AS max_rf,
+               count(ship_day) AS nn_sd, count(DISTINCT ship_day) AS nd_sd,
+               min(ship_day) AS min_sd, max(ship_day) AS max_sd,
+               count(l_orderkey) AS nn_ok, count(DISTINCT l_orderkey) AS nd_ok,
+               min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+        FROM li)
+      SELECT * FROM (
+        SELECT 'l_quantity' AS col_name, n_rows, nn_qty AS n_nonnull, nd_qty AS n_distinct,
+               cast(min_qty as double) AS min_num, cast(max_qty as double) AS max_num,
+               cast(NULL as varchar) AS min_str, cast(NULL as varchar) AS max_str FROM a
+        UNION ALL
+        SELECT 'l_returnflag', n_rows, nn_rf, nd_rf, cast(NULL as double), cast(NULL as double), min_rf, max_rf FROM a
+        UNION ALL
+        SELECT 'l_shipdate_day', n_rows, nn_sd, nd_sd, cast(min_sd as double), cast(max_sd as double), cast(NULL as varchar), cast(NULL as varchar) FROM a
+        UNION ALL
+        SELECT 'l_orderkey', n_rows, nn_ok, nd_ok, cast(min_ok as double), cast(max_ok as double), cast(NULL as varchar), cast(NULL as varchar) FROM a)
+      ORDER BY col_name""")),
     QueryDef("q36_datetime", q36Datetime, Some("""
       SELECT isodow(cast(o_orderdate as date)) AS isodow, count(*) AS n,
              count(CASE WHEN cast(o_orderdate as date) = last_day(cast(o_orderdate as date)) THEN 1 END) AS n_month_end,

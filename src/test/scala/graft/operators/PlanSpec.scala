@@ -82,6 +82,36 @@ class PlanSpec extends AnyFunSuite {
     assert(windows.isEmpty, "found a global (no partitionBy) window in q33")
   }
 
+  test("ann_filtered_topk: metadata predicate is the broadcast join key") {
+    val p = plan("ann_filtered_topk")
+    assert(p.contains("BroadcastHashJoin"), "label filter must join, not post-filter")
+    assert(!p.contains("Window"), "top-k must stay the bounded aggregate")
+  }
+
+  test("text_tfidf_search: global top-10 is TakeOrderedAndProject, df broadcast back") {
+    val p = plan("text_tfidf_search")
+    assert(p.contains("TakeOrderedAndProject"), "orderBy+limit must not global-sort")
+    assert(p.contains("BroadcastHashJoin"), "the 4-row df side must broadcast")
+  }
+
+  test("pipeline_chunks: narrow explode, no hash exchange before the chunks exist") {
+    val df = graft.SparkEntry.queries("pipeline_chunks")(spark, dir)
+    // the only exchange allowed is the presentation orderBy's range partition;
+    // chunk construction itself (tokenize -> sequence-explode -> slice/md5)
+    // must be narrow map-side work
+    val hashExchanges = df.queryExecution.executedPlan.toString
+      .linesIterator.count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 0, "chunking must not hash-shuffle")
+  }
+
+  test("q41 rolling window partitions by customer — never a global sort") {
+    val df = graft.SparkEntry.queries("q41_rolling_range")(spark, dir)
+    val globalWindows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, "RANGE window must partition by o_custkey")
+  }
+
   test("bucketed join runs with no shuffle and no sort on either side") {
     // at toy SF the planner would (rightly) broadcast; disable it so the
     // test exercises the big-fact-join path bucketing exists for
