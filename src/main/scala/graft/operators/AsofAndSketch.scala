@@ -37,6 +37,26 @@ object AsofAndSketch {
       .orderBy("user_id", "purchase_id")
   }
 
+  /** FORWARD as-of join — the other direction: for every click, the next
+   *  purchase of the same user at or after it (conversion-lag analysis).
+   *  Same scale shape as [[q25AsofAttribution]]: one shuffle on the key,
+   *  one per-key sort, a forward-looking frame — never an interval
+   *  cross-product. Clicks with no later purchase keep NULLs. */
+  def q43AsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+      .filter(col("event_type").isin("click", "purchase"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ev.withColumn("next_purchase_us",
+        first(when(col("event_type") === "purchase", col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_us").as("click_us"), col("next_purchase_us"),
+        (col("next_purchase_us") - col("ts_us")).as("wait_us"))
+      .orderBy("user_id", "click_id")
+  }
+
   /** Streaming dedup: watermarked dropDuplicates on (user_id, event_type),
    *  run inside [[graft.streaming.EventStreams]]'s shared AvailableNow
    *  replay (one pass for all four stream_* entries). */
@@ -69,6 +89,19 @@ object AsofAndSketch {
         WHERE event_type IN ('click', 'purchase')) t
       WHERE event_type = 'purchase'
       ORDER BY user_id, purchase_id""")),
+    QueryDef("q43_asof_forward", q43AsofForward, Some("""
+      SELECT user_id, click_id, click_us, next_purchase_us,
+             next_purchase_us - click_us AS wait_us
+      FROM (
+        SELECT user_id, event_id AS click_id, event_type,
+               epoch_us(ts) AS click_us,
+               first_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase_us
+        FROM events
+        WHERE event_type IN ('click', 'purchase')) t
+      WHERE event_type = 'click'
+      ORDER BY user_id, click_id""")),
     QueryDef("stream_dedup", streamDedup, Some("""
       SELECT DISTINCT user_id, event_type FROM events
       ORDER BY user_id, event_type""")),

@@ -141,7 +141,7 @@ object EventStreams {
   private final case class Replay(
       hourly: DataFrame, sessions: DataFrame, schema: DataFrame, dedup: DataFrame,
       enriched: DataFrame, sliding: DataFrame, typeUserCounts: DataFrame,
-      attributed: DataFrame)
+      attributed: DataFrame, fileSink: DataFrame)
   private val replays = scala.collection.concurrent.TrieMap.empty[String, Replay]
 
   /** One shared AvailableNow replay per sf directory: the four streaming
@@ -251,7 +251,28 @@ object EventStreams {
             (unix_micros(col("purchase_time")) - unix_micros(col("view_time"))).as("lag_us"))
           .writeStream.format("memory").queryName(joinName)
           .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
-        Seq(qHourly, qSchema, qSess, qDedup, qEnriched, qSliding, qTopk, qJoin).foreach(_.awaitTermination())
+        // FILE SINK — the production persistence path (memory sinks are
+        // harness-only): append the enriched event stream to partitioned
+        // parquet with a checkpoint. The sink's _spark_metadata commit log
+        // is what gives exactly-once across restarts; partitioning by
+        // event_type matches how a downstream batch reader would prune.
+        val sinkRoot = Files.createTempDirectory("graft_stream_sink")
+        val qFile = withEventTime(eventsStream(spark, dir))
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .writeStream.format("parquet")
+          .option("path", sinkRoot.resolve("data").toString)
+          .option("checkpointLocation", sinkRoot.resolve("chk").toString)
+          .partitionBy("event_type")
+          .trigger(Trigger.AvailableNow()).start()
+        Seq(qHourly, qSchema, qSess, qDedup, qEnriched, qSliding, qTopk, qJoin, qFile)
+          .foreach(_.awaitTermination())
+        // read the sink back THROUGH the commit log (partition-pruned scan)
+        // and roll it up — equals the batch aggregate over the source
+        val sunk = spark.read.parquet(sinkRoot.resolve("data").toString)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+          .orderBy("event_type")
         Replay(
           hourly = spark.table(hourlyName).orderBy("hour_start_us", "event_type"),
           sessions = spark.table(sessName)
@@ -263,7 +284,8 @@ object EventStreams {
           sliding = spark.table(slidingName).orderBy("win_start_us", "event_type"),
           typeUserCounts = spark.table(topkName),
           attributed = spark.table(joinName)
-            .orderBy("user_id", "purchase_id", "view_id"))
+            .orderBy("user_id", "purchase_id", "view_id"),
+          fileSink = sunk)
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     })
 
@@ -337,7 +359,18 @@ object EventStreams {
   def streamJoin(spark: SparkSession, dir: String): DataFrame =
     replay(spark, dir).attributed
 
+  /** Streaming parquet FILE sink (checkpointed, partitioned by
+   *  event_type), read back through the sink's commit log and rolled up.
+   *  Bounded replay ⇒ equals the batch aggregate ⇒ exact oracle. Part of
+   *  the shared replay. */
+  def streamFileSink(spark: SparkSession, dir: String): DataFrame =
+    replay(spark, dir).fileSink
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("stream_file_sink", streamFileSink, Some("""
+      SELECT event_type, count(*) AS n,
+             cast(sum(cast(value as decimal(12,2))) as double) AS sum_value
+      FROM events GROUP BY event_type ORDER BY event_type""")),
     QueryDef("stream_join", streamJoin, Some("""
       SELECT p.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
              epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
