@@ -34,6 +34,59 @@ object SessionAndSkew {
       .agg(count(lit(1)).as("n_sessions"), max("sess_len").as("max_len"))
       .orderBy("user_id")
 
+  /** Conversion FUNNEL — the staged event-analytics operator: how many
+   *  users viewed, then clicked AT OR AFTER their first view, then
+   *  purchased at or after that click. Each stage is one groupBy-min over
+   *  the (pruned, pushed-filter) event scan joined to the previous
+   *  stage's per-user threshold — three small hash shuffles keyed by
+   *  user, no windows, no per-user event materialization, so stage state
+   *  is one timestamp per user regardless of per-user event volume. */
+  def q44Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("view_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("us") >= col("view_us"))
+      .groupBy("user_id").agg(min("us").as("click_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("us") >= col("click_us"))
+      .groupBy("user_id").agg(min("us").as("purchase_us"))
+    v.agg(count(lit(1)).as("n_viewed")).crossJoin(
+      c.agg(count(lit(1)).as("n_clicked"))).crossJoin(
+      p.agg(count(lit(1)).as("n_purchased")))
+  }
+
+  /** SNAPSHOT DIFF — CDC-style reconciliation of two table versions: the
+   *  "old" snapshot is the orders table minus a deterministic slice, the
+   *  "new" one minus a different slice, and the diff classifies every key
+   *  as added/removed/changed (value hash differs). One full-outer hash
+   *  join on the key, comparing md5 row hashes — no row-by-row driver
+   *  work, the standard reconciliation shape at any scale. */
+  def q45SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("key"),
+        md5(concat_ws("|", col("o_orderstatus"), col("o_totalprice").cast("decimal(12,2)").cast("string"))).as("h"),
+        col("o_orderkey") % 97 as "slice")
+    val oldSnap = ord.filter(col("slice") =!= 0).select(col("key"), col("h").as("h_old"))
+    // the "new" snapshot drops a different slice and changes status for slice 1
+    val newSnap = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 97 =!= 3)
+      .select(col("o_orderkey").as("key"),
+        md5(concat_ws("|",
+          when(col("o_orderkey") % 97 === 1, lit("X")).otherwise(col("o_orderstatus")),
+          col("o_totalprice").cast("decimal(12,2)").cast("string"))).as("h_new"))
+    oldSnap.join(newSnap, Seq("key"), "full_outer")
+      .select(col("key"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed").as("change"))
+      .filter(col("change").isNotNull)
+      .groupBy("change")
+      .agg(count(lit(1)).as("n"), min("key").as("min_key"), max("key").as("max_key"))
+      .orderBy("change")
+  }
+
   val Salts = 8
 
   /** Salted aggregation-join on a 3-value skewed key: lineitem enriched by
@@ -66,6 +119,36 @@ object SessionAndSkew {
   }
 
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("q44_funnel", q44Funnel, Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      v AS (SELECT user_id, min(us) AS view_us FROM e WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(us) AS click_us
+            FROM e JOIN v USING (user_id)
+            WHERE event_type = 'click' AND us >= view_us GROUP BY 1),
+      p AS (SELECT e.user_id, min(us) AS purchase_us
+            FROM e JOIN c USING (user_id)
+            WHERE event_type = 'purchase' AND us >= click_us GROUP BY 1)
+      SELECT (SELECT count(*) FROM v) AS n_viewed,
+             (SELECT count(*) FROM c) AS n_clicked,
+             (SELECT count(*) FROM p) AS n_purchased""")),
+    QueryDef("q45_snapshot_diff", q45SnapshotDiff, Some("""
+      WITH oldsnap AS (
+        SELECT o_orderkey AS key,
+               md5(o_orderstatus || '|' || cast(cast(o_totalprice as decimal(12,2)) as varchar)) AS h_old
+        FROM orders WHERE o_orderkey % 97 <> 0),
+      newsnap AS (
+        SELECT o_orderkey AS key,
+               md5((CASE WHEN o_orderkey % 97 = 1 THEN 'X' ELSE o_orderstatus END)
+                   || '|' || cast(cast(o_totalprice as decimal(12,2)) as varchar)) AS h_new
+        FROM orders WHERE o_orderkey % 97 <> 3)
+      SELECT change, count(*) AS n, min(key) AS min_key, max(key) AS max_key FROM (
+        SELECT coalesce(o.key, n.key) AS key,
+               CASE WHEN o.key IS NULL THEN 'added'
+                    WHEN n.key IS NULL THEN 'removed'
+                    WHEN h_old <> h_new THEN 'changed' END AS change
+        FROM oldsnap o FULL OUTER JOIN newsnap n ON o.key = n.key) t
+      WHERE change IS NOT NULL
+      GROUP BY change ORDER BY change""")),
     QueryDef("q30_session_window", q30SessionWindow, Some("""
       SELECT user_id, count(*) AS n_sessions, max(sess_len) AS max_len FROM (
         SELECT user_id, sess_id, count(*) AS sess_len FROM (
