@@ -101,6 +101,23 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(got == expectedTop)
   }
 
+  test("q44_funnel: stage counts are monotone non-increasing") {
+    val r = SessionAndSkew.q44Funnel(spark, dir).collect()(0)
+    val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= c && c >= p, s"funnel must narrow: $v >= $c >= $p")
+    assert(v > 0, "corpus has view events")
+  }
+
+  test("q45_snapshot_diff: classifications partition the modified slices") {
+    import spark.implicits._
+    val m = SessionAndSkew.q45SnapshotDiff(spark, dir)
+      .select("change", "n").as[(String, Long)].collect().toMap
+    // slice 0 exists only in the new snapshot, slice 3 only in the old,
+    // slice 1 changed status — all three classes must be present
+    assert(Set("added", "removed", "changed").subsetOf(m.keySet), m.toString)
+    assert(m.values.forall(_ > 0))
+  }
+
   test("stream_join equals the batch interval join") {
     import spark.implicits._
     val ev = graft.Tables.events(spark, dir)
