@@ -117,7 +117,34 @@ object JoinsAndSetOps {
       .orderBy("custkey")
   }
 
+  /** NULL-SAFE dimension lookup — the `<=>` (IS NOT DISTINCT FROM) join:
+   *  orders with a nullable derived key (status 'P' → NULL) joined to a
+   *  3-row literal dim whose NULL row catches the unknowns. A plain `=`
+   *  join silently DROPS null keys; the null-safe form routes them to the
+   *  'unknown' label — the semantics a dimension lookup actually wants.
+   *  Broadcast join, one aggregate. */
+  def q47NullSafeLookup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = broadcast(Seq(
+      (Some("F"), "final"), (Some("O"), "open"), (None, "pending_unknown"))
+      .toDF("dk", "label"))
+    Tables.orders(spark, dir)
+      .select(nullif(col("o_orderstatus"), lit("P")).as("k"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+      .join(dim, col("k") <=> col("dk"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("total"))
+      .orderBy("label")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("q47_nullsafe_lookup", q47NullSafeLookup, Some("""
+      SELECT label, count(*) AS n,
+             cast(sum(cast(o_totalprice as decimal(12,2))) as double) AS total
+      FROM (SELECT nullif(o_orderstatus, 'P') AS k, o_totalprice FROM orders) o
+      JOIN (VALUES ('F', 'final'), ('O', 'open'), (NULL, 'pending_unknown')) d(k, label)
+        ON o.k IS NOT DISTINCT FROM d.k
+      GROUP BY label ORDER BY label""")),
     QueryDef("q38_upsert", q38Upsert, Some("""
       WITH base AS (
         SELECT c_custkey AS key, cast(c_acctbal as decimal(12,2)) AS bal FROM customer),

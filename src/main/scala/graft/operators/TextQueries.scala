@@ -139,7 +139,37 @@ object TextQueries {
         subwordCount(col("text")).as("n_subwords"))
       .orderBy("doc_id")
 
+  /** FUZZY canonical match — edit distance to a per-group representative:
+   *  every part name scored by levenshtein against its type's
+   *  lexicographically-first name. The fuzzy-dedup shape for short
+   *  strings (exact-threshold variant of what MinHash does for
+   *  documents): one small groupBy for the representatives (one row per
+   *  type), broadcast back, distance computed map-side over the scan,
+   *  one final rollup — never an all-pairs product. */
+  def fuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+    val reps = broadcast(
+      parts.groupBy(col("p_type").as("t")).agg(min("p_name").as("rep_name")))
+    parts.join(reps, col("p_type") === col("t"))
+      .select(col("p_type"),
+        levenshtein(col("p_name"), col("rep_name")).cast("long").as("d"))
+      .groupBy("p_type")
+      .agg(count(lit(1)).as("n"),
+        sum("d").as("sum_dist"),
+        max("d").as("max_dist"),
+        count(when(col("d") <= 3 && col("d") > 0, 1)).as("n_near"))
+      .orderBy("p_type")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("text_fuzzy_match", fuzzyMatch, Some("""
+      WITH reps AS (SELECT p_type AS t, min(p_name) AS rep_name FROM part GROUP BY 1)
+      SELECT p_type, count(*) AS n,
+             cast(sum(levenshtein(p_name, rep_name)) as bigint) AS sum_dist,
+             cast(max(levenshtein(p_name, rep_name)) as bigint) AS max_dist,
+             count(CASE WHEN levenshtein(p_name, rep_name) BETWEEN 1 AND 3 THEN 1 END) AS n_near
+      FROM part JOIN reps ON p_type = t
+      GROUP BY p_type ORDER BY p_type""")),
     QueryDef("text_token_stats", tokenStats, Some("""
       SELECT lang,
              cast(sum(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -75,7 +75,36 @@ object Sinks {
       col("o_orderkey") === col("l_orderkey"))
   }
 
+  /** CSV round trip — the interchange-format surface: a projection of the
+   *  events table written as headered CSV, read back with an EXPLICIT
+   *  schema (never inferSchema — a second full scan at any size), and
+   *  aggregated. Doubles survive the text round trip exactly (shortest
+   *  round-trip formatting on write, exact parse on read), and the
+   *  aggregate matches the parquet-direct oracle bit-for-bit. */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_csv_" +
+      s"${spark.sparkContext.applicationId}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    if (written.add(out)) {
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+    }
+    spark.read
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+      .option("header", "true").csv(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("sink_csv_roundtrip", csvRoundtrip, Some("""
+      SELECT event_type, count(*) AS n,
+             cast(sum(cast(value as decimal(12,2))) as double) AS sum_value,
+             count(DISTINCT user_id) AS n_users
+      FROM events GROUP BY event_type ORDER BY event_type""")),
     QueryDef("sink_partition_pruning", partitionPruning, Some("""
       SELECT source, count(*) AS n_en_docs, cast(sum(n_chars) as bigint) AS total_chars
       FROM documents WHERE lang = 'en'

@@ -35,7 +35,10 @@ class BenchFormatSpec extends AnyFunSuite {
     // bench_result.json via fullLine.
     val omitted = node.path("omitted").asInt(0)
     assert(omitted + node.get("queries").size == names.size)
-    assert(omitted <= 15, s"too many omitted: $omitted")
+    // proportional bound: the stdout line is a fallback (bench_result.json
+    // always carries the full map); what matters is that MOST of the
+    // inventory renders and only the fastest entries are dropped
+    assert(omitted <= names.size / 4, s"too many omitted: $omitted of ${names.size}")
     // omission drops the FASTEST entries: every slow query must survive
     val included = qs.filter { case (n, _) => node.get("queries").has(n) }
     val cutoff = included.map(_._2).min
