@@ -161,7 +161,54 @@ object TextQueries {
       .orderBy("p_type")
   }
 
+  /** Higher-order-function suite — the array-lambda surface exercised as
+   *  one oracled query: per source, token arrays pushed through
+   *  `filter` (long tokens), `transform`+`aggregate` (character mass),
+   *  `zip_with` (adjacent-pair equality = immediate repetitions) and
+   *  `exists`. Every lambda is a codegen'd column expression evaluated
+   *  map-side over the scan — the declarative alternative to a UDF, and
+   *  the reason none of this leaves whole-stage codegen. */
+  def hofSuite(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(filter(toks, t => length(t) > 4)).cast("long").as("n_long"),
+        aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x).as("char_mass"),
+        aggregate(
+          zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+            (a, b) => when(a === b, 1L).otherwise(0L)),
+          lit(0L), (a, x) => a + x).as("n_immediate_reps"),
+        exists(toks, t => t === "spark").cast("int").as("has_spark"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_long").as("sum_long_tokens"),
+        sum("char_mass").as("sum_char_mass"),
+        sum("n_immediate_reps").as("sum_reps"),
+        sum("has_spark").cast("bigint").as("n_with_spark"))
+      .orderBy("source")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("q48_hof_suite", hofSuite, Some("""
+      WITH t AS (
+        SELECT source,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        FROM documents),
+      m AS (
+        SELECT source,
+               len(list_filter(toks, x -> length(x) > 4)) AS n_long,
+               coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS char_mass,
+               coalesce(list_sum(list_transform(range(1, len(toks)),
+                 i -> CASE WHEN toks[i] = toks[i+1] THEN 1 ELSE 0 END)), 0) AS n_immediate_reps,
+               CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END AS has_spark
+        FROM t)
+      SELECT source, count(*) AS n_docs,
+             cast(sum(n_long) as bigint) AS sum_long_tokens,
+             cast(sum(char_mass) as bigint) AS sum_char_mass,
+             cast(sum(n_immediate_reps) as bigint) AS sum_reps,
+             cast(sum(has_spark) as bigint) AS n_with_spark
+      FROM m GROUP BY source ORDER BY source""")),
     QueryDef("text_fuzzy_match", fuzzyMatch, Some("""
       WITH reps AS (SELECT p_type AS t, min(p_name) AS rep_name FROM part GROUP BY 1)
       SELECT p_type, count(*) AS n,
