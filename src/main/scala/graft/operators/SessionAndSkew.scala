@@ -87,6 +87,26 @@ object SessionAndSkew {
       .orderBy("change")
   }
 
+  /** SKEW REPORT — the diagnostic a pipeline runs BEFORE choosing a join
+   *  strategy: per-key frequencies of a prospective join key, top-5 hot
+   *  keys with exact-integer share and skew ratio (n·nkeys/total, in
+   *  basis points — the "how many× the average reducer load" number that
+   *  decides between plain shuffle, salting, and AQE skew-split). One
+   *  partial-aggregated groupBy + a TakeOrdered top-k; the two global
+   *  scalars ride a broadcast single-row frame, never a window. */
+  def q49SkewReport(spark: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey").as("key")).agg(count(lit(1)).as("n"))
+    val totals = freq.agg(
+      sum("n").as("total"), count(lit(1)).as("nkeys"))
+    freq.crossJoin(broadcast(totals))
+      .select(col("key"), col("n"),
+        expr("n * 10000 div total").as("share_bp"),
+        expr("n * nkeys * 10000 div total").as("skew_ratio_bp"))
+      .orderBy(col("n").desc, col("key"))
+      .limit(5)
+  }
+
   val Salts = 8
 
   /** Salted aggregation-join on a 3-value skewed key: lineitem enriched by
@@ -119,6 +139,14 @@ object SessionAndSkew {
   }
 
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("q49_skew_report", q49SkewReport, Some("""
+      WITH freq AS (SELECT l_suppkey AS key, count(*) AS n FROM lineitem GROUP BY 1),
+      t AS (SELECT sum(n) AS total, count(*) AS nkeys FROM freq)
+      SELECT key, n,
+             cast(n * 10000 // total as bigint) AS share_bp,
+             cast(n * nkeys * 10000 // total as bigint) AS skew_ratio_bp
+      FROM freq, t
+      ORDER BY n DESC, key LIMIT 5""")),
     QueryDef("q44_funnel", q44Funnel, Some("""
       WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
       v AS (SELECT user_id, min(us) AS view_us FROM e WHERE event_type = 'view' GROUP BY 1),
