@@ -112,6 +112,25 @@ class PlanSpec extends AnyFunSuite {
     assert(globalWindows.isEmpty, "RANGE window must partition by o_custkey")
   }
 
+  test("q44 funnel plans joins + aggregates only — no windows, no cartesian") {
+    val p = plan("q44_funnel")
+    assert(!p.contains("Window"), "funnel stages must be groupBy-min, not windows")
+    assert(!p.contains("CartesianProduct"),
+      "only the three 1-row stage counts may cross-join (BroadcastNestedLoop)")
+  }
+
+  test("q45 snapshot diff is one full-outer join, no cartesian") {
+    val p = plan("q45_snapshot_diff")
+    assert(p.contains("FullOuter"), "diff must be a single full-outer join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q49 skew report: top-k via TakeOrderedAndProject, scalars broadcast") {
+    val p = plan("q49_skew_report")
+    assert(p.contains("TakeOrderedAndProject"), "top-5 must not global-sort")
+    assert(!p.contains("Window"), "global scalars must not plan a window")
+  }
+
   test("bucketed join runs with no shuffle and no sort on either side") {
     // at toy SF the planner would (rightly) broadcast; disable it so the
     // test exercises the big-fact-join path bucketing exists for
