@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{ArrayCosine, ArrayDot, CharDistinctExpr, CharSumSqExpr, HyperplaneSigExpr, LangIdExpr, MinHashSigExpr, ShingleHashesExpr, SimHash64Expr}
-import graft.schemer.HiveWitnessAgg
+import graft.schemer.{HiveWitnessAgg, WitnessColumnsAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
@@ -45,6 +45,13 @@ object GraftExtensions {
       (es: Seq[Expression]) => HiveWitnessAgg(es.head, renderDefs = false)),
     ("infer_column_defs", info("infer_column_defs", classOf[HiveWitnessAgg]),
       (es: Seq[Expression]) => HiveWitnessAgg(es.head, renderDefs = true)),
+    // optional 2nd arg = map-inference threshold (0/absent = off)
+    ("infer_column_types", info("infer_column_types", classOf[WitnessColumnsAgg]),
+      (es: Seq[Expression]) => WitnessColumnsAgg(es.head,
+        if (es.size > 1) intArg("infer_column_types", es(1)) else 0)),
+    ("infer_hive_type_map", info("infer_hive_type_map", classOf[HiveWitnessAgg]),
+      (es: Seq[Expression]) => HiveWitnessAgg(es.head, renderDefs = false,
+        mapThreshold = intArg("infer_hive_type_map", es(1)))),
     ("array_dot", info("array_dot", classOf[ArrayDot]),
       (es: Seq[Expression]) => ArrayDot(es(0), es(1))),
     ("array_cosine", info("array_cosine", classOf[ArrayCosine]),

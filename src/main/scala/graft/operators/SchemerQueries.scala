@@ -70,6 +70,47 @@ object SchemerQueries {
       .select(to_json(struct(col("event_id"), col("event_type"), col("value"))).as("j"))
       .agg(InferSchema.infer_hive_type(col("j")).as("hive_type"))
 
+  /** The engine's per-column output as DATA: unified witness of a
+   *  synthesized NDJSON projection (two integral columns, a string column,
+   *  and the nested `props` object embedded as a real JSON subtree),
+   *  exploded to one (col_name, hive_type) row per top-level column. This
+   *  is the schema engine's `definition` made exactly oracle-checkable:
+   *  every witness rule it exercises (integral min/max bucketing, VARCHAR
+   *  max-length, nested struct rendering) has a closed-form SQL twin. */
+  def schemaColumns(spark: SparkSession, dir: String): DataFrame = {
+    val json = Tables.events(spark, dir).select(concat(
+      lit("{\"event_id\":"), col("event_id"),
+      lit(",\"event_type\":\""), col("event_type"),
+      lit("\",\"user_id\":"), col("user_id"),
+      lit(",\"props\":"), col("props"),
+      lit("}")).as("j"))
+    json.agg(InferSchema.infer_column_types(col("j")).as("cols"))
+      .select(explode(col("cols")).as("c"))
+      .select(col("c.col_name").as("col_name"), col("c.hive_type").as("hive_type"))
+      .orderBy("col_name")
+  }
+
+  /** MAP-type inference (flagged extension, SURVEY §1.4): a corpus whose
+   *  object keys are DATA — here one `u<user_id>` key per row — witnesses
+   *  as `MAP<STRING, T>` once the key count passes the threshold, instead
+   *  of a struct that grows one field per distinct user. The collapse
+   *  happens inside the aggregate's update/merge, so the witness buffer
+   *  stays bounded at any corpus size — the scale story for key-as-data
+   *  JSON at 100 TB. Threshold 8 < the 15 distinct users at the smallest
+   *  test SF, so the heuristic engages at every scale factor. */
+  def schemaPropsMap(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(concat(lit("{\"u"), col("user_id"), lit("\":"), col("event_id"), lit("}")).as("j"))
+      .agg(InferSchema.infer_hive_type_mapped(col("j"), mapThreshold = 8).as("hive_type"))
+
+  /** DuckDB twin of [[graft.schemer.HiveRender]]'s integral bucket ladder
+   *  (Schemer.scala:77-82 semantics) over precomputed min/max columns. */
+  private def bucketSql(mn: String, mx: String): String =
+    s"""CASE WHEN $mn >= -128 AND $mx <= 127 THEN 'TINYINT'
+       |            WHEN $mn >= -32768 AND $mx <= 32767 THEN 'SMALLINT'
+       |            WHEN $mn >= -2147483648 AND $mx <= 2147483647 THEN 'INT'
+       |            ELSE 'BIGINT' END""".stripMargin
+
   val defs: Vector[QueryDef] = Vector(
     QueryDef("w_string_witness", wStringWitness, Some("""
       SELECT lang, cast(max(length(text)) as bigint) AS text_maxlen,
@@ -93,6 +134,29 @@ object SchemerQueries {
                   ELSE 'BIGINT' END AS bucket
       FROM (SELECT min(user_id) AS mn, max(user_id) AS mx FROM events) s""")),
     QueryDef("schema_props_by_type", schemaPropsByType, None),
-    QueryDef("schema_events_full", schemaEventsFull, None)
+    QueryDef("schema_events_full", schemaEventsFull, None),
+    QueryDef("schema_columns", schemaColumns, Some(s"""
+      WITH s AS (
+        SELECT min(event_id) AS mn_e, max(event_id) AS mx_e,
+               max(length(event_type)) AS len_t,
+               min(user_id) AS mn_u, max(user_id) AS mx_u,
+               min(cast(json_extract(props, '$$.k') as bigint)) AS mn_k,
+               max(cast(json_extract(props, '$$.k') as bigint)) AS mx_k
+        FROM events)
+      SELECT col_name, hive_type FROM (
+        SELECT 'event_id' AS col_name, ${bucketSql("mn_e", "mx_e")} AS hive_type FROM s
+        UNION ALL
+        SELECT 'event_type', CASE WHEN len_t > 0 AND len_t < 65356
+                                  THEN 'VARCHAR(' || len_t || ')' ELSE 'STRING' END FROM s
+        UNION ALL
+        SELECT 'user_id', ${bucketSql("mn_u", "mx_u")} FROM s
+        UNION ALL
+        SELECT 'props', 'STRUCT<' || chr(10) || chr(9) || 'k: ' ||
+                        ${bucketSql("mn_k", "mx_k")} || chr(10) || '>' FROM s) t
+      ORDER BY col_name""")),
+    QueryDef("schema_props_map", schemaPropsMap, Some(s"""
+      SELECT 'MAP<STRING,' || chr(10) || chr(9) || ${bucketSql("mn", "mx")} || chr(10) || '>'
+               AS hive_type
+      FROM (SELECT min(event_id) AS mn, max(event_id) AS mx FROM events) s"""))
   )
 }

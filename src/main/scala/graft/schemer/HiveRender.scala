@@ -26,6 +26,10 @@ object HiveRender {
       case n: WNum => renderNum(n)
       case WArr(e) =>
         Seq("ARRAY<", renderType(e, i + 1), s"$pad>").mkString("\n")
+      case WMap(v) =>
+        // extension type (no reference twin — WMap only exists behind the
+        // map-inference flag); rendered in the ARRAY<> multi-line style
+        Seq("MAP<STRING,", renderType(v, i + 1), s"$pad>").mkString("\n")
       case WObj(fs) =>
         // struct fields are comma-separated, per the README golden output
         // (README.md:28-33) and valid Hive STRUCT<> syntax — the reference
@@ -97,6 +101,7 @@ object HiveRender {
         DecimalType(math.min(math.max(n.precision, s), 38), s)
       }
     case WArr(e) => ArrayType(toSparkType(e), containsNull = true)
+    case WMap(v) => MapType(StringType, toSparkType(v), valueContainsNull = true)
     case WObj(fs) =>
       StructType(fs.map { case (k, v) => StructField(k, toSparkType(v), nullable = true) })
   }

@@ -4,7 +4,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -18,17 +19,20 @@ import org.apache.spark.unsafe.types.UTF8String
  * map-side combine, so at 100 TB the shuffle carries one few-hundred-byte
  * witness per (group × partition).
  *
- * `renderDefs = false` renders the unified Hive TYPE of the group's JSON
- * documents (reference `out`, /root/reference/Schemer.scala:65-97);
- * `renderDefs = true` renders the column-definition block (reference
- * `definition`, Schemer.scala:99-105, ERROR on non-object rows).
+ * `mapThreshold > 0` enables the flagged MAP-inference extension
+ * ([[Witness.capObjects]]): object nodes with more than `mapThreshold`
+ * uniform-typed keys collapse to `MAP<STRING, T>`. Applied on every
+ * update/merge so the buffer stays BOUNDED even when the corpus has
+ * millions of distinct (data) keys — the point of the heuristic at scale.
+ * Default 0 = off = exact reference parity.
  */
-case class HiveWitnessAgg(
-    child: Expression,
-    renderDefs: Boolean,
-    mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Witness] with UnaryLike[Expression] {
+trait WitnessFoldAgg extends TypedImperativeAggregate[Witness] with UnaryLike[Expression] {
+
+  def child: Expression
+  def mapThreshold: Int
+
+  private def cap(w: Witness): Witness =
+    if (mapThreshold > 0) Witness.capObjects(w, mapThreshold) else w
 
   override def createAggregationBuffer(): Witness = Witness.bottom
 
@@ -37,19 +41,33 @@ case class HiveWitnessAgg(
     if (v == null) buffer
     else {
       val line = v.asInstanceOf[UTF8String].toString
-      if (line.isEmpty) buffer else Witness.merge(buffer, Witness.ofJson(line))
+      if (line.isEmpty) buffer else cap(Witness.merge(buffer, Witness.ofJson(line)))
     }
   }
 
   override def merge(buffer: Witness, input: Witness): Witness =
-    Witness.merge(buffer, input)
+    cap(Witness.merge(buffer, input))
+
+  override def serialize(buffer: Witness): Array[Byte] = WitnessCodec.write(buffer)
+  override def deserialize(storage: Array[Byte]): Witness = WitnessCodec.read(storage)
+}
+
+/** Renders the fold result as a STRING: the unified Hive TYPE of the
+ *  group's JSON documents (`renderDefs = false`; reference `out`,
+ *  /root/reference/Schemer.scala:65-97) or the column-definition block
+ *  (`renderDefs = true`; reference `definition`, Schemer.scala:99-105,
+ *  ERROR on non-object rows). */
+case class HiveWitnessAgg(
+    child: Expression,
+    renderDefs: Boolean,
+    mapThreshold: Int = 0,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends WitnessFoldAgg {
 
   override def eval(buffer: Witness): Any =
     UTF8String.fromString(
       if (renderDefs) HiveRender.definition(buffer) else HiveRender.renderType(buffer))
-
-  override def serialize(buffer: Witness): Array[Byte] = WitnessCodec.write(buffer)
-  override def deserialize(storage: Array[Byte]): Witness = WitnessCodec.read(storage)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): HiveWitnessAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -62,4 +80,44 @@ case class HiveWitnessAgg(
   override def nullable: Boolean = false // bottom renders as the ??? marker
   override def prettyName: String =
     if (renderDefs) "infer_column_defs" else "infer_hive_type"
+}
+
+/** Renders the fold result as PER-COLUMN ROWS — `array<struct<col_name,
+ *  hive_type>>`, one element per top-level field of the unified object
+ *  witness, in first-seen order. This is the `definition` block as DATA
+ *  instead of a DDL string, which makes the schema engine's per-column
+ *  output joinable/explodable in SQL (and exactly oracle-checkable — the
+ *  `schema_columns` harness entry). Non-object top level (no columns
+ *  exist) yields an empty array. */
+case class WitnessColumnsAgg(
+    child: Expression,
+    mapThreshold: Int = 0,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends WitnessFoldAgg {
+
+  override def eval(buffer: Witness): Any = {
+    val fields = buffer match {
+      case WObj(fs) => fs
+      case _ => Vector.empty
+    }
+    new GenericArrayData(fields.map { case (k, v) =>
+      InternalRow(UTF8String.fromString(k), UTF8String.fromString(HiveRender.renderType(v)))
+    }.toArray[Any])
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): WitnessColumnsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): WitnessColumnsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): WitnessColumnsAgg =
+    copy(child = newChild)
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("col_name", StringType, nullable = false),
+      StructField("hive_type", StringType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "infer_column_types"
 }

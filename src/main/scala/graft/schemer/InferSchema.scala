@@ -114,10 +114,26 @@ object InferSchema {
   /** Column function: Hive column-definition block of a JSON column. */
   def infer_column_defs(c: Column): Column = nativeAgg(c, renderDefs = true)
 
-  private def nativeAgg(c: Column, renderDefs: Boolean): Column = {
+  /** Column function: [[infer_hive_type]] with the MAP-inference extension
+   *  on — object nodes with more than `mapThreshold` uniform-typed keys
+   *  render `MAP<STRING, T>` (SURVEY §1.4 optional extension; default-off
+   *  everywhere else, so reference parity is untouched). */
+  def infer_hive_type_mapped(c: Column, mapThreshold: Int): Column =
+    nativeAgg(c, renderDefs = false, mapThreshold)
+
+  /** Column function: the unified schema as PER-COLUMN DATA —
+   *  `array<struct<col_name, hive_type>>` over the top-level fields, in
+   *  first-seen order. Explode it for one row per column. */
+  def infer_column_types(c: Column): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(
-      HiveWitnessAgg(ColumnBridge.expression(c), renderDefs).toAggregateExpression())
+      WitnessColumnsAgg(ColumnBridge.expression(c)).toAggregateExpression())
+  }
+
+  private def nativeAgg(c: Column, renderDefs: Boolean, mapThreshold: Int = 0): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      HiveWitnessAgg(ColumnBridge.expression(c), renderDefs, mapThreshold).toAggregateExpression())
   }
 
   /** Register both as SQL functions (`infer_hive_type`, `infer_column_defs`). */

@@ -62,6 +62,14 @@ object WObj {
   val empty: WObj = WObj(Vector.empty)
 }
 
+/** Map witness — the OPT-IN extension beyond the reference (SURVEY §1.4):
+ *  an object whose keys are DATA (user ids, feature names, …) rather than
+ *  schema. Produced only by the flagged high-cardinality heuristic
+ *  ([[Witness.capObjects]]); with the flag off (the default) no code path
+ *  creates one, preserving exact reference parity. Carries the single
+ *  merged value witness — the map's value type. */
+final case class WMap(value: Witness) extends Witness
+
 /** Raised when two rows disagree on a column's structural kind — e.g. an
  *  array in one row, an object in the next (Schemer.scala:16-25,61). */
 final case class RowMismatch(a: Witness, b: Witness, context: String) extends Exception {
@@ -104,6 +112,16 @@ object Witness {
     // reference (Schemer.scala:53 — its prepare-wrap only covers the
     // INTRA-row element fold, mirrored here in ofNode's ARRAY branch)
     case (WArr(x), WArr(y)) => WArr(merge(x, y, context))
+    // WMap absorbs objects: once a node has been judged "keys are data",
+    // further rows' keys fold their VALUES into the map's value witness.
+    // Arises when one partial aggregate collapsed (hit the threshold) and
+    // another hasn't yet — the join stays associative because collapse is
+    // itself a fold of the same values.
+    case (WMap(x), WMap(y)) => WMap(merge(x, y, context))
+    case (WMap(x), WObj(bx)) =>
+      WMap(bx.foldLeft(x) { case (acc, (_, w)) => merge(acc, w, context) })
+    case (WObj(ax), WMap(y)) =>
+      WMap(ax.foldLeft(y) { case (acc, (_, w)) => merge(acc, w, context) })
     case (WObj(ax), WObj(bx)) =>
       // key-union, left operand's order first, unseen right keys appended in
       // their own order — deterministic first-seen order under an ordered
@@ -116,6 +134,30 @@ object Witness {
       }
       WObj(merged ++ bx.filterNot { case (k, _) => leftKeys(k) })
     case _ => throw RowMismatch(a, b, context)
+  }
+
+  /** MAP-INFERENCE heuristic (flagged, default off): rewrite every object
+   *  node with MORE than `threshold` keys whose value witnesses merge
+   *  cleanly (uniform type) into `MAP<STRING, T>`. Bottom-up, so nested
+   *  data-keyed objects collapse too. A mixed-type wide object stays a
+   *  struct — key count alone is not evidence the keys are data.
+   *
+   *  Scale role: applied inside the aggregate's update/merge (not as a
+   *  post-pass), it BOUNDS the witness buffer — a corpus with millions of
+   *  distinct keys (one per user) folds to a single value witness instead
+   *  of a million-field struct that would grow the shuffled buffer without
+   *  limit. Idempotent, and associative with [[merge]] (the WMap merge
+   *  cases), so partials that collapsed at different times agree. */
+  def capObjects(w: Witness, threshold: Int): Witness = w match {
+    case WObj(fs) =>
+      val capped = fs.map { case (k, v) => k -> capObjects(v, threshold) }
+      if (threshold > 0 && capped.size > threshold) {
+        try WMap(capped.iterator.map(_._2).foldLeft(bottom)(merge(_, _)))
+        catch { case _: RowMismatch => WObj(capped) }
+      } else WObj(capped)
+    case WArr(e) => WArr(capObjects(e, threshold))
+    case WMap(v) => WMap(capObjects(v, threshold))
+    case leaf => leaf
   }
 
   // ---- JSON row → witness -------------------------------------------------

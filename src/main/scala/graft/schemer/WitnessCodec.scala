@@ -42,6 +42,8 @@ object WitnessCodec {
       out.writeByte(5)
       out.writeInt(fields.size)
       fields.foreach { case (k, v) => out.writeUTF(k); writeW(v, out) }
+    case WMap(v) =>
+      out.writeByte(6); writeW(v, out)
   }
 
   private def readW(in: DataInputStream): Witness = in.readByte() match {
@@ -56,6 +58,7 @@ object WitnessCodec {
     case 5 =>
       val n = in.readInt()
       WObj(Vector.fill(n)(in.readUTF() -> readW(in)))
+    case 6 => WMap(readW(in))
     case other => throw new IllegalStateException(s"corrupt witness tag: $other")
   }
 }
