@@ -26,10 +26,18 @@ object Bench {
         .selectExpr("count(xxhash64(struct(*)))").collect()
       catch { case _: Throwable => }
     }
+    // failed queries are still timed (the driver wants a total) but NEVER
+    // silently: a failure at a new scale factor must show up as data, not
+    // as a plausible-looking duration
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count() } catch {
+          case t: Throwable =>
+            errors(name) = (t.getClass.getSimpleName + ": " + String.valueOf(t.getMessage))
+              .replaceAll("[\"\\\\\\s]+", " ").take(160)
+        }
         val sec = (System.nanoTime() - t0) / 1e9
         // drop frames persisted inside the query so caches don't accumulate
         // across the loop and GC-skew later measurements
@@ -53,8 +61,9 @@ object Bench {
     // regexing an sbt-banner-wrapped stdout tail
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (BenchFormat.fullLine(total, results, sfDir) + "\n").getBytes("UTF-8"))
+      (BenchFormat.fullLine(total, results, sfDir, errors.toSeq) + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => }
+    errors.foreach { case (q, e) => System.err.println(s"BENCH QUERY FAILED: $q -> $e") }
     println(line)
     spark.stop()
   }

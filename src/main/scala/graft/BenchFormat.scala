@@ -61,11 +61,18 @@ object BenchFormat {
     build(total, bySlow.take(1), sfDir, 1, queries.size - 1)
   }
 
-  /** Full-resolution form for the bench_result.json side channel. */
-  def fullLine(total: Double, queries: Seq[(String, Double)], sfDir: String): String = {
+  /** Full-resolution form for the bench_result.json side channel. Query
+   *  failures (if any) ride along as an `"errors"` map — a failed query's
+   *  duration alone would read as a plausible measurement. */
+  def fullLine(total: Double, queries: Seq[(String, Double)], sfDir: String,
+               errors: Seq[(String, String)] = Nil): String = {
     val body = queries.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, 4) }
       .mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","queries":$body,"sf":"$sfDir"}"""
+    val errs =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .mkString(""","errors":{""", ",", "}")
+    s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","queries":$body$errs,"sf":"$sfDir"}"""
   }
 }

@@ -59,10 +59,10 @@ object Ann {
    *  distributed; the k×dim centroid table itself stays a broadcast
    *  literal. Empty cells keep their old centroid. */
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
-    val dim = emb.select("embedding").head().getSeq[Float](0).length
     var centroids: Array[Array[Double]] = emb.filter(col("vec_id") < k).orderBy("vec_id")
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dim = centroids.head.length
     // element_at(embedding, d+1) cast to decimal — the same cast expression
     // the old exploded form applied per element, so the summed values (and
     // the DuckDB oracle) are unchanged; decimal addition is exact, hence

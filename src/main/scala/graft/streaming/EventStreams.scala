@@ -116,10 +116,19 @@ object EventStreams {
 
   private def eventsStream(spark: SparkSession, dir: String, glob: String = "events.parquet"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.events(spark, dir).schema
-    // the file stream source wants a directory; glob-filter to the table
+    // the file stream source wants a directory; glob-filter to the table.
+    // A table can be a single file (driver testdata), a multi-file
+    // directory (ScaleGen output, any real warehouse), or a flat replay
+    // dir of leaf files (sessionSourceDir) — stream the directory whose
+    // LEAF files are the data, since pathGlobFilter matches leaf names
+    // and would match nothing through a subdirectory.
+    val table = new java.io.File(dir, "events.parquet")
+    val (streamDir, streamGlob) =
+      if (table.isDirectory) (table.getPath, "*.parquet") else (dir, glob)
+    val schema = spark.read.option("pathGlobFilter", streamGlob)
+      .parquet(streamDir).schema
     spark.readStream.schema(schema)
-      .option("pathGlobFilter", glob).parquet(dir)
+      .option("pathGlobFilter", streamGlob).parquet(streamDir)
   }
 
   /** Session replay source: a temp directory with the real events file
@@ -132,7 +141,20 @@ object EventStreams {
     val maxTs = ev.agg(max("ts")).head().getLong(0)
     val sentinelTs = maxTs + 2 * SessionGapUs * 1000L // ts is nanos, gap micros
     val tmp = tempDirWithCleanup("graft_sess_replay")
-    Files.createSymbolicLink(tmp.resolve("events.parquet"), Paths.get(s"$dir/events.parquet"))
+    // single-file table → one symlink; multi-file directory table → one
+    // symlink per data file, flattened (the replay dir must stay a flat
+    // directory of leaf parquet files for the *.parquet stream glob)
+    val srcTable = Paths.get(s"$dir/events.parquet")
+    if (Files.isDirectory(srcTable)) {
+      val listing = Files.list(srcTable)
+      var j = 0
+      try {
+        val it = listing.filter(_.toString.endsWith(".parquet")).iterator()
+        while (it.hasNext) {
+          Files.createSymbolicLink(tmp.resolve(s"events_$j.parquet"), it.next()); j += 1
+        }
+      } finally listing.close()
+    } else Files.createSymbolicLink(tmp.resolve("events.parquet"), srcTable)
     // leading underscore: Spark ignores the build dir when listing sources
     val build = tmp.resolve("_sentinel_build")
     ev.select(col("user_id")).distinct()
