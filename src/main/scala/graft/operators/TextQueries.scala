@@ -161,6 +161,43 @@ object TextQueries {
       .orderBy("p_type")
   }
 
+  /** Q-GRAM-BLOCKED FUZZY JOIN — ALL name pairs within edit distance 2,
+   *  as a real join (not the per-group representative shape of
+   *  [[fuzzyMatch]]). The scale design, layer by layer:
+   *   1. DEDUPE BEFORE JOINING: the join runs on the distinct-name
+   *      vocabulary with multiplicities (64 names here; |vocab| ≪ |rows|
+   *      for any real catalog), never on the row table;
+   *   2. LOSSLESS BLOCKING: names are padded (`##name$$`) and exploded to
+   *      positional 3-grams; an edit touches ≤ 3 padded grams, so any
+   *      pair with ed ≤ 2 and length ≥ 5 shares ≥ len_max−4 ≥ 1 grams —
+   *      the gram equi-join provably generates every qualifying pair
+   *      (same candidate-generation shape as [[graft.dedup.Dedup]]'s
+   *      shingle index; a web-scale vocabulary would add the >1% stop-gram
+   *      cap before the self-join);
+   *   3. VERIFY: exact `levenshtein` only on blocked candidates, a
+   *      vanishing fraction of the |vocab|² product.
+   *  Output carries `n_part_pairs` = the row-level pair multiplicity, so
+   *  the vocabulary-level result still answers the row-level question. */
+  def fuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .groupBy("p_name").agg(count(lit(1)).as("n_parts"))
+    val padded = concat(lit("##"), col("p_name"), lit("$$"))
+    val grams = names.select(col("p_name"), col("n_parts"),
+      explode(array_distinct(transform(sequence(lit(1), length(padded) - 2),
+        i => padded.substr(i, lit(3))))).as("g"))
+    val a = grams.select(col("g"), col("p_name").as("name_a"), col("n_parts").as("na"))
+    val b = grams.select(col("g"), col("p_name").as("name_b"), col("n_parts").as("nb"))
+    a.join(b, "g")
+      .filter(col("name_a") < col("name_b") &&
+        abs(length(col("name_a")) - length(col("name_b"))) <= 2)
+      .select("name_a", "name_b", "na", "nb").distinct()
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("edit_dist"),
+        (col("na") * col("nb")).as("n_part_pairs"))
+      .filter(col("edit_dist") <= 2)
+      .orderBy("name_a", "name_b")
+  }
+
   /** Higher-order-function suite — the array-lambda surface exercised as
    *  one oracled query: per source, token arrays pushed through
    *  `filter` (long tokens), `transform`+`aggregate` (character mass),
@@ -209,6 +246,17 @@ object TextQueries {
              cast(sum(n_immediate_reps) as bigint) AS sum_reps,
              cast(sum(has_spark) as bigint) AS n_with_spark
       FROM m GROUP BY source ORDER BY source""")),
+    // oracle = unblocked all-pairs over the distinct vocabulary (ground
+    // truth; the Spark side's gram blocking is lossless by the padded
+    // q-gram bound, so the sets must be identical)
+    QueryDef("text_fuzzy_join", fuzzyJoin, Some("""
+      WITH n AS (SELECT p_name, count(*) AS np FROM part GROUP BY 1)
+      SELECT a.p_name AS name_a, b.p_name AS name_b,
+             cast(levenshtein(a.p_name, b.p_name) as bigint) AS edit_dist,
+             a.np * b.np AS n_part_pairs
+      FROM n a JOIN n b ON a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= 2
+      ORDER BY name_a, name_b""")),
     QueryDef("text_fuzzy_match", fuzzyMatch, Some("""
       WITH reps AS (SELECT p_type AS t, min(p_name) AS rep_name FROM part GROUP BY 1)
       SELECT p_type, count(*) AS n,

@@ -403,7 +403,62 @@ object EventStreams {
   def streamFileSink(spark: SparkSession, dir: String): DataFrame =
     replay(spark, dir).fileSink
 
+  /** FOREACHBATCH IDEMPOTENT UPSERT — the production pattern for sinks
+   *  Spark has no native connector for (key-value stores, JDBC MERGE,
+   *  lakehouse upserts): an update-mode streaming aggregate hands each
+   *  micro-batch's CHANGED KEYS to `foreachBatch`, which merges them into
+   *  a versioned target by key. Two properties make it exactly-once
+   *  end-to-end at any scale:
+   *   - update-mode aggregate rows carry the full accumulated value per
+   *     key (not a delta), so re-merging a replayed batch after a failure
+   *     converges to the same target — the merge is idempotent;
+   *   - each batch publishes a NEW target version and atomically repoints
+   *     a `current` symlink (rename is atomic on POSIX) — readers never
+   *     see a half-written merge, the filesystem twin of a lakehouse
+   *     commit.
+   *  Merge cost is O(|target| + |batch|) per batch (anti-join + union,
+   *  both shuffle-free at the key count here); a production target would
+   *  partition by key-hash so the anti-join rewrites only touched
+   *  partitions. After the bounded AvailableNow replay the target equals
+   *  the batch aggregate — the exact oracle. */
+  private val upserts = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  def streamForeachUpsert(spark: SparkSession, dir: String): DataFrame =
+    upserts.getOrElseUpdate(dir, {
+      val root = tempDirWithCleanup("graft_foreach_upsert")
+      val cur = root.resolve("current")
+      val q = withEventTime(eventsStream(spark, dir))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .writeStream
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", root.resolve("chk").toString)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val next = root.resolve(s"v$batchId")
+          val merged =
+            if (Files.exists(cur)) {
+              val existing = batch.sparkSession.read.parquet(cur.toString)
+              existing.join(batch.select("user_id", "event_type"),
+                  Seq("user_id", "event_type"), "left_anti")
+                .unionByName(batch)
+            } else batch
+          merged.write.mode("overwrite").parquet(next.toString)
+          val link = root.resolve(s"link$batchId")
+          Files.deleteIfExists(link)
+          Files.createSymbolicLink(link, next)
+          Files.move(link, cur,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(cur.toString)
+    }).orderBy("user_id", "event_type")
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("stream_foreach_upsert", streamForeachUpsert, Some("""
+      SELECT user_id, event_type, count(*) AS n_events
+      FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""")),
     QueryDef("stream_file_sink", streamFileSink, Some("""
       SELECT event_type, count(*) AS n,
              cast(sum(cast(value as decimal(12,2))) as double) AS sum_value
