@@ -131,6 +131,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "global scalars must not plan a window")
   }
 
+  test("text_fuzzy_join: vocabulary dedup before the gram join, no cartesian") {
+    val p = plan("text_fuzzy_join")
+    assert(!p.contains("CartesianProduct"), "fuzzy join must block on grams, not cross-join")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "the distinct-name vocabulary aggregate must partial+final")
+  }
+
   test("bucketed join runs with no shuffle and no sort on either side") {
     // at toy SF the planner would (rightly) broadcast; disable it so the
     // test exercises the big-fact-join path bucketing exists for
