@@ -187,7 +187,45 @@ object CurationPipeline {
   // oracle: the same chain in DuckDB — tokenization, marker argmax with
   // first-max tiebreak, integer quality arithmetic, md5 dedup keeping the
   // lowest doc_id (arg-min via row_number, fine at oracle scale)
+  /** SEQUENCE PACKING — the batch-construction step before pretraining:
+   *  assign documents to fixed-token-budget packs by cumulative offset
+   *  (doc d goes to pack ⌊prefix_tokens(d)/budget⌋), emitting per-pack
+   *  occupancy. Deterministic and ORDER-DEFINED (by doc_id within
+   *  source), unlike greedy first-fit whose output depends on scan order —
+   *  determinism is what makes a 100 TB packing run reproducible and
+   *  resumable. The prefix sum is a window partitioned by `source`, so
+   *  packing parallelizes across sources; a single-source corpus would
+   *  swap in the range-partitioned two-pass prefix sum
+   *  ([[ScalableRank]] pattern) — same arithmetic, no global window. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 512L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), tokenCount(col("text")).cast("long").as("ntok"))
+      .withColumn("off", sum(col("ntok")).over(w) - col("ntok")) // exclusive prefix
+      .groupBy(col("source"), floor(col("off") / lit(budget)).as("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "pack_id")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("pipeline_pack", packSequences, Some("""
+      WITH t AS (
+        SELECT doc_id, source,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS ntok
+        FROM documents),
+      p AS (
+        SELECT doc_id, source, ntok,
+               sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok AS off
+        FROM t)
+      SELECT source, cast(floor(off / 512.0) as bigint) AS pack_id,
+             count(*) AS n_docs, cast(sum(ntok) as bigint) AS total_tokens,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM p GROUP BY 1, 2 ORDER BY source, pack_id""")),
     QueryDef("pipeline_chunks", chunkDocs, Some(s"""
       WITH t AS (
         SELECT doc_id,

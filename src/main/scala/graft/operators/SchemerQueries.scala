@@ -103,6 +103,50 @@ object SchemerQueries {
       .select(concat(lit("{\"u"), col("user_id"), lit("\":"), col("event_id"), lit("}")).as("j"))
       .agg(InferSchema.infer_hive_type_mapped(col("j"), mapThreshold = 8).as("hive_type"))
 
+  /** SCHEMA-DRIVEN READ — the engine's output driving an actual scan,
+   *  closing the loop the reference only gestures at (its DDL is meant to
+   *  be fed to Hive; here the inferred schema feeds `spark.read.schema`
+   *  directly): an NDJSON projection of events is written once per
+   *  (application, dir), its witness inferred by the distributed fold,
+   *  rendered to a Spark `StructType` ([[graft.schemer.HiveRender.toSparkSchema]]),
+   *  and the SAME files are then read back WITH that schema — no second
+   *  inference pass, the reader trusts the engine — and aggregated.
+   *  Results are cast to width-stable types so the oracle holds at any
+   *  scale factor (the inferred integral widths tighten with data range:
+   *  SMALLINT event_id at sf0.01, INT at sf0.1). */
+  private val ndjsonDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  def schemaDrivenRead(spark: SparkSession, dir: String): DataFrame = {
+    val path = ndjsonDirs.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_ndjson_" +
+        s"${spark.sparkContext.applicationId}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Tables.events(spark, dir)
+        .select(to_json(struct(col("event_id"), col("event_type"), col("user_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))).as("value"))
+        .write.mode("overwrite").text(out)
+      val p = java.nio.file.Paths.get(out)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(f =>
+              try java.nio.file.Files.deleteIfExists(f) catch { case _: Throwable => () })
+        } catch { case _: Throwable => () }
+      }))
+      out
+    })
+    val witness = InferSchema.inferPath(spark, path)
+    val schema = graft.schemer.HiveRender.toSparkSchema(witness)
+    spark.read.schema(schema).json(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min(col("event_id")).cast("bigint").as("min_event_id"),
+        max(col("event_id")).cast("bigint").as("max_event_id"),
+        sum(col("user_id").cast("bigint")).as("sum_user_id"),
+        max(col("k")).cast("bigint").as("max_k"))
+      .orderBy("event_type")
+  }
+
   /** DuckDB twin of [[graft.schemer.HiveRender]]'s integral bucket ladder
    *  (Schemer.scala:77-82 semantics) over precomputed min/max columns. */
   private def bucketSql(mn: String, mx: String): String =
@@ -157,6 +201,12 @@ object SchemerQueries {
     QueryDef("schema_props_map", schemaPropsMap, Some(s"""
       SELECT 'MAP<STRING,' || chr(10) || chr(9) || ${bucketSql("mn", "mx")} || chr(10) || '>'
                AS hive_type
-      FROM (SELECT min(event_id) AS mn, max(event_id) AS mx FROM events) s"""))
+      FROM (SELECT min(event_id) AS mn, max(event_id) AS mx FROM events) s""")),
+    QueryDef("schema_driven_read", schemaDrivenRead, Some("""
+      SELECT event_type, count(*) AS n,
+             min(event_id) AS min_event_id, max(event_id) AS max_event_id,
+             cast(sum(user_id) as bigint) AS sum_user_id,
+             max(cast(json_extract(props, '$.k') as bigint)) AS max_k
+      FROM events GROUP BY 1 ORDER BY event_type"""))
   )
 }

