@@ -99,7 +99,35 @@ object Sinks {
       .orderBy("event_type")
   }
 
+  /** ORC round trip — the second columnar format Spark ships natively:
+   *  a lineitem projection written as ORC WITH predicate-pushdown-friendly
+   *  layout, read back with a filter that reaches the ORC reader
+   *  (`PushedFilters` in the plan, same contract as the parquet scans),
+   *  and aggregated. Exercises that the engine's outputs are not
+   *  parquet-bound: a warehouse standardized on ORC runs the same plans. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_orc_" +
+      s"${spark.sparkContext.applicationId}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    if (written.add(out)) {
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"))
+        .write.mode("overwrite").orc(out)
+    }
+    spark.read.orc(out)
+      .filter(col("l_quantity") >= 25.0)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("sink_orc_roundtrip", orcRoundtrip, Some("""
+      SELECT l_returnflag, count(*) AS n,
+             cast(sum(cast(l_extendedprice as decimal(12,2))) as double) AS revenue
+      FROM lineitem WHERE l_quantity >= 25.0
+      GROUP BY l_returnflag ORDER BY l_returnflag""")),
     QueryDef("sink_csv_roundtrip", csvRoundtrip, Some("""
       SELECT event_type, count(*) AS n,
              cast(sum(cast(value as decimal(12,2))) as double) AS sum_value,

@@ -138,6 +138,27 @@ class PlanSpec extends AnyFunSuite {
       "the distinct-name vocabulary aggregate must partial+final")
   }
 
+  test("sink_orc_roundtrip: the filter reaches the ORC reader") {
+    graft.SparkEntry.queries("sink_orc_roundtrip")(spark, dir).collect() // ensure written
+    val p = plan("sink_orc_roundtrip")
+    assert(p.contains("Scan orc"), "read-back must scan ORC, not fall to rows")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity"),
+      s"quantity filter must push into the ORC scan:\n$p")
+  }
+
+  test("pipeline_pack: the packing window is partitioned, never global") {
+    val df = graft.SparkEntry.queries("pipeline_pack")(spark, dir)
+    val globalWindows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, "prefix sum must partition by source")
+  }
+
+  test("q50_retention: two user-keyed shuffles, no cartesian, no window") {
+    val p = plan("q50_retention")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+  }
+
   test("bucketed join runs with no shuffle and no sort on either side") {
     // at toy SF the planner would (rightly) broadcast; disable it so the
     // test exercises the big-fact-join path bucketing exists for
