@@ -44,7 +44,14 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, src, dst, copies)
+    spark.stop()
+  }
 
+  /** The generator itself, callable on any session (specs scale a tiny
+   *  SF and assert FK integrity / disjointness invariants on the output). */
+  def generate(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // dimension tables: copied verbatim (fixed at any scale factor)
     for (t <- Seq("region", "nation"))
       spark.read.parquet(s"$src/$t.parquet")
@@ -95,7 +102,5 @@ object ScaleGen {
         .withColumn("embedding",
           if (c == 0) col("embedding")
           else transform(col("embedding"), x => x + lit((c * 1e-3).toFloat))))
-
-    spark.stop()
   }
 }

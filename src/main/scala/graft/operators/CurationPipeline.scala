@@ -55,10 +55,9 @@ object CurationPipeline {
    *  groupBy per contaminated doc. No cross join, no per-doc set
    *  materialization. */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val docShingles = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        explode(array_distinct(wordShingleHashes(col("text"), 3))).as("sh"))
-      .persist() // feeds the benchmark index and the probe side
+    // shared corpus-level shingle snapshot — feeds the benchmark index
+    // and the probe side here, and every other 3-gram consumer
+    val docShingles = graft.dedup.Dedup.shingleIndex(spark, dir)
     val isBench = col("doc_id") % 97 === 0
     val benchShingles = docShingles.filter(isBench).select("sh").distinct()
     val flagged = docShingles.filter(!isBench)
@@ -86,10 +85,7 @@ object CurationPipeline {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.ColumnBridge
     import org.apache.spark.sql.types.BinaryType
-    val docShingles = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        explode(array_distinct(wordShingleHashes(col("text"), 3))).as("sh"))
-      .persist()
+    val docShingles = graft.dedup.Dedup.shingleIndex(spark, dir)
     val isBench = col("doc_id") % 89 === 0
     val benchShingles = docShingles.filter(isBench).select("sh").distinct()
     val bloomBin = benchShingles
