@@ -56,6 +56,33 @@ class MapWitnessSpec extends AnyFunSuite {
         org.apache.spark.sql.types.ShortType, valueContainsNull = true))
   }
 
+  test("capObjects is idempotent and stable under partition splits (property)") {
+    // deterministic pseudo-random wide objects: key universe u0..u39,
+    // values all numeric (uniform), so any >threshold subset collapses
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val nDocs = 1 + rnd.nextInt(12)
+      val docs = Vector.fill(nDocs) {
+        val keys = rnd.shuffle((0 until 40).toVector).take(1 + rnd.nextInt(15))
+        WObj(keys.map(k => s"u$k" -> num(rnd.nextInt(1000))))
+      }
+      val threshold = 1 + rnd.nextInt(12)
+      def fold(ws: Seq[Witness]): Witness =
+        ws.foldLeft(Witness.bottom)((a, b) =>
+          Witness.capObjects(Witness.merge(a, b), threshold))
+      val sequential = fold(docs)
+      // idempotence
+      assert(Witness.capObjects(sequential, threshold) == sequential)
+      // split at a random point, fold halves independently (two "partial
+      // aggregates" that may collapse at different times), merge+cap —
+      // must equal the sequential fold
+      val cut = rnd.nextInt(nDocs + 1)
+      val (l, r) = docs.splitAt(cut)
+      val split = Witness.capObjects(Witness.merge(fold(l), fold(r)), threshold)
+      assert(split == sequential, s"split fold diverged (cut=$cut, t=$threshold)")
+    }
+  }
+
   test("infer_hive_type_mapped collapses key-as-data JSON; plain infer does not") {
     val spark = SparkTestSession.spark
     import spark.implicits._
