@@ -369,7 +369,67 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
       .orderBy("fp")
 
+  /** INCREMENTAL dedup — the daily-ingest shape: a NEW BATCH deduped
+   *  against the EXISTING corpus index, not against itself. Docs with
+   *  id ≡ 0 (mod 10) stand in for today's batch; the rest are the
+   *  standing index. Three outcomes per new doc, all decided by
+   *  fingerprint joins (8-byte md5-derived keys, never text):
+   *  duplicate-of-corpus (fingerprint already indexed — dropped),
+   *  duplicate-within-batch (kept once, lowest doc_id), novel. The
+   *  corpus side ships only its distinct fingerprint set — exactly what
+   *  a production run reads back from the persisted index, O(corpus
+   *  distinct) not O(corpus); the decision is one anti-join shape
+   *  (left join + null test), one within-batch min_by, zero windows. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), fingerprintMd5(col("text")).as("fp"))
+    val isNew = col("doc_id") % 10 === 0
+    val index = docs.filter(!isNew).select("fp").distinct()
+    // today's batch: the new decile PLUS re-ingests of standing corpus
+    // docs (id ≡ 0 mod 97, arriving under fresh ingest ids) — the
+    // re-crawl/re-upload case incremental dedup exists to catch
+    val batch = docs.filter(isNew).unionByName(
+      docs.filter(!isNew && col("doc_id") % 97 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val decided = batch.join(index.withColumn("in_corpus", lit(true)), Seq("fp"), "left")
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_batch"),
+        // every row of a fingerprint joined the same index row (or none),
+        // so first() is value-deterministic here
+        first(col("in_corpus")).as("inc"))
+      .select(col("fp"), col("keep_id"), col("n_batch"),
+        coalesce(col("inc"), lit(false)).as("dup_of_corpus"))
+    decided
+      .groupBy("dup_of_corpus")
+      .agg(count(lit(1)).as("n_fingerprints"),
+        sum(col("n_batch")).as("n_batch_docs"),
+        sum(when(col("n_batch") > 1, col("n_batch") - 1).otherwise(0L)).as("n_intra_batch_dups"))
+      .orderBy("dup_of_corpus")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("dedup_incremental", incrementalDedup, Some("""
+      WITH f AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                 CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\s+') END, chr(1))) AS fp
+        FROM documents),
+      idx AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 <> 0),
+      batch AS (
+        SELECT fp, doc_id FROM f WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT fp, doc_id + 1000000 FROM f WHERE doc_id % 10 <> 0 AND doc_id % 97 = 0),
+      b AS (
+        SELECT batch.fp, min(doc_id) AS keep_id, count(*) AS n_batch,
+               max(CASE WHEN idx.fp IS NOT NULL THEN 1 ELSE 0 END) = 1 AS dup_of_corpus
+        FROM batch LEFT JOIN idx ON batch.fp = idx.fp
+        GROUP BY batch.fp)
+      SELECT dup_of_corpus, count(*) AS n_fingerprints,
+             cast(sum(n_batch) as bigint) AS n_batch_docs,
+             cast(sum(CASE WHEN n_batch > 1 THEN n_batch - 1 ELSE 0 END) as bigint)
+               AS n_intra_batch_dups
+      FROM b GROUP BY 1 ORDER BY dup_of_corpus""")),
     QueryDef("dedup_exact", exact, Some("""
       SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS dup_count
       FROM documents GROUP BY 1 ORDER BY text_md5""")),
