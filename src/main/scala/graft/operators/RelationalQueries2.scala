@@ -294,7 +294,61 @@ object RelationalQueries2 {
         count(when(col("k") > 50, 1)).as("n_large"))
       .orderBy("event_type")
 
+  /** DATA-QUALITY RULE CHECK — the validation pass a pipeline runs before
+   *  publishing a table: a rule set (range, domain, non-null, positivity)
+   *  evaluated as conditional sums in ONE aggregate pass over the scan —
+   *  never one job per rule — then pivoted to a row per rule with an
+   *  exact basis-point violation rate (integer div, no float boundary).
+   *  Rules are chosen so some fire and some don't on this corpus (the
+   *  interesting output is the nonzero rows a publisher would gate on). */
+  def q51DqRules(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val agg = li.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("l_quantity").isNull || !col("l_quantity").between(1.0, 45.0), 1L)
+        .otherwise(0L)).as("v_qty"),
+      sum(when(col("l_discount").isNull || !col("l_discount").between(0.0, 0.08), 1L)
+        .otherwise(0L)).as("v_disc"),
+      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("v_ship"),
+      sum(when(col("l_returnflag").isNull || !col("l_returnflag").isin("A", "N", "R"), 1L)
+        .otherwise(0L)).as("v_rf"),
+      sum(when(col("l_extendedprice").isNull || col("l_extendedprice") > 100000.0, 1L)
+        .otherwise(0L)).as("v_price"))
+    agg.selectExpr(
+      """stack(5,
+         'discount_le_8pct',  n_rows, v_disc,
+         'price_le_100k',     n_rows, v_price,
+         'quantity_in_1_45',  n_rows, v_qty,
+         'returnflag_domain', n_rows, v_rf,
+         'shipdate_not_null', n_rows, v_ship
+       ) AS (rule_name, n_rows, n_violations)""")
+      .withColumn("violation_bp", expr("n_violations * 10000 div n_rows"))
+      .orderBy("rule_name")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("q51_dq_rules", q51DqRules, Some("""
+      WITH a AS (
+        SELECT count(*) AS n_rows,
+               sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1.0 OR l_quantity > 45.0
+                        THEN 1 ELSE 0 END) AS v_qty,
+               sum(CASE WHEN l_discount IS NULL OR l_discount < 0.0 OR l_discount > 0.08
+                        THEN 1 ELSE 0 END) AS v_disc,
+               sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS v_ship,
+               sum(CASE WHEN l_returnflag IS NULL OR l_returnflag NOT IN ('A','N','R')
+                        THEN 1 ELSE 0 END) AS v_rf,
+               sum(CASE WHEN l_extendedprice IS NULL OR l_extendedprice > 100000.0
+                        THEN 1 ELSE 0 END) AS v_price
+        FROM lineitem)
+      SELECT rule_name, n_rows, n_violations,
+             n_violations * 10000 // n_rows AS violation_bp
+      FROM (
+        SELECT 'discount_le_8pct' AS rule_name, n_rows, cast(v_disc as bigint) AS n_violations FROM a
+        UNION ALL SELECT 'price_le_100k', n_rows, cast(v_price as bigint) FROM a
+        UNION ALL SELECT 'quantity_in_1_45', n_rows, cast(v_qty as bigint) FROM a
+        UNION ALL SELECT 'returnflag_domain', n_rows, cast(v_rf as bigint) FROM a
+        UNION ALL SELECT 'shipdate_not_null', n_rows, cast(v_ship as bigint) FROM a) t
+      ORDER BY rule_name""")),
     QueryDef("q41_rolling_range", q41RollingRange, Some("""
       SELECT o_custkey, o_orderkey,
              date_diff('day', DATE '1970-01-01', cast(o_orderdate as date)) AS day,
