@@ -259,6 +259,38 @@ object Media {
       out.array()
     }
 
+    /** Per-window PCM energy scan: sum of squared int16 samples per
+     *  fixed-size window (exact Long arithmetic — max 100·32768² ≈ 2³⁷,
+     *  nowhere near overflow). The RIFF walk mirrors [[decodeWav]]. */
+    def windowEnergies(b: Array[Byte], win: Int): Seq[(Int, Long, Int)] = {
+      val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      var pos = 12
+      var dataOff = -1; var dataLen = 0
+      while (pos + 8 <= b.length) {
+        val id = new String(b, pos, 4, "US-ASCII")
+        val len = buf.getInt(pos + 4)
+        if (id == "data") { dataOff = pos + 8; dataLen = len }
+        pos += 8 + len + (len & 1)
+      }
+      require(dataOff >= 0, "unsupported WAV layout")
+      val n = dataLen / 2
+      val out = Vector.newBuilder[(Int, Long, Int)]
+      var w = 0
+      while (w * win < n) {
+        val end = math.min(n, (w + 1) * win)
+        var e = 0L
+        var i = w * win
+        while (i < end) {
+          val s = buf.getShort(dataOff + i * 2).toLong
+          e += s * s
+          i += 1
+        }
+        out += ((w, e, end - w * win))
+        w += 1
+      }
+      out.result()
+    }
+
     /** STUB for formats without an in-container codec (jpeg, mp4): derives
      *  plausible, deterministic features from raw bytes. A real codec slots
      *  in here with the same signature and batching. */
@@ -410,7 +442,40 @@ object Media {
       .orderBy("doc_id")
   }
 
+  /** Windowed audio LOUDNESS over the real WAV decode: per-100-sample
+   *  energy (sum of squared int16 samples, exact Long), rolled up per
+   *  document — the VAD/silence-trim precursor an audio-training pipeline
+   *  runs. Streams per partition through the codec like every media op;
+   *  the per-window fold never materializes the sample array. Exactly
+   *  oracle-able because the synthesized PCM is a pure function of the
+   *  text bytes (sample = (byte − 128)·256) and the corpus is ASCII, so
+   *  SQL reproduces every sample from `ascii(substring(text, i, 1))`. */
+  def audioLoudness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaContainers(spark, dir)
+      .filter(_.format == "wav")
+      .flatMap(r => Codec.windowEnergies(r.media, win = 100)
+        .map { case (widx, e, n) => (r.doc_id, widx, e, n) })
+      .toDF("doc_id", "widx", "energy", "n_samples")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        max(col("energy")).as("max_energy"),
+        sum(col("energy")).as("total_energy"))
+      .orderBy("doc_id")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("media_audio_loudness", audioLoudness, Some("""
+      WITH s AS (
+        SELECT doc_id, (i - 1) // 100 AS widx,
+               cast((ascii(substring(text, i, 1)) - 128) * 256 as bigint) AS smp
+        FROM documents, unnest(range(1, length(text) + 1)) u(i)
+        WHERE doc_id % 2 = 1),
+      e AS (SELECT doc_id, widx, sum(smp * smp) AS energy FROM s GROUP BY 1, 2)
+      SELECT doc_id, count(*) AS n_windows,
+             cast(max(energy) as bigint) AS max_energy,
+             cast(sum(energy) as bigint) AS total_energy
+      FROM e GROUP BY doc_id ORDER BY doc_id""")),
     QueryDef("media_meta", mediaMeta, Some("""
       SELECT doc_id,
              CASE WHEN substr(md5(text),1,1) <= '3' THEN 'jpeg'
