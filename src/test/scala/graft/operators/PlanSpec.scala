@@ -159,6 +159,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
   }
 
+  test("ann_matryoshka: both stages bounded aggregates, shortlist broadcast back") {
+    val p = plan("ann_matryoshka")
+    assert(!p.contains("Window"), "both stages must use the bounded top-k aggregate")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("BroadcastHashJoin"), "the rerank must join the broadcast shortlist")
+  }
+
+  test("q51_dq_rules: the whole rule set is ONE aggregate pass") {
+    val p = plan("q51_dq_rules")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, "rules must share a single scan")
+  }
+
   test("bucketed join runs with no shuffle and no sort on either side") {
     // at toy SF the planner would (rightly) broadcast; disable it so the
     // test exercises the big-fact-join path bucketing exists for
