@@ -189,17 +189,16 @@ object CurationPipeline {
    *  occupancy. Deterministic and ORDER-DEFINED (by doc_id within
    *  source), unlike greedy first-fit whose output depends on scan order —
    *  determinism is what makes a 100 TB packing run reproducible and
-   *  resumable. The prefix sum is a window partitioned by `source`, so
-   *  packing parallelizes across sources; a single-source corpus would
-   *  swap in the range-partitioned two-pass prefix sum
-   *  ([[ScalableRank]] pattern) — same arithmetic, no global window. */
+   *  resumable. The prefix sum is [[ScalableRank.withGroupedPrefixSum]]:
+   *  range-partition by (source, doc_id), window-sum locally per slice,
+   *  broadcast boundary carry-ins — `source` is low-cardinality, so a
+   *  window partitioned by it alone would funnel each source's whole
+   *  corpus through ONE task at scale. */
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
     val budget = 512L
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy("doc_id")
-    Tables.documents(spark, dir)
+    val base = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), tokenCount(col("text")).cast("long").as("ntok"))
-      .withColumn("off", sum(col("ntok")).over(w) - col("ntok")) // exclusive prefix
+    ScalableRank.withGroupedPrefixSum(base, Seq("source"), Seq("doc_id"), "ntok", "off")
       .groupBy(col("source"), floor(col("off") / lit(budget)).as("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("total_tokens"),
         min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))

@@ -47,6 +47,52 @@ object ScalableRank {
     (ranked, total)
   }
 
+  /** Adds `outCol` = exact EXCLUSIVE running sum of `valueCol` within each
+   *  `groupCols` group ordered by `sortCols` (which must total-order rows
+   *  within a group), without ever funneling one group through a single
+   *  task. A plain `sum().over(Window.partitionBy(group).orderBy(sort))`
+   *  sends EVERY row of a group to one task — fatal when the group key is
+   *  low-cardinality (e.g. `source`). Here instead:
+   *    1. range-partition by (group ++ sort) — each group becomes a run of
+   *       contiguous range slices, each slice sized ~|data|/#partitions,
+   *    2. window-sum locally inside each (slice, group) — parallel,
+   *    3. carry in per-slice offsets. Range partitioning keeps groups
+   *       contiguous, so at most #partitions−1 groups straddle a boundary
+   *       and the carry table has ≤ 2·#partitions rows — bookkeeping-sized,
+   *       like the offset pass in [[withGlobalRowNumber]] — broadcast back.
+   */
+  def withGroupedPrefixSum(df: DataFrame, groupCols: Seq[String], sortCols: Seq[String],
+                           valueCol: String, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df.repartitionByRange(parts, (groupCols ++ sortCols).map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist() // scanned twice: once for boundary totals, once for the local sums
+    val pidGroup = ("__pid" +: groupCols).map(col)
+    val totals = ranged.groupBy(pidGroup: _*).agg(sum(col(valueCol)).cast("long").as("__psum"))
+    // Only groups spanning >1 range slice need a carry-in; collect just those.
+    val spanning = totals.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).drop("__n")
+    val spanRows = totals.join(spanning, groupCols, "left_semi").collect() // ≤ 2·#partitions rows
+    val offRows = spanRows
+      .groupBy(r => groupCols.indices.map(i => r.get(1 + i))) // row layout: __pid, groups…, __psum
+      .valuesIterator.flatMap { rs =>
+        val sorted = rs.sortBy(_.getInt(0))
+        sorted.zip(sorted.scanLeft(0L)((acc, r) => acc + r.getLong(r.length - 1)).init)
+          .collect { case (r, off) if off > 0 => Row.fromSeq(r.toSeq.init :+ off) }
+      }.toSeq
+    val offSchema = StructType(totals.schema.fields.init :+ StructField("__goff", LongType, nullable = false))
+    val offsetDf = broadcast(spark.createDataFrame(spark.sparkContext.parallelize(offRows, 1), offSchema))
+    val localW = Window.partitionBy(pidGroup: _*).orderBy(sortCols.map(col): _*)
+    ranged
+      .withColumn("__lsum", sum(col(valueCol)).over(localW).cast("long") - col(valueCol))
+      .join(offsetDf, "__pid" +: groupCols, "left")
+      .withColumn(outCol, (col("__lsum") + coalesce(col("__goff"), lit(0L))).cast("long"))
+      .drop("__pid", "__lsum", "__goff")
+  }
+
   /** Adds `outCol` = exact `ntile(n)` bucket (1-based BIGINT) under
    *  `sortCols`, reproducing the SQL-standard distribution (the first
    *  `total % n` buckets get one extra row) without a global window. */

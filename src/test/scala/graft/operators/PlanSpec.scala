@@ -146,12 +146,18 @@ class PlanSpec extends AnyFunSuite {
       s"quantity filter must push into the ORC scan:\n$p")
   }
 
-  test("pipeline_pack: the packing window is partitioned, never global") {
+  test("pipeline_pack: every window rides a range slice, never source alone or global") {
     val df = graft.SparkEntry.queries("pipeline_pack")(spark, dir)
-    val globalWindows = df.queryExecution.optimizedPlan.collect {
-      case w: org.apache.spark.sql.catalyst.plans.logical.Window if w.partitionSpec.isEmpty => w
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
-    assert(globalWindows.isEmpty, "prefix sum must partition by source")
+    assert(windows.nonEmpty, "the local prefix sum should still be windowed")
+    windows.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).toSet
+      assert(keys.exists(_.startsWith("__pid")),
+        s"window must include the range-slice id in its partition key (got $keys); " +
+          "partitioning by low-cardinality source alone funnels a whole source through one task")
+    }
   }
 
   test("q50_retention: two user-keyed shuffles, no cartesian, no window") {
