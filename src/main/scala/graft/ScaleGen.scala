@@ -65,6 +65,19 @@ object ScaleGen {
       spark.read.parquet(s"$src/events.parquet").select("user_id").distinct().count()
     val nDoc = count("documents"); val nVec = count("embeddings")
 
+    // Copy-shifting by c·base keeps copies disjoint (and FKs aimed at the
+    // right copy) ONLY when the key occupies a dense span no wider than
+    // the base — real TPC-H o_orderkey spans ~4× the row count and would
+    // silently collide. Fail loudly on any sparse key space.
+    Seq(("customer", "c_custkey", nCust), ("supplier", "s_suppkey", nSupp),
+        ("part", "p_partkey", nPart), ("orders", "o_orderkey", nOrd),
+        ("orders", "o_custkey", nCust), ("lineitem", "l_orderkey", nOrd),
+        ("lineitem", "l_partkey", nPart), ("lineitem", "l_suppkey", nSupp),
+        ("events", "event_id", nEvt), ("events", "user_id", nUsers),
+        ("documents", "doc_id", nDoc), ("embeddings", "vec_id", nVec))
+      .foreach { case (t, c, base) =>
+        assertDenseKey(spark.read.parquet(s"$src/$t.parquet"), c, base, t) }
+
     def scale(table: String, files: Int)(shift: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$table.parquet")
       val out = (0 until copies).map(c => shift(base, c)).reduce(_ unionAll _)
@@ -102,5 +115,17 @@ object ScaleGen {
         .withColumn("embedding",
           if (c == 0) col("embedding")
           else transform(col("embedding"), x => x + lit((c * 1e-3).toFloat))))
+  }
+
+  /** Shift-by-c·base is collision-free iff the key span (max−min+1) fits
+   *  inside the base. Checked per shifted column before generating. */
+  private[graft] def assertDenseKey(df: DataFrame, column: String, base: Long, table: String): Unit = {
+    val r = df.agg(min(col(column)).cast("long"), max(col(column)).cast("long")).head()
+    if (!r.isNullAt(0)) {
+      val span = r.getLong(1) - r.getLong(0) + 1
+      require(span <= base,
+        s"$table.$column spans $span values but the shift base is $base: " +
+          "copy-shifting a sparse key space would silently collide")
+    }
   }
 }

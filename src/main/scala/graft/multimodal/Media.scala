@@ -137,6 +137,10 @@ object Media {
       while (pos + 8 <= b.length) {
         val id = new String(b, pos, 4, "US-ASCII")
         val len = buf.getInt(pos + 4)
+        // a corrupt/negative chunk length would walk pos backwards (infinite
+        // loop) or past the buffer — reject it as an unsupported layout
+        require(len >= 0 && pos + 8 + len <= b.length,
+          s"unsupported WAV layout: chunk '$id' len=$len at $pos overruns ${b.length} bytes")
         if (id == "fmt ") {
           channels = buf.getShort(pos + 10)
           sampleRate = buf.getInt(pos + 12)
@@ -269,6 +273,10 @@ object Media {
       while (pos + 8 <= b.length) {
         val id = new String(b, pos, 4, "US-ASCII")
         val len = buf.getInt(pos + 4)
+        // same guard as decodeWav's walk: a corrupt/negative length must
+        // fail as an unsupported layout, not loop or overrun the buffer
+        require(len >= 0 && pos + 8 + len <= b.length,
+          s"unsupported WAV layout: chunk '$id' len=$len at $pos overruns ${b.length} bytes")
         if (id == "data") { dataOff = pos + 8; dataLen = len }
         pos += 8 + len + (len & 1)
       }

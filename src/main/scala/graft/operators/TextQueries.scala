@@ -173,7 +173,10 @@ object TextQueries {
    *      the gram equi-join provably generates every qualifying pair
    *      (same candidate-generation shape as [[graft.dedup.Dedup]]'s
    *      shingle index; a web-scale vocabulary would add the >1% stop-gram
-   *      cap before the self-join);
+   *      cap before the self-join). The bound needs max(len) ≥ 5, so
+   *      pairs where BOTH names are shorter than 5 get an exhaustive
+   *      union pass — that set is alphabet-bounded (≪ any real
+   *      vocabulary), broadcast, never a cartesian over the corpus;
    *   3. VERIFY: exact `levenshtein` only on blocked candidates, a
    *      vanishing fraction of the |vocab|² product.
    *  Output carries `n_part_pairs` = the row-level pair multiplicity, so
@@ -187,10 +190,18 @@ object TextQueries {
         i => padded.substr(i, lit(3))))).as("g"))
     val a = grams.select(col("g"), col("p_name").as("name_a"), col("n_parts").as("na"))
     val b = grams.select(col("g"), col("p_name").as("name_b"), col("n_parts").as("nb"))
+    // two edits can wipe every shared padded gram of a name shorter than
+    // 5 chars, so both-short pairs bypass the blocking exhaustively
+    val short = names.filter(length(col("p_name")) < 5)
+    val shortPairs = short.select(col("p_name").as("name_a"), col("n_parts").as("na"))
+      .join(broadcast(short.select(col("p_name").as("name_b"), col("n_parts").as("nb"))),
+        col("name_a") < col("name_b"))
     a.join(b, "g")
       .filter(col("name_a") < col("name_b") &&
         abs(length(col("name_a")) - length(col("name_b"))) <= 2)
-      .select("name_a", "name_b", "na", "nb").distinct()
+      .select("name_a", "name_b", "na", "nb")
+      .unionByName(shortPairs.select("name_a", "name_b", "na", "nb"))
+      .distinct()
       .select(col("name_a"), col("name_b"),
         levenshtein(col("name_a"), col("name_b")).cast("long").as("edit_dist"),
         (col("na") * col("nb")).as("n_part_pairs"))

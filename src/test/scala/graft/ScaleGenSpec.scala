@@ -60,4 +60,18 @@ class ScaleGenSpec extends AnyFunSuite {
       .except(s("embeddings").select("vec_id", "embedding"))
     assert(identity.count() == 0, "copy 0 must be byte-identical to the source")
   }
+
+  test("sparse key spaces are rejected loudly, never silently collided") {
+    import spark.implicits._
+    // span 11 values over 3 rows: shifting by 3 per copy would collide
+    val e = intercept[IllegalArgumentException] {
+      ScaleGen.assertDenseKey(Seq(0L, 1L, 10L).toDF("k"), "k", 3L, "sparse")
+    }
+    assert(e.getMessage.contains("collide"))
+    // dense 1-based (real TPC-H PK shape) and dense 0-based both pass
+    ScaleGen.assertDenseKey(Seq(1L, 2L, 3L).toDF("k"), "k", 3L, "dense1")
+    ScaleGen.assertDenseKey(Seq(0L, 1L, 2L).toDF("k"), "k", 3L, "dense0")
+    // an empty table is trivially safe
+    ScaleGen.assertDenseKey(Seq.empty[Long].toDF("k"), "k", 3L, "empty")
+  }
 }

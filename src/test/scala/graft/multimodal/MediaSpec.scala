@@ -103,4 +103,21 @@ class MediaSpec extends AnyFunSuite {
     assert(math.abs(dur1 - dur0) <= 1, s"$dur1 vs $dur0") // duration preserved (ms rounding)
     assert(math.abs(mean1 - mean0) < 0.01, s"$mean1 vs $mean0")
   }
+
+  test("corrupt RIFF chunk lengths fail as unsupported layout, never loop or overrun") {
+    val wav = Containers.wav(Array.fill[Byte](800)(3))
+    // negative fmt-chunk length (bytes 16-19 little-endian) — the walk
+    // would otherwise step backwards forever
+    val neg = wav.clone()
+    neg(16) = -1; neg(17) = -1; neg(18) = -1; neg(19) = -1
+    // positive length overrunning the buffer — would index past the end
+    val big = wav.clone()
+    big(19) = 0x7f.toByte
+    for (bad <- Seq(neg, big)) {
+      val e1 = intercept[IllegalArgumentException](Codec.decodeWav(bad))
+      assert(e1.getMessage.contains("unsupported WAV layout"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException](Codec.windowEnergies(bad, 100))
+      assert(e2.getMessage.contains("unsupported WAV layout"), e2.getMessage)
+    }
+  }
 }

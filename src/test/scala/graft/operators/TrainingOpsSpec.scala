@@ -116,4 +116,32 @@ class TrainingOpsSpec extends AnyFunSuite {
     for (r <- rows)
       assert(r.getAs[Long]("n_versions") <= evCounts(r.getAs[Long]("user_id")))
   }
+
+  test("fuzzyJoin blocking stays lossless for names shorter than 5 chars") {
+    import spark.implicits._
+    // "ab"/"ba" (ed 2) share ZERO padded 3-grams — the gram bound only
+    // holds at max(len) >= 5, so these must come from the exhaustive pass
+    val names = Seq("ab", "ba", "cat", "cart", "plum", "corn flower blue",
+      "corn flower bleu", "navy linen", "wavy linen")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fuzzy_short")
+    tmp.toFile.deleteOnExit()
+    names.toDF("p_name").write.parquet(tmp.resolve("part.parquet").toString)
+    val got = TextQueries.fuzzyJoin(spark, tmp.toString)
+      .select("name_a", "name_b").as[(String, String)].collect().toSet
+    val want = (for {
+      a <- names; b <- names if a < b
+      if levenshteinDistance(a, b) <= 2
+    } yield (a, b)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(want.contains(("ab", "ba")), "fixture must include a zero-shared-gram pair")
+  }
+
+  /** plain reference Levenshtein for the ground truth */
+  private def levenshteinDistance(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
 }
