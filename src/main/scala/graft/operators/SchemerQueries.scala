@@ -103,6 +103,25 @@ object SchemerQueries {
       .select(concat(lit("{\"u"), col("user_id"), lit("\":"), col("event_id"), lit("}")).as("j"))
       .agg(InferSchema.infer_hive_type_mapped(col("j"), mapThreshold = 8).as("hive_type"))
 
+  /** TIMESTAMP inference (flagged extension, SURVEY §1.4's remaining
+   *  optional type): an NDJSON projection carrying an ISO timestamp
+   *  column, a date-only column, and a plain string column. With the flag
+   *  on, the all-timestamp column witnesses `TIMESTAMP`, the all-date
+   *  column `DATE`, and the plain string stays `VARCHAR(n)` — the
+   *  WTs→WStr demotion keeps max-length through the merge. Flag off
+   *  everywhere else, so reference golden outputs are untouched. */
+  def schemaPropsTs(spark: SparkSession, dir: String): DataFrame = {
+    val t = timestamp_micros(expr("ts div 1000"))
+    val json = Tables.events(spark, dir).select(concat(
+      lit("{\"ed\":\""), date_format(t, "yyyy-MM-dd"),
+      lit("\",\"et\":\""), date_format(t, "yyyy-MM-dd'T'HH:mm:ss"),
+      lit("\",\"label\":\""), col("event_type"), lit("\"}")).as("j"))
+    json.agg(InferSchema.infer_column_types(col("j"), inferTimestamps = true).as("cols"))
+      .select(explode(col("cols")).as("c"))
+      .select(col("c.col_name").as("col_name"), col("c.hive_type").as("hive_type"))
+      .orderBy("col_name")
+  }
+
   /** SCHEMA-DRIVEN READ — the engine's output driving an actual scan,
    *  closing the loop the reference only gestures at (its DDL is meant to
    *  be fed to Hive; here the inferred schema feeds `spark.read.schema`
@@ -146,6 +165,27 @@ object SchemerQueries {
         max(col("k")).cast("bigint").as("max_k"))
       .orderBy("event_type")
   }
+
+  /** DuckDB twin of the flagged timestamp-witness ladder: DATE iff every
+   *  value is a calendar-valid bare date, else TIMESTAMP iff every value
+   *  is a valid ISO date/timestamp (a date-only value still folds into a
+   *  TIMESTAMP column, like the WTs merge), else the VARCHAR ladder.
+   *  `TRY_CAST` supplies the same calendar check as the Scala side's
+   *  LocalDate.parse — 2024-02-31 NULLs out on both. */
+  private def tsLadderSql(c: String): String =
+    s"""CASE WHEN count(*) = count(CASE WHEN regexp_full_match($c, '\\d{4}-\\d{2}-\\d{2}')
+       |                                 AND TRY_CAST($c AS DATE) IS NOT NULL THEN 1 END)
+       |            THEN 'DATE'
+       |            WHEN count(*) = count(CASE WHEN
+       |                 (regexp_full_match($c, '\\d{4}-\\d{2}-\\d{2}')
+       |                  AND TRY_CAST($c AS DATE) IS NOT NULL)
+       |              OR (regexp_full_match($c,
+       |                    '\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}:\\d{2}(\\.\\d{1,9})?(Z|[+-]\\d{2}:?\\d{2})?')
+       |                  AND TRY_CAST(replace($c, ' ', 'T') AS TIMESTAMP) IS NOT NULL) THEN 1 END)
+       |            THEN 'TIMESTAMP'
+       |            WHEN max(length($c)) > 0 AND max(length($c)) < 65356
+       |            THEN 'VARCHAR(' || max(length($c)) || ')'
+       |            ELSE 'STRING' END""".stripMargin
 
   /** DuckDB twin of [[graft.schemer.HiveRender]]'s integral bucket ladder
    *  (Schemer.scala:77-82 semantics) over precomputed min/max columns. */
@@ -202,6 +242,19 @@ object SchemerQueries {
       SELECT 'MAP<STRING,' || chr(10) || chr(9) || ${bucketSql("mn", "mx")} || chr(10) || '>'
                AS hive_type
       FROM (SELECT min(event_id) AS mn, max(event_id) AS mx FROM events) s""")),
+    QueryDef("schema_props_ts", schemaPropsTs, Some(s"""
+      WITH j AS (
+        SELECT strftime(cast(ts as timestamp), '%Y-%m-%d') AS ed,
+               strftime(cast(ts as timestamp), '%Y-%m-%dT%H:%M:%S') AS et,
+               event_type AS label
+        FROM events)
+      SELECT col_name, hive_type FROM (
+        SELECT 'ed' AS col_name, ${tsLadderSql("ed")} AS hive_type FROM j
+        UNION ALL
+        SELECT 'et', ${tsLadderSql("et")} FROM j
+        UNION ALL
+        SELECT 'label', ${tsLadderSql("label")} FROM j) t
+      ORDER BY col_name""")),
     QueryDef("schema_driven_read", schemaDrivenRead, Some("""
       SELECT event_type, count(*) AS n,
              min(event_id) AS min_event_id, max(event_id) AS max_event_id,

@@ -23,6 +23,9 @@ object HiveRender {
       case WBool => "BOOLEAN"
       case WStr(n) if 0 < n && n < VarcharMax => s"VARCHAR($n)"
       case WStr(_) => "STRING"
+      // extension types (flagged timestamp inference; no reference twin)
+      case WTs(_, true) => "DATE"
+      case WTs(_, false) => "TIMESTAMP"
       case n: WNum => renderNum(n)
       case WArr(e) =>
         Seq("ARRAY<", renderType(e, i + 1), s"$pad>").mkString("\n")
@@ -84,6 +87,8 @@ object HiveRender {
     case WNull => NullType
     case WBool => BooleanType
     case WStr(_) => StringType
+    case WTs(_, true) => DateType
+    case WTs(_, false) => TimestampType
     case n: WNum =>
       val (mn, mx) = (n.minW, n.maxW)
       if (n.maxScale == 0) {

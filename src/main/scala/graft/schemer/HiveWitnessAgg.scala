@@ -30,6 +30,9 @@ trait WitnessFoldAgg extends TypedImperativeAggregate[Witness] with UnaryLike[Ex
 
   def child: Expression
   def mapThreshold: Int
+  /** Flagged ISO-8601 recognition ([[Witness.temporalWitness]]); default
+   *  false everywhere = exact reference parity, like `mapThreshold` = 0. */
+  def inferTimestamps: Boolean = false
 
   private def cap(w: Witness): Witness =
     if (mapThreshold > 0) Witness.capObjects(w, mapThreshold) else w
@@ -41,7 +44,8 @@ trait WitnessFoldAgg extends TypedImperativeAggregate[Witness] with UnaryLike[Ex
     if (v == null) buffer
     else {
       val line = v.asInstanceOf[UTF8String].toString
-      if (line.isEmpty) buffer else cap(Witness.merge(buffer, Witness.ofJson(line)))
+      if (line.isEmpty) buffer
+      else cap(Witness.merge(buffer, Witness.ofJson(line, inferTimestamps = inferTimestamps)))
     }
   }
 
@@ -92,6 +96,7 @@ case class HiveWitnessAgg(
 case class WitnessColumnsAgg(
     child: Expression,
     mapThreshold: Int = 0,
+    override val inferTimestamps: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends WitnessFoldAgg {

@@ -123,11 +123,15 @@ object InferSchema {
 
   /** Column function: the unified schema as PER-COLUMN DATA —
    *  `array<struct<col_name, hive_type>>` over the top-level fields, in
-   *  first-seen order. Explode it for one row per column. */
-  def infer_column_types(c: Column): Column = {
+   *  first-seen order. Explode it for one row per column.
+   *  `inferTimestamps` turns on the flagged ISO-8601 witness (SURVEY §1.4
+   *  optional extension): string columns whose every value is a valid
+   *  ISO date/timestamp render `DATE`/`TIMESTAMP` instead of VARCHAR. */
+  def infer_column_types(c: Column, inferTimestamps: Boolean = false): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(
-      WitnessColumnsAgg(ColumnBridge.expression(c)).toAggregateExpression())
+      WitnessColumnsAgg(ColumnBridge.expression(c), inferTimestamps = inferTimestamps)
+        .toAggregateExpression())
   }
 
   private def nativeAgg(c: Column, renderDefs: Boolean, mapThreshold: Int = 0): Column = {

@@ -62,6 +62,16 @@ object WObj {
   val empty: WObj = WObj(Vector.empty)
 }
 
+/** Timestamp witness — the OPT-IN extension beyond the reference
+ *  (SURVEY §1.4, the `TimestampType` twin of [[WMap]]): a string column
+ *  whose every value parsed as an ISO-8601 date/timestamp. Produced only
+ *  when `inferTimestamps` is passed to [[Witness.ofJson]] (default off —
+ *  reference parity untouched). Carries the max string length so a later
+ *  non-temporal value demotes the column to a correct `VARCHAR(n)` witness
+ *  (string sits ABOVE timestamp in the lattice), and `dateOnly` so a
+ *  column of bare dates renders `DATE` rather than `TIMESTAMP`. */
+final case class WTs(maxLen: Int, dateOnly: Boolean) extends Witness
+
 /** Map witness — the OPT-IN extension beyond the reference (SURVEY §1.4):
  *  an object whose keys are DATA (user ids, feature names, …) rather than
  *  schema. Produced only by the flagged high-cardinality heuristic
@@ -106,6 +116,13 @@ object Witness {
     case (x, WNull) => x
     case (WBool, WBool) => WBool
     case (WStr(x), WStr(y)) => WStr(math.max(x, y))
+    // timestamp ⊔ timestamp keeps the temporal witness; any plain string
+    // demotes the join to WStr (with the max length preserved), so the
+    // lattice stays associative: once any operand is WStr the result is
+    // WStr no matter the association order.
+    case (WTs(x, dx), WTs(y, dy)) => WTs(math.max(x, y), dx && dy)
+    case (WTs(x, _), WStr(y)) => WStr(math.max(x, y))
+    case (WStr(x), WTs(y, _)) => WStr(math.max(x, y))
     case (x: WNum, y: WNum) =>
       WNum(x.min.min(y.min), x.max.max(y.max), math.max(x.maxScale, y.maxScale))
     // cross-row element conflicts propagate as RowMismatch, like the
@@ -168,30 +185,58 @@ object Witness {
     new ObjectMapper().configure(DeserializationFeature.USE_BIG_DECIMAL_FOR_FLOATS, true)
 
   /** Parse one NDJSON line into its witness. Malformed JSON throws
-   *  (fail-fast, like the reference's `Json.parse` at Schemer.scala:13). */
-  def ofJson(line: String, context: => String = ""): Witness =
-    ofNode(mapper.readTree(line), context)
+   *  (fail-fast, like the reference's `Json.parse` at Schemer.scala:13).
+   *  `inferTimestamps` (default off, like the MAP flag) turns ISO-8601
+   *  strings into [[WTs]] witnesses. */
+  def ofJson(line: String, context: => String = "", inferTimestamps: Boolean = false): Witness =
+    ofNode(mapper.readTree(line), context, inferTimestamps)
+
+  // ---- flagged ISO-8601 recognition ---------------------------------------
+
+  private val DateRe = """\d{4}-\d{2}-\d{2}""".r
+  private val TsRe =
+    """\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(\.\d{1,9})?(Z|[+-]\d{2}:?\d{2})?""".r
+
+  /** Regex prefilter (rejects virtually every non-temporal string in two
+   *  comparisons), then a real calendar check so impossible dates
+   *  (2024-02-31) stay strings — the same accept set as the DuckDB
+   *  oracle's `TRY_CAST`, which NULLs them. */
+  private[schemer] def temporalWitness(s: String): Option[WTs] =
+    if (DateRe.matches(s)) {
+      if (validDate(s)) Some(WTs(s.length, dateOnly = true)) else None
+    } else if (TsRe.matches(s)) {
+      val okClock = s.substring(11, 13).toInt <= 23 &&
+        s.substring(14, 16).toInt <= 59 && s.substring(17, 19).toInt <= 59
+      if (okClock && validDate(s.substring(0, 10))) Some(WTs(s.length, dateOnly = false)) else None
+    } else None
+
+  private def validDate(s: String): Boolean =
+    try { java.time.LocalDate.parse(s); true }
+    catch { case _: java.time.format.DateTimeParseException => false }
 
   /** Convert a parsed Jackson tree to a witness. Array canonicalization
    *  (reference `prepare`, Schemer.scala:32-41) happens here: elements are
    *  fold-merged into one witness; empty arrays become `WArr(WNull)`. */
-  def ofNode(n: JsonNode, context: => String = ""): Witness = {
+  def ofNode(n: JsonNode, context: => String = "", inferTimestamps: Boolean = false): Witness = {
     import com.fasterxml.jackson.databind.node.JsonNodeType._
     n.getNodeType match {
       case NULL | MISSING => WNull
       case BOOLEAN => WBool
-      case STRING => WStr(n.textValue().length)
+      case STRING =>
+        val s = n.textValue()
+        if (inferTimestamps) temporalWitness(s).getOrElse(WStr(s.length)) else WStr(s.length)
       case NUMBER =>
         val d = BigDecimal(n.decimalValue())
         WNum(d, d, d.scale)
       case ARRAY =>
-        val elems = n.elements().asScala.map(ofNode(_, context))
+        val elems = n.elements().asScala.map(ofNode(_, context, inferTimestamps))
         WArr(
           try elems.foldLeft(bottom)((acc, w) => merge(acc, w, context))
           catch { case RowMismatch(_, _, c) => throw InconsistentArray(c) }
         )
       case OBJECT =>
-        WObj(n.properties().asScala.iterator.map(e => e.getKey -> ofNode(e.getValue, context)).toVector)
+        WObj(n.properties().asScala.iterator.map(e =>
+          e.getKey -> ofNode(e.getValue, context, inferTimestamps)).toVector)
       case other => throw new IllegalArgumentException(s"$context: unsupported JSON node type $other")
     }
   }

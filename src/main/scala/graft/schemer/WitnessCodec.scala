@@ -44,6 +44,8 @@ object WitnessCodec {
       fields.foreach { case (k, v) => out.writeUTF(k); writeW(v, out) }
     case WMap(v) =>
       out.writeByte(6); writeW(v, out)
+    case WTs(n, d) =>
+      out.writeByte(7); out.writeInt(n); out.writeBoolean(d)
   }
 
   private def readW(in: DataInputStream): Witness = in.readByte() match {
@@ -59,6 +61,7 @@ object WitnessCodec {
       val n = in.readInt()
       WObj(Vector.fill(n)(in.readUTF() -> readW(in)))
     case 6 => WMap(readW(in))
+    case 7 => WTs(in.readInt(), in.readBoolean())
     case other => throw new IllegalStateException(s"corrupt witness tag: $other")
   }
 }

@@ -27,6 +27,12 @@ class LatticeLawsSpec extends AnyFunSuite {
       b <- Gen.choose(-1e18, 1e18).map(x => BigDecimal(x.toLong))
       s <- Gen.choose(0, 6)
     } yield WNum((a min b).setScale(s), (a max b).setScale(s), s)
+    // kind 6 mixes the flagged timestamp witness with plain strings inside
+    // ONE shape — the WTs⊔WTs join AND the WTs→WStr demotion must both
+    // satisfy every law (demotion keeps max length, so order can't matter)
+    case 6 => Gen.oneOf(
+      Gen.zip(Gen.choose(8, 40), Gen.oneOf(true, false)).map { case (l, d) => WTs(l, d) },
+      Gen.choose(0, 70000).map(WStr(_)))
     // kinds 3..5 are arrays of leaf kind (k-3): the SHAPE fixes the element
     // kind, so two operands of the same shape always have compatible arrays
     // (a per-operand random element kind would make merge legitimately throw
@@ -45,7 +51,7 @@ class LatticeLawsSpec extends AnyFunSuite {
   }
 
   private val genShape: Gen[Map[String, Int]] = Gen.nonEmptyMap(
-    Gen.zip(Gen.oneOf("a", "b", "c", "d", "e"), Gen.choose(0, 5)))
+    Gen.zip(Gen.oneOf("a", "b", "c", "d", "e"), Gen.choose(0, 6)))
 
   private def rendered(w: Witness): String = HiveRender.renderType(w)
 
