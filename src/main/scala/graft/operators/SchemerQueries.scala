@@ -90,6 +90,44 @@ object SchemerQueries {
       .orderBy("col_name")
   }
 
+  /** The FULL events table decomposed to per-column rows — closes the
+   *  rows-only gap on [[schemaEventsFull]] (which must stay a DDL string
+   *  for golden parity): all six columns projected to NDJSON with
+   *  width-stable renderings (ts as ISO seconds, value as DECIMAL(12,2)
+   *  text), inferred in one aggregate with the timestamp flag on, and
+   *  exploded to `(col_name, hive_type)` rows so every witness rule the
+   *  full-table DDL exercises — integral buckets, VARCHAR max-length, the
+   *  FLOAT/DOUBLE/NUMERIC ladder, nested STRUCT, TIMESTAMP — gains a
+   *  closed-form DuckDB hash check. */
+  def schemaEventsColumns(spark: SparkSession, dir: String): DataFrame = {
+    val t = timestamp_micros(expr("ts div 1000"))
+    val json = Tables.events(spark, dir).select(concat(
+      lit("{\"event_id\":"), col("event_id"),
+      lit(",\"ts\":\""), date_format(t, "yyyy-MM-dd'T'HH:mm:ss"),
+      lit("\",\"user_id\":"), col("user_id"),
+      lit(",\"event_type\":\""), col("event_type"),
+      lit("\",\"value\":"), col("value").cast("decimal(12,2)"),
+      lit(",\"props\":"), col("props"),
+      lit("}")).as("j"))
+    json.agg(InferSchema.infer_column_types(col("j"), inferTimestamps = true).as("cols"))
+      .select(explode(col("cols")).as("c"))
+      .select(col("c.col_name").as("col_name"), col("c.hive_type").as("hive_type"))
+      .orderBy("col_name")
+  }
+
+  /** The GROUPED engine decomposed to per-column rows — closes the
+   *  rows-only gap on [[schemaPropsByType]] the same way: one witness fold
+   *  per event_type (partial aggregation still applies — only witnesses
+   *  shuffle), exploded to `(event_type, col_name, hive_type)`. */
+  def schemaPropsColumns(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(InferSchema.infer_column_types(col("props")).as("cols"))
+      .select(col("event_type"), explode(col("cols")).as("c"))
+      .select(col("event_type"),
+        col("c.col_name").as("col_name"), col("c.hive_type").as("hive_type"))
+      .orderBy("event_type", "col_name")
+
   /** MAP-type inference (flagged extension, SURVEY §1.4): a corpus whose
    *  object keys are DATA — here one `u<user_id>` key per row — witnesses
    *  as `MAP<STRING, T>` once the key count passes the threshold, instead
@@ -238,6 +276,42 @@ object SchemerQueries {
         SELECT 'props', 'STRUCT<' || chr(10) || chr(9) || 'k: ' ||
                         ${bucketSql("mn_k", "mx_k")} || chr(10) || '>' FROM s) t
       ORDER BY col_name""")),
+    QueryDef("schema_events_columns", schemaEventsColumns, Some(s"""
+      WITH s AS (
+        SELECT min(event_id) AS mn_e, max(event_id) AS mx_e,
+               max(length(event_type)) AS len_t,
+               min(user_id) AS mn_u, max(user_id) AS mx_u,
+               min(cast(json_extract(props, '$$.k') as bigint)) AS mn_k,
+               max(cast(json_extract(props, '$$.k') as bigint)) AS mx_k,
+               greatest(
+                 length(cast(cast(abs(min(cast(value as decimal(12,2))))*100 as bigint) as varchar)),
+                 length(cast(cast(abs(max(cast(value as decimal(12,2))))*100 as bigint) as varchar))) AS prec_v
+        FROM events),
+      j AS (SELECT strftime(cast(ts as timestamp), '%Y-%m-%dT%H:%M:%S') AS tss FROM events)
+      SELECT col_name, hive_type FROM (
+        SELECT 'event_id' AS col_name, ${bucketSql("mn_e", "mx_e")} AS hive_type FROM s
+        UNION ALL
+        SELECT 'ts', (SELECT ${tsLadderSql("tss")} FROM j) FROM s
+        UNION ALL
+        SELECT 'user_id', ${bucketSql("mn_u", "mx_u")} FROM s
+        UNION ALL
+        SELECT 'event_type', CASE WHEN len_t > 0 AND len_t < 65356
+                                  THEN 'VARCHAR(' || len_t || ')' ELSE 'STRING' END FROM s
+        UNION ALL
+        SELECT 'value', CASE WHEN prec_v <= 7 THEN 'FLOAT'
+                             WHEN prec_v <= 15 THEN 'DOUBLE'
+                             ELSE 'NUMERIC(' || prec_v || ', 2)' END FROM s
+        UNION ALL
+        SELECT 'props', 'STRUCT<' || chr(10) || chr(9) || 'k: ' ||
+                        ${bucketSql("mn_k", "mx_k")} || chr(10) || '>' FROM s) t
+      ORDER BY col_name""")),
+    QueryDef("schema_props_columns", schemaPropsColumns, Some(s"""
+      SELECT event_type, 'k' AS col_name, ${bucketSql("mn", "mx")} AS hive_type
+      FROM (SELECT event_type,
+                   min(cast(json_extract(props, '$$.k') as bigint)) AS mn,
+                   max(cast(json_extract(props, '$$.k') as bigint)) AS mx
+            FROM events GROUP BY 1) s
+      ORDER BY event_type, col_name""")),
     QueryDef("schema_props_map", schemaPropsMap, Some(s"""
       SELECT 'MAP<STRING,' || chr(10) || chr(9) || ${bucketSql("mn", "mx")} || chr(10) || '>'
                AS hive_type
