@@ -290,9 +290,19 @@ object Ann {
    *  100 TB the corpus-wide pass touches prefix bytes only — the full
    *  vectors are fetched for the shortlist alone, which is the whole
    *  point of matryoshka-ordered embeddings. */
-  def matryoshkaTopK(spark: SparkSession, dir: String): DataFrame = {
+  /** Stage 1 of [[matryoshkaTopK]] — the width-10 prefix-cosine shortlist
+   *  as `(query_id, neighbor_id)` rows. Exposed so RecallSpec can measure
+   *  shortlist coverage of the true top-3 independently of the (exact)
+   *  rerank stage. */
+  def matryoshkaShortlist(spark: SparkSession, dir: String): DataFrame =
+    matryoshkaShortlistOf(Tables.embeddings(spark, dir))
+
+  /** [[matryoshkaShortlist]] over an arbitrary `(vec_id, embedding)` corpus
+   *  — lets RecallSpec drive the same stage-1 plan against a
+   *  prefix-concentrated variant of the corpus to show the width is an
+   *  embedding-structure question, not an operator parameter to inflate. */
+  private[similarity] def matryoshkaShortlistOf(emb: DataFrame, width: Int = 10): DataFrame = {
     val pre = 16
-    val emb = Tables.embeddings(spark, dir)
     val queries = broadcast(emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
     val coarse = emb.crossJoin(queries)
@@ -300,9 +310,16 @@ object Ann {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(slice(col("q_emb"), 1, pre), slice(col("embedding"), 1, pre)).as("c"))
       .groupBy("query_id")
-      .agg(topK(10)(col("c"), col("neighbor_id")).as("top"))
-    val shortlist = broadcast(explodeRanks(coarse, "query_id", "neighbor_id")
-      .select("query_id", "neighbor_id"))
+      .agg(topK(width)(col("c"), col("neighbor_id")).as("top"))
+    explodeRanks(coarse, "query_id", "neighbor_id")
+      .select("query_id", "neighbor_id")
+  }
+
+  def matryoshkaTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = broadcast(emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val shortlist = broadcast(matryoshkaShortlist(spark, dir))
     val rerank = emb.join(shortlist, col("vec_id") === col("neighbor_id"))
       .join(queries, "query_id")
       .select(col("query_id"), col("neighbor_id"),
