@@ -227,7 +227,7 @@ object SchemerQueries {
 
   /** DuckDB twin of [[graft.schemer.HiveRender]]'s integral bucket ladder
    *  (Schemer.scala:77-82 semantics) over precomputed min/max columns. */
-  private def bucketSql(mn: String, mx: String): String =
+  private[graft] def bucketSql(mn: String, mx: String): String =
     s"""CASE WHEN $mn >= -128 AND $mx <= 127 THEN 'TINYINT'
        |            WHEN $mn >= -32768 AND $mx <= 32767 THEN 'SMALLINT'
        |            WHEN $mn >= -2147483648 AND $mx <= 2147483647 THEN 'INT'
@@ -255,7 +255,18 @@ object SchemerQueries {
                   WHEN mn >= -2147483648 AND mx <= 2147483647 THEN 'INT'
                   ELSE 'BIGINT' END AS bucket
       FROM (SELECT min(user_id) AS mn, max(user_id) AS mx FROM events) s""")),
-    QueryDef("schema_props_by_type", schemaPropsByType, None),
+    // the full grouped DDL string IS oracle-expressible on this corpus:
+    // props is a single-key object, so the struct rendering has the same
+    // closed form the schema_columns oracle uses
+    QueryDef("schema_props_by_type", schemaPropsByType, Some(s"""
+      SELECT event_type,
+             'STRUCT<' || chr(10) || chr(9) || 'k: ' || ${bucketSql("mn", "mx")} ||
+             chr(10) || '>' AS hive_type
+      FROM (SELECT event_type,
+                   min(cast(json_extract(props, '$$.k') as bigint)) AS mn,
+                   max(cast(json_extract(props, '$$.k') as bigint)) AS mx
+            FROM events GROUP BY 1) s
+      ORDER BY event_type""")),
     QueryDef("schema_events_full", schemaEventsFull, None),
     QueryDef("schema_columns", schemaColumns, Some(s"""
       WITH s AS (

@@ -524,7 +524,19 @@ object EventStreams {
                                   ORDER BY count(*) DESC, user_id) AS rank
         FROM events GROUP BY event_type, user_id) t
       WHERE rank <= 3 ORDER BY event_type, rank""")),
-    QueryDef("stream_schema_evolution", streamSchemaEvolution, None),
+    // bounded replay ⇒ the final Complete-mode snapshot equals the batch
+    // grouped inference, whose DDL string has a closed SQL form on this
+    // corpus (single-key props object) — same oracle as schema_props_by_type
+    QueryDef("stream_schema_evolution", streamSchemaEvolution, Some(s"""
+      SELECT event_type,
+             'STRUCT<' || chr(10) || chr(9) || 'k: ' ||
+             ${graft.operators.SchemerQueries.bucketSql("mn", "mx")} ||
+             chr(10) || '>' AS hive_type
+      FROM (SELECT event_type,
+                   min(cast(json_extract(props, '$$.k') as bigint)) AS mn,
+                   max(cast(json_extract(props, '$$.k') as bigint)) AS mx
+            FROM events GROUP BY 1) s
+      ORDER BY event_type""")),
     QueryDef("stream_enriched", streamEnriched, Some("""
       SELECT n.n_name AS nation, count(*) AS n_events,
              cast(sum(cast(value as decimal(12,2))) as double) AS sum_value
