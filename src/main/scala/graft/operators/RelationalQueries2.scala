@@ -166,6 +166,30 @@ object RelationalQueries2 {
       .orderBy("quartile")
   }
 
+  /** Exact GLOBAL percentiles (p50/p90/p99 of lineitem price) — the
+   *  complement of the grouped exact median (q21, per-group sort is fine)
+   *  and the approximate sketch (sketch_stats, when error is acceptable):
+   *  when an exact global quantile is required at scale, the only
+   *  shuffle-safe form is [[ScalableRank.withGlobalRowNumber]] — range
+   *  partition, local rank, broadcast offsets — then ONE equality join
+   *  against the ceil(q·N) target ranks. A no-partitionBy percentile
+   *  window would single-task-sort 100 TB; this sorts ~1/#partitions per
+   *  task and ships only O(#partitions) bookkeeping rows. */
+  def q52Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_extendedprice").cast("decimal(12,2)").as("price"),
+        col("l_orderkey"), col("l_linenumber"))
+    val (ranked, total) = ScalableRank.withGlobalRowNumber(
+      li, Seq(col("price"), col("l_orderkey"), col("l_linenumber")), "rn")
+    // ceil in DOUBLE on both sides: identical IEEE math ⇒ identical target
+    val targets = Seq(0.50, 0.90, 0.99).map(q => (q, math.ceil(q * total).toLong))
+    import spark.implicits._
+    val tDf = broadcast(targets.toDF("q", "target_rn"))
+    ranked.join(tDf, col("rn") === col("target_rn"))
+      .select(col("q"), col("price").cast("double").as("price"))
+      .orderBy("q")
+  }
+
   /** The full analytic-window set in one pass: ranking (dense_rank,
    *  percent_rank, cume_dist) and navigation (lag, lead, first_value,
    *  nth_value) over the per-priority price ordering. percent_rank /
@@ -463,6 +487,17 @@ object RelationalQueries2 {
       SELECT doc_id, lang, n_chars FROM documents
       WHERE substr(md5(cast(doc_id as varchar)), 1, 1) IN ('0', '1')
       ORDER BY doc_id""")),
+    QueryDef("q52_percentiles", q52Percentiles, Some("""
+      WITH r AS (
+        SELECT cast(l_extendedprice as decimal(12,2)) AS price,
+               row_number() OVER (ORDER BY cast(l_extendedprice as decimal(12,2)),
+                                  l_orderkey, l_linenumber) AS rn,
+               count(*) OVER () AS n
+        FROM lineitem)
+      SELECT cast(t.q as double) AS q, cast(r.price as double) AS price
+      FROM r JOIN (VALUES (0.50), (0.90), (0.99)) t(q)
+        ON r.rn = ceil(cast(t.q as double) * r.n)
+      ORDER BY q""")),
     QueryDef("q21_median", q21Median, Some("""
       SELECT p_type, median(p_size) AS median_size, count(*) AS n
       FROM part GROUP BY p_type ORDER BY p_type""")),

@@ -160,6 +160,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q52_percentiles: rank windows ride range slices; targets broadcast") {
+    val df = graft.SparkEntry.queries("q52_percentiles")(spark, dir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "the local rank should still be windowed")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty &&
+        w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).exists(_.startsWith("__pid")),
+        "the rank window must partition by the range-slice id — a global " +
+          "window would single-task-sort the table")
+    }
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "the 3-row target-rank join must broadcast")
+  }
+
   test("q50_retention: two user-keyed shuffles, no cartesian, no window") {
     val p = plan("q50_retention")
     assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
