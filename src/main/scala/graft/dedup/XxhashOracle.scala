@@ -161,6 +161,40 @@ object XxhashOracle {
        |      ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Oracle for pipeline_dsir_weights: per-token xxh64 (same `xin`/`x_out`
+   *  machinery as the simhash oracle) → bucket = unsigned hash mod 64
+   *  (= Spark's `pmod(h, 64)`, identical low bits under two's complement)
+   *  → per-(doc, bucket) counts → +1-smoothed target/raw basis-point
+   *  ratios → count-weighted per-doc sums rolled up per source. All
+   *  integer arithmetic, so the comparison is hash-exact. */
+  lazy val dsirSql: String = {
+    val target = "('src0', 'src1', 'src2', 'src3')"
+    s"""
+       |      WITH $toksCte,
+       |      xin AS MATERIALIZED (
+       |        SELECT doc_id*1000000 + u.i AS sid, toks[u.i] AS s
+       |        FROM toks, unnest(range(1, len(toks)+1)) u(i)),
+       |      ${xxhStringCtes("x", "xin")},
+       |      tb AS MATERIALIZED (
+       |        SELECT sid // 1000000 AS doc_id, (${unsigned("h")}) % 64 AS b FROM x_out),
+       |      db AS MATERIALIZED (
+       |        SELECT t.doc_id, d.source, t.b, count(*) AS c
+       |        FROM tb t JOIN documents d ON d.doc_id = t.doc_id
+       |        GROUP BY 1, 2, 3),
+       |      bc AS MATERIALIZED (
+       |        SELECT b,
+       |               sum(CASE WHEN source IN $target THEN c ELSE 0 END) AS t_b,
+       |               sum(CASE WHEN source IN $target THEN 0 ELSE c END) AS r_b
+       |        FROM db GROUP BY b),
+       |      lr AS MATERIALIZED (
+       |        SELECT b, (t_b + 1) * 10000 // (r_b + 1) AS lr_bp FROM bc),
+       |      pd AS MATERIALIZED (
+       |        SELECT doc_id, source, sum(c * lr_bp) AS w
+       |        FROM db JOIN lr USING (b) GROUP BY 1, 2)
+       |      SELECT source, count(*) AS n_docs, cast(sum(w) as bigint) AS sum_w
+       |      FROM pd GROUP BY 1 ORDER BY source""".stripMargin
+  }
+
   /** Oracle for dedup_minhash_lsh: shingle-string xxh64 → 32 seed-mixed
    *  minima (seeds = XXH64.hashInt(i, 42), embedded as literals) → band
    *  keys as the 4-step hashLong fold Spark's xxhash64(array) performs →

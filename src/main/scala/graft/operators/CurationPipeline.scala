@@ -205,7 +205,47 @@ object CurationPipeline {
       .orderBy("source", "pack_id")
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+   *  Language Models via Importance Resampling"): score documents by how
+   *  target-like their hashed n-gram feature counts are. Features are
+   *  unigram token XXH64 hashes folded into 64 buckets (`pmod` of the
+   *  signed hash = unsigned low bits, so the DuckDB twin agrees); the
+   *  per-bucket likelihood ratio is the +1-smoothed target/raw count
+   *  ratio in integer BASIS POINTS — `(t_b+1)*10000 div (r_b+1)`. The
+   *  global T/R normalizer is a constant factor that cannot change the
+   *  ranking, and dropping it keeps every intermediate inside BIGINT even
+   *  at 100 TB (t_b*10^4 < 2^63 up to ~10^14 target tokens; the paper's
+   *  log-ratio form is a monotone variant of the same per-bucket table).
+   *  A document's weight is the count-weighted sum of its buckets'
+   *  ratios, rolled up per source.
+   *
+   *  Scale shape: one explode over the native token-hash expression into
+   *  a per-(doc, bucket) partial-aggregated count; the 64-row ratio table
+   *  derives from THAT (no second corpus pass) and broadcasts back; the
+   *  final rollups key on doc then source. No self-join, no window.
+   *  Target distribution here: the curated fifth of the corpus
+   *  (src0..src3); everything else is the raw pool being scored. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val target = Seq("src0", "src1", "src2", "src3")
+    val docBucket = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(wordShingleHashes(col("text"), 1)).as("h"))
+      .groupBy(col("doc_id"), col("source"), pmod(col("h"), lit(64)).as("b"))
+      .agg(count(lit(1)).as("c"))
+    val lr = broadcast(
+      docBucket.groupBy("b").agg(
+          sum(when(col("source").isin(target: _*), col("c")).otherwise(0L)).as("t_b"),
+          sum(when(col("source").isin(target: _*), 0L).otherwise(col("c"))).as("r_b"))
+        .select(col("b"), expr("(t_b + 1) * 10000 div (r_b + 1)").as("lr_bp")))
+    docBucket.join(lr, "b")
+      .groupBy("doc_id", "source").agg(sum(col("c") * col("lr_bp")).as("w"))
+      .groupBy("source").agg(count(lit(1)).as("n_docs"), sum("w").as("sum_w"))
+      .orderBy("source")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("pipeline_dsir_weights", dsirWeights,
+      Some(graft.dedup.XxhashOracle.dsirSql)),
     QueryDef("pipeline_pack", packSequences, Some("""
       WITH t AS (
         SELECT doc_id, source,

@@ -176,6 +176,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "the 3-row target-rank join must broadcast")
   }
 
+  test("pipeline_dsir_weights: 64-row ratio table broadcasts; no window, no cartesian") {
+    val p = plan("pipeline_dsir_weights")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the bucket likelihood-ratio table must join as a broadcast")
+  }
+
   test("q50_retention: two user-keyed shuffles, no cartesian, no window") {
     val p = plan("q50_retention")
     assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
