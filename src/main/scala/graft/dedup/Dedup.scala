@@ -157,6 +157,41 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Asymmetric shingle CONTAINMENT — the overlap measure Jaccard misses:
+   *  a short document quoted wholesale inside a much longer one has
+   *  |∩|/|A∪B| ≈ |A|/|B| → 0 but |∩|/|A| ≈ 1. Containment is the
+   *  dedup-family member that catches quote/excerpt/embedding relations
+   *  (Broder 1997 defines both resemblance and containment over the same
+   *  shingle sets — one index serves both).
+   *
+   *  Scale shape identical to [[ngramJaccard]]: the SAME shared shingle
+   *  snapshot, the same >100-doc stop-shingle cap before the inverted-
+   *  index self-join, intersection counts per pair, then each unordered
+   *  pair emits up to two DIRECTED rows (sub ⊂ super). Score is exact
+   *  integer basis points with half-up rounding —
+   *  `(2·inter·10⁴ + n_sub) div (2·n_sub)` — so the DuckDB twin matches
+   *  bit-for-bit with no float comparison at the threshold. */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    val docShingles = shingleIndex(spark, dir).select("doc_id", "sh")
+    val counts = docShingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val hot = docShingles.groupBy("sh").count().filter(col("count") > 100).select("sh")
+    val cold = docShingles.join(broadcast(hot), Seq("sh"), "left_anti")
+    val pairs = cold.as("x").join(cold.as("y"), "sh")
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val directed = pairs
+      .select(col("id_a").as("id_sub"), col("id_b").as("id_super"), col("inter"))
+      .unionByName(pairs.select(col("id_b").as("id_sub"), col("id_a").as("id_super"), col("inter")))
+    directed
+      .join(counts.withColumnRenamed("doc_id", "id_sub").withColumnRenamed("n_sh", "n_sub"), "id_sub")
+      .filter(col("n_sub") >= 5) // tiny shingle sets contain trivially
+      .select(col("id_sub"), col("id_super"),
+        expr("(2 * inter * 10000 + n_sub) div (2 * n_sub)").as("containment_bp"))
+      .filter(col("containment_bp") >= 8000L)
+      .orderBy("id_sub", "id_super")
+  }
+
   /** Embedding-cosine near-dup: hyperplane LSH bucket join, exact cosine
    *  verification on bucket-colliding pairs only. Emits the top-20
    *  candidates with an `is_dup` (cos ≥ 0.9) verdict — on this corpus the
@@ -182,6 +217,36 @@ object Dedup {
       .select(col("id_a"), col("id_b"), (col("cos") >= 0.9).as("is_dup"), col("cos"))
       .orderBy(col("cos").desc, col("id_a"), col("id_b"))
       .limit(20)
+  }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+   *  web-scale through semantic deduplication"): semantic near-dup removal
+   *  that catches paraphrases no shingle method can — cluster the
+   *  embedding space with k-means, then compare pairs ONLY within a
+   *  cluster. For each doc whose cosine to an earlier (lower-id) cluster
+   *  member is ≥ 0.3, emit the doc with its kept representative.
+   *
+   *  Scale shape: the clustering is [[graft.similarity.Ann.kmeansCentroids]]
+   *  (broadcast centroid literals, one hash aggregate per Lloyd round);
+   *  assignment is map-side; the pair join is an equi-join on `cell` —
+   *  candidate pairs are O(Σ|cell|²), bounded by construction because k
+   *  grows with the corpus (√n cells is the paper's regime), never the
+   *  all-pairs O(n²). Exactly the embedding twin of [[ngramJaccard]]'s
+   *  bucket-join discipline. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = graft.similarity.Ann.kmeansCentroids(emb, 16, 3)
+    val assigned = graft.similarity.Ann.assignCells(emb, centroids)
+      .select(col("cell"), col("vec_id"), col("embedding"))
+      .persist() // trained assignment feeds both sides of the pair join
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("dup_id"), col("embedding").as("emb_b"))
+    a.join(b, "cell")
+      .filter(col("id_a") < col("dup_id"))
+      .filter(cosine(col("emb_a"), col("emb_b")) >= 0.3)
+      .groupBy("dup_id")
+      .agg(min(col("id_a")).as("kept_id"), count(lit(1)).as("n_sim"))
+      .orderBy("dup_id")
   }
 
   /** GENERATED DuckDB oracle for [[embeddingNearDup]] — the LSH bucket
@@ -466,7 +531,40 @@ object Dedup {
       JOIN counts b ON b.doc_id = id_b
       WHERE cast(inter as double) / cast(a.n_sh + b.n_sh - inter as double) >= 0.5
       ORDER BY id_a, id_b""")),
+    // containment twin: same shingle CTEs as the jaccard oracle, each
+    // unordered pair fanned out to its two directed (sub, super) rows,
+    // exact half-up integer bp at the threshold (no float compare)
+    QueryDef("dedup_containment", containment, Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3),
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 100),
+      cold AS (SELECT * FROM sh ANTI JOIN hot USING (sh)),
+      pairs AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+        FROM cold x JOIN cold y USING (sh)
+        WHERE x.doc_id < y.doc_id
+        GROUP BY 1, 2),
+      directed AS (
+        SELECT id_a AS id_sub, id_b AS id_super, inter FROM pairs
+        UNION ALL
+        SELECT id_b, id_a, inter FROM pairs)
+      SELECT id_sub, id_super,
+             (2 * inter * 10000 + n_sh) // (2 * n_sh) AS containment_bp
+      FROM directed JOIN counts ON doc_id = id_sub
+      WHERE n_sh >= 5
+        AND (2 * inter * 10000 + n_sh) // (2 * n_sh) >= 8000
+      ORDER BY id_sub, id_super""")),
     QueryDef("dedup_embedding", embeddingNearDup, Some(embeddingOracleSql)),
+    QueryDef("dedup_semantic", semanticDedup,
+      Some(graft.similarity.KmeansOracle.semdedupSql)),
     // components via recursive transitive closure in SQL (fine at oracle
     // scale); the Spark side is the distributed label propagation
     QueryDef("dedup_clusters", dedupClusters, Some("""

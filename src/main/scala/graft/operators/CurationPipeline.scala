@@ -243,7 +243,72 @@ object CurationPipeline {
       .orderBy("source")
   }
 
+  /** Deterministic epoch shuffle + shard assignment — the step between a
+   *  curated corpus and a training run: every document gets a global
+   *  position under a keyed pseudo-random permutation (`md5("shuf:" ∥
+   *  doc_id)` as sort key — change the salt, get the next epoch's order)
+   *  and a shard `(pos − 1) mod 8`. A seeded permutation beats
+   *  `rand()`-ordering because it is REPRODUCIBLE: re-running the job —
+   *  or re-materializing one lost shard — yields byte-identical output.
+   *
+   *  Scale shape: the global position is [[ScalableRank.withGlobalRowNumber]]
+   *  (range-partition by the hash key, rank locally, broadcast offsets) —
+   *  never a single-task global window; the md5 key is computed map-side.
+   *  The hash key also IS the range-partitioner key, so shard files come
+   *  out hash-ordered — exactly what a streaming data loader wants. */
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(concat(lit("shuf:"), col("doc_id").cast("string"))).as("k"))
+    val (ranked, _) = ScalableRank.withGlobalRowNumber(keyed, Seq(col("k"), col("doc_id")), "pos")
+    ranked.select(col("doc_id"), col("pos"),
+        expr("(pos - 1) % 8").as("shard_id"))
+      .orderBy("pos")
+  }
+
+  /** Domain-mix planning — the sampling-rate table a data-mixing run
+   *  derives before drawing a training set: given per-source token counts
+   *  and an equal-share target, the acceptance rate that downsamples every
+   *  source to the smallest one's token mass. All rates are exact integer
+   *  basis points (half-up `(2·minT·10⁴ + T) div 2T`), so the plan is
+   *  reproducible and auditable — the actual draw is then
+   *  [[stratifiedSample]]'s hash-mod discipline with these rates.
+   *  One aggregate over the corpus + one broadcast scalar; no shuffle
+   *  beyond the per-source groupBy. */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"), tokenCount(col("text")).cast("long").as("ntok"))
+      .groupBy("source").agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tokens"))
+    val totals = perSource.agg(min(col("tokens")).as("min_t"), sum(col("tokens")).as("tot_t"))
+    perSource.crossJoin(broadcast(totals)) // 1-row broadcast: no real cross
+      .select(col("source"), col("n_docs"), col("tokens"),
+        expr("(2 * tokens * 10000 + tot_t) div (2 * tot_t)").as("share_bp"),
+        expr("(2 * min_t * 10000 + tokens) div (2 * tokens)").as("accept_bp"))
+      .withColumn("tokens_after", expr("tokens * accept_bp div 10000"))
+      .orderBy("source")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("pipeline_shuffle", epochShuffle, Some("""
+      SELECT doc_id,
+             row_number() OVER (ORDER BY md5('shuf:' || cast(doc_id as varchar)), doc_id) AS pos,
+             (row_number() OVER (ORDER BY md5('shuf:' || cast(doc_id as varchar)), doc_id) - 1) % 8
+               AS shard_id
+      FROM documents ORDER BY pos""")),
+    QueryDef("pipeline_domain_mix", domainMix, Some("""
+      WITH t AS (
+        SELECT doc_id, source,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS ntok
+        FROM documents),
+      s AS (SELECT source, count(*) AS n_docs, cast(sum(ntok) as bigint) AS tokens
+            FROM t GROUP BY 1),
+      g AS (SELECT min(tokens) AS min_t, cast(sum(tokens) as bigint) AS tot_t FROM s)
+      SELECT source, n_docs, tokens,
+             (2 * tokens * 10000 + tot_t) // (2 * tot_t) AS share_bp,
+             (2 * min_t * 10000 + tokens) // (2 * tokens) AS accept_bp,
+             tokens * ((2 * min_t * 10000 + tokens) // (2 * tokens)) // 10000 AS tokens_after
+      FROM s CROSS JOIN g ORDER BY source""")),
     QueryDef("pipeline_dsir_weights", dsirWeights,
       Some(graft.dedup.XxhashOracle.dsirSql)),
     QueryDef("pipeline_pack", packSequences, Some("""

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.Tables
+import graft.Tables.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Iterative graph analytics over relations the engine already owns —
+ * the second graph algorithm family after the dedup module's
+ * large-star/small-star connected components. PageRank is the classic
+ * "does your engine do iteration at scale" test: a fixed number of
+ * join+aggregate rounds where every shuffle carries only (long, long)
+ * or (long, rank) pairs, never wide rows.
+ *
+ * All rank arithmetic is INTEGER (ranks seeded at 10⁹, damping applied
+ * as `(15·10⁹ + 85·Σ) div 100`, contributions as `rank div out_degree`)
+ * so the DuckDB oracle matches bit-for-bit with no float accumulation
+ * order to replay, and no overflow until ~10⁸ nodes per partition-sum
+ * (BIGINT headroom: Σ ranks ≈ n·10⁹, ×85 < 2⁶³ up to n ≈ 10⁸; a 100 TB
+ * deployment re-seeds at 10⁶ for another 10³×).
+ */
+object GraphOps {
+
+  /** PageRank (3 rounds, d = 0.85) over the part co-purchase graph:
+   *  parts are linked when they appear in the same order. The graph is
+   *  symmetric by construction, so every node has both in- and
+   *  out-edges — no dangling-mass correction term is needed.
+   *
+   *  Scale shape: edge building is one self-equi-join of the distinct
+   *  (order, part) projection on the order key — the same inverted-index
+   *  discipline as the shingle joins, never a cartesian; out-degrees are
+   *  attached to edges ONCE before the loop; each round is one shuffle
+   *  (groupBy dst) over (long, long) contribution pairs plus a map-side
+   *  join of the rank table (O(nodes), re-partitioned on the same key so
+   *  successive rounds reuse the exchange). Top-20 via TakeOrdered. */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val seed = 1000000000L
+    val orderParts = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = orderParts.as("a").join(orderParts.as("b"), "ok")
+      .filter(col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .distinct()
+    val withDeg = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("od")), "src")
+      .persist() // the loop's constant: (src, dst, out_degree)
+    var rank = withDeg.select(col("src").as("node")).distinct()
+      .withColumn("rank", lit(seed))
+    for (_ <- 1 to 3) {
+      rank = withDeg.join(rank.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("rank div od")).as("in_rank"))
+        // 15·seed precomputed in Scala: `15 * 1000000000` in SQL would be
+        // int×int and overflow under ANSI before widening to bigint
+        .select(col("node"), expr(s"(${15 * seed} + 85 * in_rank) div 100").as("rank"))
+    }
+    rank.select(col("node").as("part_key"), col("rank"))
+      .orderBy(col("rank").desc, col("part_key"))
+      .limit(20)
+  }
+
+  val defs: Vector[QueryDef] = Vector(
+    // exact twin: same distinct co-purchase edges, 3 unrolled rounds of
+    // the same integer recurrence (DuckDB's hugeint sums are cast back
+    // down; every division is integer `//`, so no float anywhere)
+    QueryDef("graph_pagerank", pagerank, Some("""
+      WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      edges AS MATERIALIZED (
+        SELECT DISTINCT a.pk AS src, b.pk AS dst
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk <> b.pk),
+      deg AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+      e AS MATERIALIZED (SELECT edges.src, edges.dst, deg.od FROM edges JOIN deg USING (src)),
+      r0 AS (SELECT src AS node, cast(1000000000 as bigint) AS rank FROM deg),
+      r1 AS MATERIALIZED (
+        SELECT dst AS node,
+               cast((15000000000 + 85 * sum(rank // od)) // 100 as bigint) AS rank
+        FROM e JOIN r0 ON r0.node = e.src GROUP BY dst),
+      r2 AS MATERIALIZED (
+        SELECT dst AS node,
+               cast((15000000000 + 85 * sum(rank // od)) // 100 as bigint) AS rank
+        FROM e JOIN r1 ON r1.node = e.src GROUP BY dst),
+      r3 AS MATERIALIZED (
+        SELECT dst AS node,
+               cast((15000000000 + 85 * sum(rank // od)) // 100 as bigint) AS rank
+        FROM e JOIN r2 ON r2.node = e.src GROUP BY dst)
+      SELECT node AS part_key, rank FROM r3
+      ORDER BY rank DESC, part_key LIMIT 20"""))
+  )
+}

@@ -57,18 +57,25 @@ object KmeansOracle {
        |          SELECT cell, list(val ORDER BY dim) AS cl FROM m$it GROUP BY cell) n
        |        ON n.cell = c.cell)""".stripMargin
 
-  /** The complete oracle SQL for ann_kmeans_ivf. */
-  lazy val sql: String = {
+  /** Shared CTE prefix — seed, the Lloyd training rounds, and the final
+   *  assignment `a$Iters(vec_id, embedding, cell)` — reused by both the
+   *  trained-IVF search oracle and the SemDeDup oracle (one training, two
+   *  consumers, mirroring how the engine shares [[Ann.kmeansCentroids]]). */
+  private lazy val trainedCtes: String = {
     val seed =
       s"""c0 AS MATERIALIZED (
          |        SELECT vec_id AS cell, list_transform(embedding, x -> cast(x as double)) AS cl
          |        FROM embeddings WHERE vec_id < $K)""".stripMargin
     val rounds = (0 until Iters).map(it => s"${assignCte(it)},\n      ${meansAndNextCte(it)}")
-    val finalAssign = assignCte(Iters)
-    s"""
-       |      WITH $seed,
+    s"""$seed,
        |      ${rounds.mkString(",\n      ")},
-       |      $finalAssign,
+       |      ${assignCte(Iters)}""".stripMargin
+  }
+
+  /** The complete oracle SQL for ann_kmeans_ivf. */
+  lazy val sql: String = {
+    s"""
+       |      WITH $trainedCtes,
        |      q AS (SELECT vec_id AS query_id, embedding AS q_emb, cell
        |            FROM a$Iters WHERE vec_id < 8)
        |      SELECT query_id, neighbor_id, rank FROM (
@@ -81,5 +88,33 @@ object KmeansOracle {
        |        WHERE a.vec_id <> q.query_id) t
        |      WHERE rank <= 3
        |      ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Oracle for dedup_semantic (SemDeDup): the SAME trained assignment
+   *  chain, then within-cell pairwise cosines as left-associative double
+   *  `+` chains — the identical IEEE operation order as the fused
+   *  [[graft.functions.ArrayCosine]] loop (the construction already
+   *  validated bit-for-bit by the dedup_embedding oracle), so the ≥ 0.3
+   *  threshold decides identically on both sides. Output is integer-only
+   *  (ids + counts); no float crosses the compare boundary. */
+  lazy val semdedupSql: String = {
+    val nrm = (1 to Dim)
+      .map(j => s"cast(embeddings.embedding[$j] as double)*cast(embeddings.embedding[$j] as double)")
+      .mkString(" + ")
+    val xy = (1 to Dim)
+      .map(j => s"cast(a.embedding[$j] as double)*cast(b.embedding[$j] as double)")
+      .mkString(" + ")
+    s"""
+       |      WITH $trainedCtes,
+       |      v AS MATERIALIZED (SELECT vec_id, ($nrm) AS nrm FROM embeddings),
+       |      p AS (
+       |        SELECT b.vec_id AS dup_id, a.vec_id AS id_a,
+       |               CASE WHEN sqrt(va.nrm) * sqrt(vb.nrm) = 0 THEN 0.0
+       |                    ELSE ($xy) / (sqrt(va.nrm) * sqrt(vb.nrm)) END AS cos
+       |        FROM a$Iters a JOIN a$Iters b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |        JOIN v va ON va.vec_id = a.vec_id
+       |        JOIN v vb ON vb.vec_id = b.vec_id)
+       |      SELECT dup_id, min(id_a) AS kept_id, cast(count(*) as bigint) AS n_sim
+       |      FROM p WHERE cos >= 0.3 GROUP BY dup_id ORDER BY dup_id""".stripMargin
   }
 }

@@ -69,6 +69,60 @@ class DedupQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("containment EQUALS brute-force directed shingle containment >= 0.8") {
+    val sets = Tables.documents(spark, dir)
+      .filter(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"), wordShingleHashes(col("text"), 3).as("hs"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSet))
+    // mirror the query's stop-shingle cap: shingles in >100 docs are
+    // excluded from intersections, NOT from the |sub| denominator
+    val docFreq = sets.iterator.flatMap(_._2).toSeq.groupBy(identity).map { case (s, xs) => s -> xs.size }
+    val hot = docFreq.collect { case (s, n) if n > 100 => s }.toSet
+    val expected = (for {
+      (a, sa) <- sets.iterator
+      (b, sb) <- sets.iterator
+      if a != b && sa.size >= 5
+      inter = (sa -- hot).intersect(sb -- hot).size.toLong
+      bp = (2 * inter * 10000 + sa.size) / (2 * sa.size)
+      if bp >= 8000
+    } yield (a, b) -> bp).toMap
+    val got = Dedup.containment(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(expected.nonEmpty, "test premise: corpus contains containment relations")
+    assert(got == expected, s"got ${got.size} directed pairs, expected ${expected.size}")
+  }
+
+  test("semantic dedup EQUALS brute-force within-cell cosine >= 0.3") {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = graft.similarity.Ann.kmeansCentroids(emb, 16, 3)
+    val assigned = graft.similarity.Ann.assignCells(emb, centroids)
+      .select(col("cell"), col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var xy = 0.0; var xx = 0.0; var yy = 0.0
+      var i = 0
+      while (i < x.length) {
+        val xv = x(i).toDouble; val yv = y(i).toDouble
+        xy += xv * yv; xx += xv * xv; yy += yv * yv; i += 1
+      }
+      val d = math.sqrt(xx) * math.sqrt(yy)
+      if (d == 0.0) 0.0 else xy / d
+    }
+    val expected = assigned.groupBy(_._1).valuesIterator.flatMap { cell =>
+      val sorted = cell.sortBy(_._2)
+      for {
+        j <- sorted.indices
+        i <- 0 until j
+        if cos(sorted(i)._3, sorted(j)._3) >= 0.3
+      } yield (sorted(j)._2, sorted(i)._2)
+    }.toSeq.groupBy(_._1)
+      .map { case (dup, xs) => dup -> (xs.map(_._2).min, xs.size.toLong) }
+    val got = Dedup.semanticDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(expected.nonEmpty, "test premise: clusters contain semantic near-dups")
+    assert(got == expected, s"got ${got.size} dups, expected ${expected.size}")
+  }
+
   test("embedding near-dup pairs reproduce exact cosines and verdicts") {
     val embs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))

@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.{SparkTestSession, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PageRank correctness against an in-memory reference implementation of
+ *  the same integer recurrence, plus the structural invariants the
+ *  damping guarantees. */
+class GraphOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+  private val Seed = 1000000000L
+
+  private lazy val edges: Array[(Long, Long)] = {
+    val op = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    op.groupBy(_._1).valuesIterator.flatMap { xs =>
+      for (a <- xs.toSeq; b <- xs.toSeq if a._2 != b._2) yield (a._2, b._2)
+    }.toSet.toArray
+  }
+
+  private lazy val reference: Map[Long, Long] = {
+    val od = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+    var rank: Map[Long, Long] = od.keysIterator.map(_ -> Seed).toMap
+    for (_ <- 1 to 3) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.iterator.map { case (src, _) => rank(src) / od(src) }.sum
+      }
+      rank = in.map { case (n, s) => n -> (15 * Seed + 85 * s) / 100 }
+    }
+    rank
+  }
+
+  test("top-20 ranks EQUAL the sequential integer-PageRank reference") {
+    val got = GraphOps.pagerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = reference.toArray.sortBy { case (n, r) => (-r, n) }.take(20)
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("damping floor holds and ranks discriminate") {
+    val ranks = reference.values
+    assert(ranks.forall(_ >= 15 * Seed / 100), "every node keeps the 0.15 teleport mass")
+    assert(ranks.toSet.size > 1, "test premise: the graph is not rank-regular")
+  }
+}

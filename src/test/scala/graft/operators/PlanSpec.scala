@@ -183,6 +183,39 @@ class PlanSpec extends AnyFunSuite {
       "the bucket likelihood-ratio table must join as a broadcast")
   }
 
+  test("graph_pagerank: join+aggregate rounds only — no cartesian, no window; top-20 via TakeOrdered") {
+    val p = plan("graph_pagerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not global-sort")
+  }
+
+  test("pipeline_shuffle: position windows ride range slices, never a global window") {
+    val df = graft.SparkEntry.queries("pipeline_shuffle")(spark, dir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "the local rank should still be windowed")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty &&
+        w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).exists(_.startsWith("__pid")),
+        "the shuffle-position window must partition by the range-slice id")
+    }
+  }
+
+  test("dedup_semantic: cell equi-join (no cartesian), bounded per-cell pairs, no window") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+      "the within-cell pair join must be an equi-join on cell")
+  }
+
+  test("pipeline_domain_mix: per-source aggregate + 1-row broadcast scalar, no real join") {
+    val p = plan("pipeline_domain_mix")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the totals scalar must attach as a broadcast")
+  }
+
   test("q50_retention: two user-keyed shuffles, no cartesian, no window") {
     val p = plan("q50_retention")
     assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
