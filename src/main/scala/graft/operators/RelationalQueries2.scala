@@ -175,6 +175,37 @@ object RelationalQueries2 {
    *  against the ceil(q·N) target ranks. A no-partitionBy percentile
    *  window would single-task-sort 100 TB; this sorts ~1/#partitions per
    *  task and ships only O(#partitions) bookkeeping rows. */
+  /** Interval-union coverage (gaps-and-islands): every event opens a
+   *  5-minute attention window; per user, overlapping windows merge into
+   *  islands, reporting island count and total covered time — the
+   *  "time-in-state" aggregate sessionization (gap-based, q15) cannot
+   *  express, because coverage depends on interval ENDS overlapping, not
+   *  on gaps between starts.
+   *
+   *  Scale shape: both windows partition by user_id — a high-cardinality
+   *  key, so each task scans only its own users' events; the running
+   *  `max(e)` + flag-sum island assignment is the one-pass linear merge
+   *  (no self-join of intervals, which would be quadratic per user). All
+   *  arithmetic in exact integer micros (`ts div 1000` is the suite's
+   *  nanos→micros convention matching DuckDB's epoch_us). */
+  def q53IntervalUnion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("s"))
+      .withColumn("e", col("s") + lit(300000000L))
+    val byUser = Window.partitionBy("user_id").orderBy(col("s"), col("e"))
+    val prevMax = max(col("e")).over(byUser.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = iv
+      .withColumn("new_island", when(prevMax.isNull || prevMax < col("s"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    islands.groupBy("user_id", "island")
+      .agg(min(col("s")).as("is_start"), max(col("e")).as("is_end"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("is_end") - col("is_start")).as("covered_micros"))
+      .orderBy("user_id")
+  }
+
   def q52Percentiles(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_extendedprice").cast("decimal(12,2)").as("price"),
@@ -487,6 +518,31 @@ object RelationalQueries2 {
       SELECT doc_id, lang, n_chars FROM documents
       WHERE substr(md5(cast(doc_id as varchar)), 1, 1) IN ('0', '1')
       ORDER BY doc_id""")),
+    QueryDef("q53_interval_union", q53IntervalUnion, Some("""
+      WITH iv AS (
+        SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+        FROM events),
+      f AS (
+        SELECT user_id, s, e,
+               CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         IS NULL
+                      OR max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) < s
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv),
+      isl AS (
+        SELECT user_id, s, e,
+               sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS island
+        FROM f),
+      g AS (
+        SELECT user_id, island, min(s) AS is_start, max(e) AS is_end
+        FROM isl GROUP BY 1, 2)
+      SELECT user_id, count(*) AS n_islands,
+             cast(sum(is_end - is_start) as bigint) AS covered_micros
+      FROM g GROUP BY user_id ORDER BY user_id""")),
     QueryDef("q52_percentiles", q52Percentiles, Some("""
       WITH r AS (
         SELECT cast(l_extendedprice as decimal(12,2)) AS price,

@@ -206,7 +206,53 @@ object TrainingOps {
       .limit(10)
   }
 
+  /** Per-document keyword extraction: top-3 tokens by full-vocabulary
+   *  TF-IDF — the tagging/topic pass a curation run uses to label shards.
+   *  Same exact-integer idf convention as [[tfidfSearch]].
+   *
+   *  Shape at scale: tf is one partial-aggregated groupBy over the
+   *  exploded token stream; df derives from tf (no second corpus pass) and
+   *  joins back by token (equi-join — the vocabulary is NOT broadcast: at
+   *  web scale it is itself huge); the per-doc top-3 is a window
+   *  partitioned by doc_id — a HIGH-cardinality key, so every task ranks
+   *  only its own docs' few hundred terms (the per-group-window shape the
+   *  ANN queries must avoid is few-groups × whole-corpus, not this). */
+  def keywords(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count() // metadata-only count
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = tf.join(dfreq, "tok")
+      .withColumn("w", col("tf") * expr(s"(${n}L * 1000000L) div df"))
+    val perDoc = Window.partitionBy("doc_id").orderBy(col("w").desc, col("tok"))
+    w.withColumn("rank", row_number().over(perDoc))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank").cast("bigint").as("rank"), col("tok"), col("w"))
+      .orderBy("doc_id", "rank")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("text_keywords", keywords, Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                                   ELSE regexp_split_to_array(trim(text), '\s+') END) AS tok
+        FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+      idf AS (
+        SELECT tok, ((SELECT count(*) FROM documents) * 1000000) // count(*) AS idf
+        FROM tf GROUP BY tok),
+      w AS (
+        SELECT doc_id, tok, cast(tf.tf * idf.idf as bigint) AS w
+        FROM tf JOIN idf USING (tok)),
+      r AS (
+        SELECT doc_id, tok, w,
+               row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, tok) AS rank
+        FROM w)
+      SELECT doc_id, rank, tok, w FROM r WHERE rank <= 3
+      ORDER BY doc_id, rank""")),
     QueryDef("text_tfidf_search", tfidfSearch, Some("""
       WITH tok AS (
         SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]

@@ -216,6 +216,21 @@ class PlanSpec extends AnyFunSuite {
       "the totals scalar must attach as a broadcast")
   }
 
+  test("text_keywords and q53_interval_union: windows ride high-cardinality keys only") {
+    for ((q, key) <- Seq("text_keywords" -> "doc_id", "q53_interval_union" -> "user_id")) {
+      val df = graft.SparkEntry.queries(q)(spark, dir)
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(windows.nonEmpty, s"$q should rank/merge via windows")
+      windows.foreach { w =>
+        val keys = w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).toSet
+        assert(keys.contains(key), s"$q window must partition by $key (got $keys)")
+      }
+      assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    }
+  }
+
   test("q50_retention: two user-keyed shuffles, no cartesian, no window") {
     val p = plan("q50_retention")
     assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)

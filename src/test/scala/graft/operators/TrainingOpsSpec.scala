@@ -144,4 +144,43 @@ class TrainingOpsSpec extends AnyFunSuite {
         d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
     d(a.length)(b.length)
   }
+
+  test("text_keywords EQUALS brute-force full-vocabulary TF-IDF top-3") {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).trim))
+    val n = docs.length.toLong
+    val tfs = docs.map { case (id, t) =>
+      val toks = if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+      id -> toks.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    }
+    val df = tfs.flatMap(_._2.keys).groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val expected = tfs.flatMap { case (id, tf) =>
+      tf.toSeq.map { case (tok, c) => (id, tok, c * (n * 1000000L / df(tok))) }
+        .sortBy { case (_, tok, w) => (-w, tok) }
+        .take(3).zipWithIndex
+        .map { case ((_, tok, w), i) => (id, (i + 1).toLong, tok, w) }
+    }.sortBy(r => (r._1, r._2))
+    val got = TrainingOps.keywords(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("q53_interval_union EQUALS the sequential interval-merge reference") {
+    val evs = graft.Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("s")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = evs.groupBy(_._1).toSeq.map { case (user, xs) =>
+      val iv = xs.map { case (_, s) => (s, s + 300000000L) }.sortBy(identity).toList
+      val merged = iv.tail.foldLeft(List(iv.head)) { (acc, x) =>
+        val (cs, ce) = acc.head
+        if (x._1 <= ce) (cs, math.max(ce, x._2)) :: acc.tail else x :: acc
+      }
+      (user, merged.length.toLong, merged.map { case (s, e) => e - s }.sum)
+    }.sortBy(_._1)
+    val got = graft.operators.RelationalQueries2.q53IntervalUnion(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(expected.exists(_._2 > 1), "test premise: some user has disjoint islands")
+    assert(got.toSeq == expected.toSeq)
+  }
 }
