@@ -315,6 +315,56 @@ object Media {
       (width, height, 0L, meanLuma, h)
     }
 
+    /** Perceptual average-hash (aHash) of a 24-bit BMP: decode to the
+     *  logical top-down luma matrix, box-average into an 8×8 grid (cell of
+     *  pixel (r,c) is `(r·8 div h, c·8 div w)` — the standard partition),
+     *  threshold each cell average against the mean of the 64 averages,
+     *  bit k = cr·8+cc. ALL-INTEGER (per-pixel BT.601 luma, integer cell
+     *  division, integer mean), so the hash is exactly reproducible from
+     *  the payload bytes by the SQL oracle. Returns None when the image is
+     *  smaller than the grid (w or h < 8) — no meaningful percept there.
+     *  One O(pixels) pass; O(1) state. */
+    def ahash64(b: Array[Byte]): Option[(Long, Int)] = {
+      val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      val offset = buf.getInt(10)
+      val w = buf.getInt(18)
+      val hRaw = buf.getInt(22)
+      val h = math.abs(hRaw)
+      require(buf.getShort(28) == 24, "unsupported BMP bpp")
+      if (w < 8 || h < 8) return None
+      val rowBytes = (w * 3 + 3) & ~3
+      val sums = new Array[Long](64)
+      val counts = new Array[Long](64)
+      var r = 0
+      while (r < h) {
+        // positive height ⇒ bottom-up file order: logical row r sits at
+        // file row h−1−r (same convention decodeBmp honors)
+        val fileRow = if (hRaw > 0) h - 1 - r else r
+        val base = offset + fileRow * rowBytes
+        val cr = r * 8 / h
+        var c = 0
+        while (c < w) {
+          val p = base + c * 3
+          val bl = b(p) & 0xFF; val g = b(p + 1) & 0xFF; val rr = b(p + 2) & 0xFF
+          val cell = cr * 8 + c * 8 / w
+          sums(cell) += (299 * rr + 587 * g + 114 * bl) / 1000
+          counts(cell) += 1
+          c += 1
+        }
+        r += 1
+      }
+      val avgs = Array.tabulate(64)(k => sums(k) / counts(k))
+      val mean = avgs.sum / 64
+      var hash = 0L
+      var nBits = 0
+      var k = 0
+      while (k < 64) {
+        if (avgs(k) > mean) { hash |= 1L << k; nBits += 1 }
+        k += 1
+      }
+      Some((hash, nBits))
+    }
+
     /** FNV-1a 64-bit over the whole payload — the content fingerprint. */
     def fingerprint(bytes: Array[Byte]): Long = {
       var h = 0xcbf29ce484222325L
@@ -437,6 +487,26 @@ object Media {
       .orderBy("doc_id")
   }
 
+  /** Perceptual image dedup signature: aHash over every decoded BMP — the
+   *  image-side analogue of [[graft.dedup.Dedup]]'s SimHash for text.
+   *  Near-duplicate images (re-encodes, small edits) collide or land
+   *  within a few bits; grouping by the 64-bit value is the map-side
+   *  dedup step, and the SimHash pigeonhole band join applies unchanged
+   *  for hamming-tolerant matching. Streams per partition through the
+   *  codec; emits (doc_id, ahash, n_bits) for every image at least 8×8.
+   *  Bit-exactly oracled: the BMP pixels are the ASCII payload bytes, so
+   *  SQL recomputes the identical integer cell/threshold arithmetic. */
+  def imageAhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaContainers(spark, dir)
+      .filter(col("format") === "bmp").as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        Codec.ahash64(r.media).map { case (h, n) => (r.doc_id, h, n.toLong) }
+      })
+      .toDF("doc_id", "ahash", "n_bits")
+      .orderBy("doc_id")
+  }
+
   /** Frame sampling stats: frames per doc for the "videos". */
   def frameSampleStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -473,6 +543,44 @@ object Media {
   }
 
   val defs: Vector[QueryDef] = Vector(
+    // the BMP grayscale pixel at payload index i IS the ASCII byte (luma of
+    // (v,v,v) = 1000v/1000 = v), indices past the text pad with 0 — so the
+    // whole aHash (geometry, cell sums, integer mean, sign bit 63) replays
+    // in SQL; HUGEINT carries the bit sum, wrapped to signed at the end
+    QueryDef("media_image_ahash", imageAhash, Some("""
+      WITH base AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n0
+        FROM documents WHERE doc_id % 2 = 0),
+      geo AS (
+        SELECT doc_id, text, greatest(n0, 1) AS n,
+               least(256, greatest(1,
+                 cast(ceil(sqrt(cast(greatest(n0, 1) as double))) as bigint))) AS w
+        FROM base),
+      geo2 AS (
+        SELECT doc_id, text, n, w, (n + w - 1) // w AS h
+        FROM geo),
+      ok AS (SELECT * FROM geo2 WHERE w >= 8 AND h >= 8),
+      px AS (
+        SELECT doc_id, ((i // w) * 8) // h AS cr, ((i % w) * 8) // w AS cc,
+               CASE WHEN i < n THEN ascii(substr(text, cast(i + 1 as int), 1))
+                    ELSE 0 END AS v
+        FROM ok, unnest(range(0, w * h)) u(i)),
+      cells AS (
+        SELECT doc_id, cr, cc, sum(v) // count(*) AS a
+        FROM px GROUP BY 1, 2, 3),
+      m AS (SELECT doc_id, sum(a) // 64 AS mean FROM cells GROUP BY 1),
+      bits AS (
+        SELECT c.doc_id,
+               sum(CASE WHEN c.a > m.mean
+                        THEN (1::HUGEINT << cast(c.cr * 8 + c.cc as int))
+                        ELSE 0::HUGEINT END) AS hv,
+               sum(CASE WHEN c.a > m.mean THEN 1 ELSE 0 END) AS nb
+        FROM cells c JOIN m ON m.doc_id = c.doc_id GROUP BY 1)
+      SELECT doc_id,
+             cast(CASE WHEN hv >= (1::HUGEINT << 63) THEN hv - (1::HUGEINT << 64)
+                       ELSE hv END as bigint) AS ahash,
+             cast(nb as bigint) AS n_bits
+      FROM bits ORDER BY doc_id""")),
     QueryDef("media_audio_loudness", audioLoudness, Some("""
       WITH s AS (
         SELECT doc_id, (i - 1) // 100 AS widx,

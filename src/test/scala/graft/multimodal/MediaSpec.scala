@@ -120,4 +120,38 @@ class MediaSpec extends AnyFunSuite {
       assert(e2.getMessage.contains("unsupported WAV layout"), e2.getMessage)
     }
   }
+
+  test("aHash: identical percept for a near-identical image, far for unrelated ones") {
+    val rnd = new scala.util.Random(7)
+    val payload = Array.fill(400)((rnd.nextInt(200) + 30).toByte)
+    val Some((h0, n0)) = Codec.ahash64(Containers.bmp(payload))
+    assert(n0 > 0 && n0 < 64, "threshold must split the cells")
+    // tweak ONE pixel slightly: percept unchanged (same cell averages after
+    // integer division, or at most a couple of borderline cells flip)
+    val tweaked = payload.clone(); tweaked(3) = (tweaked(3) + 2).toByte
+    val Some((h1, _)) = Codec.ahash64(Containers.bmp(tweaked))
+    assert(java.lang.Long.bitCount(h0 ^ h1) <= 2, "near-dup must stay within 2 bits")
+    // structurally different content (inverted gradient) lands far away
+    val other = Array.tabulate(400)(i => (255 - (i * 255 / 400)).toByte)
+    val Some((h2, _)) = Codec.ahash64(Containers.bmp(other))
+    assert(java.lang.Long.bitCount(h0 ^ h2) > 8, "unrelated images must not collide")
+    // below the 8x8 grid there is no percept
+    assert(Codec.ahash64(Containers.bmp(Array.fill(20)(1.toByte))).isEmpty)
+  }
+
+  test("aHash is orientation-correct: bottom-up file equals its top-down rewrite") {
+    val payload = Array.tabulate(300)(i => (i % 251).toByte)
+    val bu = Containers.bmp(payload) // positive height = bottom-up rows
+    val buf = java.nio.ByteBuffer.wrap(bu).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val w = buf.getInt(18); val h = buf.getInt(22)
+    val rowBytes = (w * 3 + 3) & ~3
+    // same logical image stored top-down: reverse the row blocks, negate h
+    val td = bu.clone()
+    java.nio.ByteBuffer.wrap(td).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(22, -h)
+    for (r <- 0 until h)
+      System.arraycopy(bu, 54 + (h - 1 - r) * rowBytes, td, 54 + r * rowBytes, rowBytes)
+    assert(Codec.ahash64(bu) == Codec.ahash64(td),
+      "hash must not depend on row storage order")
+    assert(Codec.ahash64(bu).get._1 != 0L)
+  }
 }
