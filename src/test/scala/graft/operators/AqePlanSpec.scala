@@ -44,6 +44,17 @@ class AqePlanSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_pagerank: rank joins finalize as broadcasts — the edge table never re-shuffles per round") {
+    val p = finalPlan("graph_pagerank")
+    assert(!p.contains("CartesianProduct"), p)
+    // 3 rounds × (rank ⋈ edges): the O(nodes) rank side must broadcast in
+    // the finalized plan; a sort-merge join would shuffle the full edge
+    // table every round
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "per-round rank joins must broadcast the small rank table:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
   test("q31: the salted join is still a shuffle join after AQE re-planning") {
     // the salt exists to spread one hot key across reducers; AQE demoting
     // the join to broadcast would silently defeat the demonstration, and
