@@ -75,7 +75,68 @@ object AsofAndSketch {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median_price"),
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("approx_p99_price"))
 
+  /** Heavy hitters via the classic TWO-PASS bounded-state pattern:
+   *  pass 1 runs a Misra–Gries summary (k=50 counters) inside each
+   *  partition — O(k) state per task regardless of stream length — and
+   *  unions the surviving candidate tokens; pass 2 exact-counts ONLY the
+   *  candidates (a broadcast semi-join against the token stream) and keeps
+   *  those above the n/k support threshold.
+   *
+   *  Determinism despite the sketch: any token with global frequency
+   *  > n/k must exceed n_p/k in at least one partition (averaging
+   *  argument), so it survives SOME partition's summary and reaches the
+   *  exact pass — the final output is therefore EXACTLY the tokens with
+   *  count > n div k, independent of partitioning and merge order. That
+   *  is what makes an approximate sketch oracle-able: the sketch only
+   *  prunes, the emitted numbers are exact.
+   *
+   *  100 TB shape: pass 1 is map-side only (no shuffle carries more than
+   *  k rows per task); the candidate set is O(#partitions · k) —
+   *  broadcastable by construction; pass 2 is one partial-aggregated
+   *  groupBy over the filtered stream. */
+  def q54HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokens
+    val k = 50
+    val toks = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok")).as[String]
+    val n = toks.count()
+    val candidates = toks.mapPartitions { it =>
+      // Misra–Gries: k counters; decrement-all when full evicts at zero
+      val counters = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { t =>
+        if (counters.contains(t)) counters(t) += 1
+        else if (counters.size < k) counters(t) = 1
+        else {
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          counters.keysIterator.foreach { key =>
+            counters(key) -= 1
+            if (counters(key) == 0) dead += key
+          }
+          dead.foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.distinct()
+    toks.join(broadcast(candidates.toDF("tok")), "tok")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > lit(n / k))
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // the sketch only PRUNES candidates; emitted counts are the exact
+    // second pass, so plain SQL with the same support threshold agrees
+    QueryDef("q54_heavy_hitters", q54HeavyHitters, Some("""
+      WITH tok AS (
+        SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                           ELSE regexp_split_to_array(trim(text), '\s+') END) AS tok
+        FROM documents),
+      n AS (SELECT count(*) AS n FROM tok)
+      SELECT tok, count(*) AS cnt FROM tok
+      GROUP BY tok
+      HAVING count(*) > (SELECT n // 50 FROM n)
+      ORDER BY cnt DESC, tok""")),
     QueryDef("q25_asof_attribution", q25AsofAttribution, Some("""
       SELECT user_id, purchase_id, purchase_us, last_click_us,
              purchase_us - last_click_us AS gap_us

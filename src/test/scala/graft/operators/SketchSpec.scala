@@ -30,4 +30,49 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(sketch.getDouble(2) - exact.getDouble(2)) / exact.getDouble(2) <= 0.01)
     assert(math.abs(sketch.getDouble(3) - exact.getDouble(3)) / exact.getDouble(3) <= 0.01)
   }
+
+  test("heavy hitters EQUAL the exact >n/k set — the sketch only prunes, never decides") {
+    import graft.functions.TextFunctions.tokens
+    val toks = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .collect().map(_.getString(0))
+    val k = 50
+    val thresh = toks.length.toLong / k
+    val expected = toks.groupBy(identity).view.mapValues(_.length.toLong)
+      .filter(_._2 > thresh).toSeq
+      .sortBy { case (t, c) => (-c, t) }
+    val got = AsofAndSketch.q54HeavyHitters(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(expected.nonEmpty, "test premise: the corpus has heavy hitters")
+    assert(got == expected)
+  }
+
+  test("Misra-Gries candidate completeness holds under adversarial partitioning") {
+    import spark.implicits._
+    // a skewed stream: one heavy token buried in k distinct fillers per slot
+    val heavy = Seq.fill(400)("HH")
+    val filler = (0 until 4000).map(i => s"f$i")
+    val stream = new scala.util.Random(11).shuffle(heavy ++ filler)
+    for (parts <- Seq(1, 2, 97)) {
+      val ds = spark.createDataset(stream).repartition(parts)
+      val k = 50
+      val cands = ds.mapPartitions { it =>
+        val counters = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach { t =>
+          if (counters.contains(t)) counters(t) += 1
+          else if (counters.size < k) counters(t) = 1
+          else {
+            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+            counters.keysIterator.foreach { key =>
+              counters(key) -= 1
+              if (counters(key) == 0) dead += key
+            }
+            dead.foreach(counters.remove)
+          }
+        }
+        counters.keysIterator
+      }.collect().toSet
+      assert(cands.contains("HH"), s"parts=$parts: the >n/k token must survive pruning")
+    }
+  }
 }
