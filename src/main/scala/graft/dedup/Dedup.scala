@@ -382,7 +382,7 @@ object Dedup {
    *  (node, label) pairs only — O(documents-in-clusters), never text. */
   private val labelCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-  private def ngramClusterLabels(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def ngramClusterLabels(spark: SparkSession, dir: String): DataFrame =
     labelCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       import org.apache.spark.sql.graft.DatasetBridge
       DatasetBridge.snapshot(

@@ -243,6 +243,54 @@ object CurationPipeline {
       .orderBy("source")
   }
 
+  /** Per-source SURVIVAL FUNNEL through the corpus-hygiene tiers — the
+   *  report a curation run publishes: of each source's documents, how many
+   *  survive exact dedup (min doc_id per content hash), then near-dup
+   *  clustering (non-minimal members of an n-gram-Jaccard component drop),
+   *  then benchmark decontamination (≥5 shared 3-grams with the held-out
+   *  decile), and how many tokens remain.
+   *
+   *  Composition, not recomputation: tier 2 reads the SHARED cluster-label
+   *  snapshot ([[graft.dedup.Dedup.ngramClusterLabels]]) and tier 3 the
+   *  shared shingle index — the same artifacts their standalone queries
+   *  consume. The funnel itself is three id-only drop/keep sets joined
+   *  back to the corpus and ONE aggregate pass: flag columns, no
+   *  per-tier rescans of the text. */
+  def survivalFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        md5(col("text")).as("h"), tokenCount(col("text")).cast("long").as("ntok"))
+    val k1 = docs.groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(1L).as("s1"))
+    val drop2 = graft.dedup.Dedup.ngramClusterLabels(spark, dir)
+      .filter(col("node") =!= col("label"))
+      .select(col("node").as("doc_id"), lit(1L).as("d2"))
+    val docShingles = graft.dedup.Dedup.shingleIndex(spark, dir)
+    // the mod-89 / >=3 parameters of [[bloomDecontaminate]] — the pair
+    // that actually flags overlap on this corpus
+    val isBench = col("doc_id") % 89 === 0
+    val benchShingles = docShingles.filter(isBench).select("sh").distinct()
+    val drop3 = docShingles.filter(!isBench)
+      .join(benchShingles, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .select(col("doc_id"), lit(1L).as("d3"))
+    docs
+      .join(k1, Seq("doc_id"), "left")
+      .join(drop2, Seq("doc_id"), "left")
+      .join(drop3, Seq("doc_id"), "left")
+      .withColumn("s1", coalesce(col("s1"), lit(0L)))
+      .withColumn("s2", col("s1") * (lit(1L) - coalesce(col("d2"), lit(0L))))
+      .withColumn("s3", col("s2") * (lit(1L) - coalesce(col("d3"), lit(0L))))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_raw"),
+        sum("s1").as("n_after_exact"),
+        sum("s2").as("n_after_neardup"),
+        sum("s3").as("n_clean"),
+        sum(col("s3") * col("ntok")).as("tokens_clean"))
+      .orderBy("source")
+  }
+
   /** Deterministic epoch shuffle + shard assignment — the step between a
    *  curated corpus and a training run: every document gets a global
    *  position under a keyed pseudo-random permutation (`md5("shuf:" ∥
@@ -289,6 +337,65 @@ object CurationPipeline {
   }
 
   val defs: Vector[QueryDef] = Vector(
+    // the funnel oracle composes the dedup_clusters CC chain (hot-capped
+    // shingles for the pair graph), the UNcapped shingle set for the
+    // contamination tier, and the md5 exact tier — same formulas, one WITH
+    QueryDef("pipeline_survival", survivalFunnel, Some("""
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, source,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3),
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 100),
+      cold AS (SELECT doc_id, sh FROM sh ANTI JOIN hot USING (sh)),
+      pc AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+        FROM cold x JOIN cold y USING (sh)
+        WHERE x.doc_id < y.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id_a, id_b FROM pc
+        JOIN counts a ON a.doc_id = id_a
+        JOIN counts b ON b.doc_id = id_b
+        WHERE cast(inter as double) / cast(a.n_sh + b.n_sh - inter as double) >= 0.5),
+      und AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT a, b FROM (SELECT a, b FROM und UNION SELECT a, a FROM und)
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+      labels AS (SELECT a AS node, min(b) AS label FROM reach GROUP BY a),
+      k1 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      drop2 AS (SELECT node AS doc_id FROM labels WHERE node <> label),
+      bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 89 = 0),
+      drop3 AS (
+        SELECT doc_id FROM sh JOIN bench USING (sh)
+        WHERE doc_id % 89 <> 0
+        GROUP BY doc_id HAVING count(*) >= 3),
+      t AS (
+        SELECT d.source,
+               CASE WHEN length(trim(d.text)) = 0 THEN 0
+                    ELSE length(trim(d.text)) - length(replace(trim(d.text), ' ', '')) + 1
+                    END AS ntok,
+               CASE WHEN k1.doc_id IS NOT NULL THEN 1 ELSE 0 END AS s1,
+               CASE WHEN k1.doc_id IS NOT NULL AND d2.doc_id IS NULL THEN 1 ELSE 0 END AS s2,
+               CASE WHEN k1.doc_id IS NOT NULL AND d2.doc_id IS NULL
+                         AND d3.doc_id IS NULL THEN 1 ELSE 0 END AS s3
+        FROM documents d
+        LEFT JOIN k1 ON k1.doc_id = d.doc_id
+        LEFT JOIN drop2 d2 ON d2.doc_id = d.doc_id
+        LEFT JOIN drop3 d3 ON d3.doc_id = d.doc_id)
+      SELECT source, count(*) AS n_raw,
+             cast(sum(s1) as bigint) AS n_after_exact,
+             cast(sum(s2) as bigint) AS n_after_neardup,
+             cast(sum(s3) as bigint) AS n_clean,
+             cast(sum(s3 * ntok) as bigint) AS tokens_clean
+      FROM t GROUP BY source ORDER BY source""")),
     QueryDef("pipeline_shuffle", epochShuffle, Some("""
       SELECT doc_id,
              row_number() OVER (ORDER BY md5('shuf:' || cast(doc_id as varchar)), doc_id) AS pos,

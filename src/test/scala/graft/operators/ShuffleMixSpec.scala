@@ -23,6 +23,23 @@ class ShuffleMixSpec extends AnyFunSuite {
     assert(again.toSeq == rows.toSeq, "the seeded permutation must be reproducible")
   }
 
+  test("survival funnel: counts monotone per source; every tier actually bites somewhere") {
+    // sf0.01: the bigger corpus has exact dups, near-dup clusters AND
+    // contaminated docs, so all three tiers are exercised
+    val rows = CurationPipeline.survivalFunnel(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    rows.foreach { case (src, raw, ex, nd, cl, tok) =>
+      assert(raw >= ex && ex >= nd && nd >= cl, s"$src: tiers must only shrink")
+      assert(cl > 0 && tok > 0, s"$src: a whole source vanished")
+    }
+    // this corpus has no byte-identical texts (dedup_exact = 500 distinct
+    // hashes over 500 docs), so the exact tier passes everything through —
+    // pin that premise so a testdata change resurfaces here
+    assert(rows.forall { case (_, raw, ex, _, _, _) => ex == raw }, "corpus premise changed")
+    assert(rows.exists { case (_, _, ex, nd, _, _) => nd < ex }, "near-dup tier never dropped")
+    assert(rows.exists { case (_, _, _, nd, cl, _) => cl < nd }, "decontamination never dropped")
+  }
+
   test("domain mix: smallest source accepted in full, every rate <= 10000, after-mass equalized") {
     val rows = CurationPipeline.domainMix(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(2), r.getLong(4), r.getLong(5)))
