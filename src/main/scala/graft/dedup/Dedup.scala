@@ -219,6 +219,40 @@ object Dedup {
       .limit(20)
   }
 
+  /** Span-level dedup (the tractable kin of Lee et al. 2022's exact
+   *  substring dedup, and of C4's line dedup): documents split into
+   *  tumbling 10-token segments; a segment whose exact content appears in
+   *  MORE THAN ONE distinct document is a duplicated span. Reports, per
+   *  source, how many spans/tokens survive dropping cross-document
+   *  duplicated spans — catching boilerplate and copied passages that
+   *  whole-document dedup never sees.
+   *
+   *  Scale shape: segmentation is pure map-side array arithmetic
+   *  (`sequence` + `slice` — no window, no self-join); the cross-doc
+   *  frequency is one partial-aggregated count-distinct keyed on the span
+   *  MD5 (an inverted index on content hash, 16 bytes per span on the
+   *  shuffle regardless of span text length); the verdict joins back by
+   *  the same hash and rolls up per source. */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("source"), col("n"), col("toks"),
+        explode(expr("sequence(0, (n - 1) div 10)")).as("s"))
+      .select(col("doc_id"), col("source"),
+        md5(expr("array_join(slice(toks, s * 10 + 1, 10), ' ')")).as("h"),
+        least(lit(10L), (col("n") - col("s") * 10).cast("long")).as("slen"))
+    val freq = spans.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
+    spans.join(freq, "h")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_spans"),
+        sum(col("slen")).as("tokens"),
+        sum(when(col("nd") === 1, col("slen")).otherwise(0L)).as("tokens_after"))
+      .orderBy("source")
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
    *  web-scale through semantic deduplication"): semantic near-dup removal
    *  that catches paraphrases no shingle method can — cluster the
@@ -531,6 +565,28 @@ object Dedup {
       JOIN counts b ON b.doc_id = id_b
       WHERE cast(inter as double) / cast(a.n_sh + b.n_sh - inter as double) >= 0.5
       ORDER BY id_a, id_b""")),
+    // span twin: identical tumbling segmentation via 1-based inclusive
+    // list slices; the span key is the md5 of the joined tokens on both
+    // sides, so the cross-doc distinct count agrees exactly
+    QueryDef("dedup_spans", spanDedup, Some("""
+      WITH t AS (
+        SELECT doc_id, source,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        FROM documents),
+      s AS (
+        SELECT doc_id, source,
+               md5(array_to_string(toks[(i*10+1):(i*10+10)], ' ')) AS h,
+               least(10, len(toks) - i*10) AS slen
+        FROM t, unnest(range(0, (len(toks) - 1) // 10 + 1)) u(i)
+        WHERE len(toks) > 0),
+      f AS (SELECT h, count(DISTINCT doc_id) AS nd FROM s GROUP BY 1)
+      SELECT source, count(*) AS n_spans,
+             cast(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) as bigint) AS n_dup_spans,
+             cast(sum(slen) as bigint) AS tokens,
+             cast(sum(CASE WHEN nd = 1 THEN slen ELSE 0 END) as bigint) AS tokens_after
+      FROM s JOIN f USING (h)
+      GROUP BY source ORDER BY source""")),
     // containment twin: same shingle CTEs as the jaccard oracle, each
     // unordered pair fanned out to its two directed (sub, super) rows,
     // exact half-up integer bp at the threshold (no float compare)

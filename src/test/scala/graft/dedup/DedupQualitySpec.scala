@@ -92,6 +92,27 @@ class DedupQualitySpec extends AnyFunSuite {
     assert(got == expected, s"got ${got.size} directed pairs, expected ${expected.size}")
   }
 
+  test("span dedup EQUALS the brute-force tumbling-segment reference") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).trim))
+    val segs = docs.flatMap { case (id, src, t) =>
+      val toks = if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+      toks.grouped(10).map(g => (id, src, g.mkString(" "), g.length.toLong))
+    }
+    val crossDocCount = segs.groupBy(_._3).map { case (s, xs) => s -> xs.map(_._1).distinct.length }
+    val expected = segs.groupBy(_._2).map { case (src, xs) =>
+      (src, xs.length.toLong,
+        xs.count(x => crossDocCount(x._3) > 1).toLong,
+        xs.map(_._4).sum,
+        xs.filter(x => crossDocCount(x._3) == 1).map(_._4).sum)
+    }.toSeq.sortBy(_._1)
+    val got = Dedup.spanDedup(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(expected.exists(_._3 > 0), "test premise: cross-doc duplicated spans exist")
+    assert(got == expected)
+  }
+
   test("semantic dedup EQUALS brute-force within-cell cosine >= 0.3") {
     val emb = Tables.embeddings(spark, dir)
     val centroids = graft.similarity.Ann.kmeansCentroids(emb, 16, 3)
