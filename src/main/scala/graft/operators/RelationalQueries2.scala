@@ -356,6 +356,29 @@ object RelationalQueries2 {
    *  exact basis-point violation rate (integer div, no float boundary).
    *  Rules are chosen so some fire and some don't on this corpus (the
    *  interesting output is the nonzero rows a publisher would gate on). */
+  /** TPC-H Q17-shaped CORRELATED scalar subquery: order lines whose
+   *  quantity falls below 20% of their part's average quantity — the
+   *  "small-order revenue" probe. Declared as a correlated subquery so
+   *  Catalyst's de-correlation rewrite (subquery → aggregate + join) is
+   *  exercised and pinned; the physical plan must be one per-part
+   *  aggregate joined back, never a per-row re-scan. Revenue is an exact
+   *  decimal sum ÷ 7 rendered through the plain-string parse. */
+  def q55BelowAvg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.createOrReplaceTempView("li_q55")
+    // quantities are integer-valued doubles, so the correlated avg is an
+    // exact integer sum ÷ count — deterministic on any partitioning; the
+    // revenue sum goes through decimal + the plain-string parse
+    li.sparkSession.sql("""
+      SELECT cast(cast(sum(cast(l_extendedprice as decimal(12,2))) as string) as double) / 7.0
+               AS avg_yearly,
+             count(*) AS n_lines
+      FROM li_q55 l
+      WHERE l.l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity)
+        FROM li_q55 l2 WHERE l2.l_partkey = l.l_partkey)""")
+  }
+
   def q51DqRules(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val agg = li.agg(
@@ -518,6 +541,14 @@ object RelationalQueries2 {
       SELECT doc_id, lang, n_chars FROM documents
       WHERE substr(md5(cast(doc_id as varchar)), 1, 1) IN ('0', '1')
       ORDER BY doc_id""")),
+    QueryDef("q55_below_avg", q55BelowAvg, Some("""
+      SELECT cast(cast(sum(cast(l_extendedprice as decimal(12,2))) as varchar) as double) / 7.0
+               AS avg_yearly,
+             count(*) AS n_lines
+      FROM lineitem l
+      WHERE l.l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity)
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""")),
     QueryDef("q53_interval_union", q53IntervalUnion, Some("""
       WITH iv AS (
         SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e

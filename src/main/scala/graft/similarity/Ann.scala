@@ -330,7 +330,45 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** Per-dimension normalization statistics — the pass every embedding
+   *  pipeline runs before scaling/whitening or index building: mean, min
+   *  and max of each of the 64 dimensions. ONE hash aggregate computes
+   *  all 192 statistics in a single corpus pass (the same
+   *  `element_at`-per-dimension discipline as the Lloyd trainer — never a
+   *  posexplode, whose 64× Expand would push the corpus through the
+   *  aggregate once per dimension); the 1×192 result reshapes to 64 rows
+   *  with a driver-side `stack`. Means are exact decimal sums rendered
+   *  through the plain-string parse, so the oracle agrees bit-for-bit. */
+  def dimStats(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    // mean on the 1e-7-quantized grid: trunc(v·10⁷) is an exact integer
+    // (no rounding TIE exists under truncation, unlike any decimal cast),
+    // so the sum is order-independent and engine-exact
+    val aggs = (0 until dim).flatMap(d => Seq(
+      sum(expr(s"cast(cast(element_at(embedding, ${d + 1}) as double) * 1e7 as long)")).as(s"s$d"),
+      min(element_at(col("embedding"), d + 1).cast("double")).as(s"mn$d"),
+      max(element_at(col("embedding"), d + 1).cast("double")).as(s"mx$d")))
+    val row1 = Tables.embeddings(spark, dir)
+      .agg(count(lit(1)).as("n"), aggs: _*)
+    val stackArgs = (0 until dim).map(d => s"${d + 1}L, s$d, mn$d, mx$d").mkString(", ")
+    row1.selectExpr("n", s"stack($dim, $stackArgs) as (dim, s, vmin, vmax)")
+      .select(col("dim"),
+        expr("cast(s as double) / n / 1e7").as("mean"),
+        col("vmin"), col("vmax"))
+      .orderBy("dim")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // trunc (not cast) on the DuckDB side: duckdb's double->bigint cast
+    // ROUNDS where spark's truncates
+    QueryDef("embed_dim_stats", dimStats, Some("""
+      SELECT i AS dim,
+             cast(sum(cast(trunc(cast(embedding[i] as double) * 1e7) as bigint)) as double)
+               / count(*) / 1e7 AS mean,
+             min(cast(embedding[i] as double)) AS vmin,
+             max(cast(embedding[i] as double)) AS vmax
+      FROM embeddings, unnest(range(1, 65)) u(i)
+      GROUP BY i ORDER BY i""")),
     QueryDef("ann_matryoshka", matryoshkaTopK, Some("""
       WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
                  FROM embeddings WHERE vec_id < 8),

@@ -231,6 +231,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q55_below_avg: correlated subquery decorrelates to one aggregate + join") {
+    val p = plan("q55_below_avg")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.toLowerCase.contains("subquery"),
+      "the correlated subquery must be rewritten away, never re-executed per row")
+    assert(p.contains("Join"), "decorrelation produces a per-part aggregate joined back")
+  }
+
+  test("embed_dim_stats: all 192 statistics in ONE aggregate pass, no Expand") {
+    val p = plan("embed_dim_stats")
+    assert(!p.contains("Expand"), "per-dimension stats must not Expand the corpus dim-fold")
+    assert("Scan parquet".r.findAllIn(p).size == 1, "one corpus pass only")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    // the only Generate is the 64-row `stack` reshape ABOVE the aggregate
+    // (it runs on the 1-row result, never the corpus)
+    val genIdx = p.indexOf("Generate stack")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(genIdx >= 0 && aggIdx > genIdx, "stack must sit above the single aggregate")
+  }
+
   test("q50_retention: two user-keyed shuffles, no cartesian, no window") {
     val p = plan("q50_retention")
     assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
