@@ -127,6 +127,28 @@ object Dedup {
           explode(array_distinct(wordShingleHashes(col("text"), 3))).as("sh"))).df
     })
 
+  /** The PAIR-COUNT INDEX — (id_a, id_b, inter) intersection counts of
+   *  the frequency-capped inverted-index self-join, computed ONCE per
+   *  (application, dir) and snapshotted like [[shingleIndex]]. Three
+   *  consumers read it: Jaccard, directed containment, and (through
+   *  [[ngramJaccard]]) the cluster-label pipeline — the self-join is the
+   *  expensive stage of all three, and a 100 TB run materializes exactly
+   *  this artifact once. */
+  private val pairCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private[graft] def shinglePairCounts(spark: SparkSession, dir: String): DataFrame =
+    pairCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      import org.apache.spark.sql.graft.DatasetBridge
+      val docShingles = shingleIndex(spark, dir).select("doc_id", "sh")
+      // stop-shingle cap: a shingle in >1% of docs can't witness near-dup pairs
+      val hot = docShingles.groupBy("sh").count().filter(col("count") > 100).select("sh")
+      val cold = docShingles.join(broadcast(hot), Seq("sh"), "left_anti")
+      DatasetBridge.snapshot(cold.as("x").join(cold.as("y"), "sh")
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("inter"))).df
+    })
+
   /** Exact n-gram Jaccard via inverted index: distinct word-3-gram per doc,
    *  self-join on shingle (frequency-capped), intersection counts per pair,
    *  Jaccard = |∩| / (|A|+|B|−|∩|) ≥ 0.5.
@@ -137,17 +159,9 @@ object Dedup {
    *  collision (~n²/2⁶⁴ ≈ 10⁻⁹ at 10⁹ distinct shingles — far below any
    *  near-dup decision threshold; the SQL oracle on raw strings agrees). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // the shared snapshot feeds per-doc counts, the hot-shingle scan, and
-    // both self-join sides — 4 consumers of the tokenize+shingle chain
     val docShingles = shingleIndex(spark, dir).select("doc_id", "sh")
     val counts = docShingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // stop-shingle cap: a shingle in >1% of docs can't witness near-dup pairs
-    val hot = docShingles.groupBy("sh").count().filter(col("count") > 100).select("sh")
-    val cold = docShingles.join(broadcast(hot), Seq("sh"), "left_anti")
-    val pairs = cold.as("x").join(cold.as("y"), "sh")
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
+    val pairs = shinglePairCounts(spark, dir)
     pairs
       .join(counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
       .join(counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
@@ -174,12 +188,7 @@ object Dedup {
   def containment(spark: SparkSession, dir: String): DataFrame = {
     val docShingles = shingleIndex(spark, dir).select("doc_id", "sh")
     val counts = docShingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val hot = docShingles.groupBy("sh").count().filter(col("count") > 100).select("sh")
-    val cold = docShingles.join(broadcast(hot), Seq("sh"), "left_anti")
-    val pairs = cold.as("x").join(cold.as("y"), "sh")
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
+    val pairs = shinglePairCounts(spark, dir)
     val directed = pairs
       .select(col("id_a").as("id_sub"), col("id_b").as("id_super"), col("inter"))
       .unionByName(pairs.select(col("id_b").as("id_sub"), col("id_a").as("id_super"), col("inter")))
