@@ -507,6 +507,34 @@ object Media {
       .orderBy("doc_id")
   }
 
+  /** Scene-cut detection over the sampled frame stream: per-frame energy
+   *  (byte sum), then the absolute delta between consecutive SAMPLED
+   *  frames — a jump above the threshold marks a content cut. The
+   *  video-side shape of the audio loudness pass: energies are computed
+   *  in the same typed map the frames stream through (no second decode),
+   *  the delta is a lag window over the HIGH-cardinality doc key, and the
+   *  rollup is one aggregate. Exactly oracle-able: frame bytes are ASCII
+   *  text bytes, so SQL replays energy, lag and threshold bit-for-bit. */
+  def sceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val vids = mediaTable(spark, dir)
+      .filter(col("format") === "mp4")
+      .select("doc_id", "media", "format", "n_bytes").as[MediaRecord]
+    val energies = sampleFrames(vids, frameSize = 32, stride = 2)
+      .as[(Long, Int, Array[Byte])]
+      .map { case (id, i, f) => (id, i, f.foldLeft(0L)((a, b) => a + (b & 0xFF))) }
+      .toDF("doc_id", "frame_idx", "energy")
+    val byDoc = Window.partitionBy("doc_id").orderBy("frame_idx")
+    energies
+      .withColumn("delta", abs(col("energy") - lag(col("energy"), 1).over(byDoc)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("delta") > 200L, 1L).otherwise(0L)).as("n_cuts"),
+        coalesce(max(col("delta")), lit(0L)).as("max_delta"))
+      .orderBy("doc_id")
+  }
+
   /** Frame sampling stats: frames per doc for the "videos". */
   def frameSampleStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -581,6 +609,30 @@ object Media {
                        ELSE hv END as bigint) AS ahash,
              cast(nb as bigint) AS n_bits
       FROM bits ORDER BY doc_id""")),
+    // frame j of doc d covers text chars [j·32+1, j·32+32]; sampled frames
+    // are the even indices (stride 2), energy = Σ ascii codes
+    QueryDef("media_scene_cuts", sceneCuts, Some("""
+      WITH vids AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n
+        FROM documents WHERE substr(md5(text), 1, 1) > 'b'),
+      en AS (
+        SELECT v.doc_id, u.frame_idx,
+               cast(sum(ascii(substr(v.text, cast(u.frame_idx*32 + w.j as int), 1))) as bigint)
+                 AS energy
+        FROM vids v,
+             unnest(range(0, v.n // 32)) u(frame_idx),
+             unnest(range(1, 33)) w(j)
+        WHERE u.frame_idx % 2 = 0
+        GROUP BY 1, 2),
+      d AS (
+        SELECT doc_id, energy,
+               abs(energy - lag(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx))
+                 AS delta
+        FROM en)
+      SELECT doc_id, count(*) AS n_frames,
+             cast(sum(CASE WHEN delta > 200 THEN 1 ELSE 0 END) as bigint) AS n_cuts,
+             coalesce(max(delta), 0) AS max_delta
+      FROM d GROUP BY doc_id ORDER BY doc_id""")),
     QueryDef("media_audio_loudness", audioLoudness, Some("""
       WITH s AS (
         SELECT doc_id, (i - 1) // 100 AS widx,
