@@ -35,13 +35,14 @@ class BenchFormatSpec extends AnyFunSuite {
     // bench_result.json via fullLine.
     val omitted = node.path("omitted").asInt(0)
     assert(omitted + node.get("queries").size == names.size)
-    // proportional bound: the stdout line is a fallback (bench_result.json
-    // always carries the full map); what matters is that MOST of the
-    // inventory renders and only the fastest entries are dropped. A third
-    // is the ceiling: the fixed 1900-char tail holds ~82 one-decimal
-    // entries, so past a 110-query inventory the fallback line necessarily
-    // sheds its fastest quarter-to-third while every slow entry survives.
-    assert(omitted <= names.size / 3, s"too many omitted: $omitted of ${names.size}")
+    // capacity bound: the stdout line is a fallback (bench_result.json
+    // always carries the full map); the fixed 1900-char tail physically
+    // holds ~82 one-decimal entries no matter how large the inventory
+    // grows, so a proportional omitted-ceiling is the wrong invariant.
+    // What the renderer guarantees is that it packs the line to capacity —
+    // at least 80 entries render and only the fastest are dropped.
+    assert(node.get("queries").size >= 80,
+      s"line under-packed: ${node.get("queries").size} of ${names.size}")
     // omission drops the FASTEST entries: every slow query must survive
     val included = qs.filter { case (n, _) => node.get("queries").has(n) }
     val cutoff = included.map(_._2).min
