@@ -118,6 +118,61 @@ object TrainingOps {
       .orderBy(col("n").desc, col("token").asc)
       .limit(50)
 
+  // ---- BPE pair statistics -------------------------------------------------
+
+  /** Adjacent-token PAIR frequencies — the corpus statistic the first BPE
+   *  merge step maximizes (Sennrich et al. 2016): top-40 bigrams by count
+   *  (count desc, then lexicographic). Pairs come from `zip_with` over the
+   *  token array against its own 1-shifted slice — a narrow per-row
+   *  expansion of exactly `ntok − 1` structs, no shuffle until the pair
+   *  count.
+   *
+   *  Shape: map-side partial count per pair → one hash shuffle on the pair
+   *  key → `TakeOrdered` keeps only 40 rows per partition before the driver
+   *  merge. The pair vocabulary can be huge at 100 TB, but it never sorts
+   *  globally and never leaves the aggregate unbounded. */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1)," +
+          " (l, r) -> named_struct('left_tok', l, 'right_tok', r))")).as("p"))
+      .select(col("p.left_tok").as("left_tok"), col("p.right_tok").as("right_tok"))
+      .groupBy("left_tok", "right_tok")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("left_tok").asc, col("right_tok").asc)
+      .limit(40)
+
+  // ---- Vocabulary coverage -------------------------------------------------
+
+  /** Out-of-vocabulary rate per source against the corpus' own top-100
+   *  token vocabulary — the tokenizer-coverage report a training run
+   *  publishes before committing to a vocab size. The vocab is the zipf
+   *  top-k (count desc, token asc at the boundary, so the cut is
+   *  deterministic); each source's token stream is scored against it and
+   *  rolled up to exact integer basis points.
+   *
+   *  Shape: pass 1 builds the bounded vocab (partial counts + TakeOrdered,
+   *  same as [[tokenZipf]]); pass 2 re-streams tokens through a BROADCAST
+   *  left join against those 100 rows (map-side, no shuffle) into one
+   *  per-source aggregate. Two scans, one small shuffle — at 100 TB the
+   *  vocab pass is the same job a real tokenizer-training step runs anyway. */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc).limit(100)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_bp", expr("n_oov * 10000 div n_tokens"))
+      .orderBy("source")
+  }
+
   // ---- Character diversity ------------------------------------------------
 
   /** Per-source character-diversity rollup from the native char stats:
@@ -321,6 +376,35 @@ object TrainingOps {
       SELECT token, count(*) AS n
       FROM (SELECT unnest(toks) AS token FROM t)
       GROUP BY token ORDER BY n DESC, token LIMIT 50""")),
+    QueryDef("text_bpe_pairs", bpePairs, Some("""
+      WITH t AS (
+        SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        FROM documents),
+      p AS (
+        SELECT unnest(toks[1:len(toks)-1]) AS left_tok,
+               unnest(toks[2:len(toks)])   AS right_tok
+        FROM t WHERE len(toks) >= 2)
+      SELECT left_tok, right_tok, count(*) AS n
+      FROM p GROUP BY 1, 2
+      ORDER BY n DESC, left_tok, right_tok LIMIT 40""")),
+    QueryDef("text_oov_rate", oovRate, Some("""
+      WITH tok AS (
+        SELECT source,
+               unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                           ELSE regexp_split_to_array(trim(text), '\s+') END) AS tok
+        FROM documents),
+      vocab AS (
+        SELECT tok FROM (
+          SELECT tok, count(*) AS n FROM tok GROUP BY tok
+          ORDER BY n DESC, tok LIMIT 100)),
+      s AS (
+        SELECT t.source, count(*) AS n_tokens,
+               cast(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) as bigint) AS n_oov
+        FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+        GROUP BY t.source)
+      SELECT source, n_tokens, n_oov, n_oov * 10000 // n_tokens AS oov_bp
+      FROM s ORDER BY source""")),
     QueryDef("text_char_diversity", charDiversity, Some("""
       WITH c AS (
         SELECT source, length(text) AS n,

@@ -94,6 +94,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "the 4-row df side must broadcast")
   }
 
+  test("text_bpe_pairs: bounded top-40, one pair shuffle, no global sort") {
+    val p = plan("text_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), "top-40 must not global-sort")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("text_oov_rate: 100-row vocab broadcasts back to the token stream") {
+    val p = plan("text_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), "vocab join must broadcast, never shuffle the tokens")
+    assert(p.contains("TakeOrderedAndProject"), "vocab cut must not global-sort")
+  }
+
   test("pipeline_chunks: narrow explode, no hash exchange before the chunks exist") {
     val df = graft.SparkEntry.queries("pipeline_chunks")(spark, dir)
     // the only exchange allowed is the presentation orderBy's range partition;
