@@ -60,6 +60,62 @@ object GraphOps {
       .limit(20)
   }
 
+  /** TRIANGLE COUNT + global transitivity over the same part co-purchase
+   *  graph — the standard "does the engine survive graph skew" probe,
+   *  because the naive wedge join is quadratic in the hottest node's
+   *  degree. The classic fix (Schank & Wagner 2005; Cohen's MapReduce
+   *  formulation, both public): orient every undirected edge from the
+   *  (degree, id)-smaller endpoint to the larger one. Each triangle
+   *  {a<b<c} then exists exactly once as wedge (a→b, a→c) closed by edge
+   *  (b→c), and per-node wedge work drops from Σdeg² to Σ(oriented
+   *  out-degree)² — the oriented out-degree of a hub is small because
+   *  almost all its neighbors have LOWER degree and the edges point at it.
+   *
+   *  The orientation key packs (degree, id) into one BIGINT
+   *  (`deg·2³² + id`, exact while ids < 2³² — part keys are) so the wedge
+   *  self-join carries a single long instead of a struct comparison.
+   *
+   *  Scale shape: edges build by the same order-key inverted index as
+   *  [[pagerank]] (never a cartesian); the wedge join is an equi-join on
+   *  the wedge apex with the `ord` inequality as its residual; the close
+   *  join is an equi-join on the (v, w) pair. Output is one exact-integer
+   *  row: nodes, edges, wedges (Σd(d−1)/2 from the degree table alone),
+   *  triangles, and transitivity 3T/wedges in half-up basis points. */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val orderParts = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    // canonical undirected edges (x < y), one row per co-purchased pair
+    val und = orderParts.as("a").join(orderParts.as("b"), "ok")
+      .filter(col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("x"), col("b.pk").as("y"))
+      .distinct()
+    val deg = und.select(col("x").as("n"))
+      .unionAll(und.select(col("y").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .select(col("n"), expr("d * 4294967296 + n").as("ord"), col("d"))
+    val keyed = und
+      .join(deg.select(col("n").as("x"), col("ord").as("xo")), "x")
+      .join(deg.select(col("n").as("y"), col("ord").as("yo")), "y")
+    val oriented = keyed.select(
+      when(col("xo") < col("yo"), col("x")).otherwise(col("y")).as("u"),
+      when(col("xo") < col("yo"), col("y")).otherwise(col("x")).as("v"),
+      greatest(col("xo"), col("yo")).as("vord"))
+    val wedges = oriented.as("p")
+      .join(oriented.as("q"),
+        col("p.u") === col("q.u") && col("p.vord") < col("q.vord"))
+      .select(col("p.v").as("wa"), col("q.v").as("wb"))
+    val tri = wedges.join(
+        oriented.select(col("u").as("wa"), col("v").as("wb")), Seq("wa", "wb"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val base = und.agg(count(lit(1)).as("n_edges")).crossJoin(
+      deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("d * (d - 1) div 2")).as("n_wedges")))
+    // three 1-row frames; the cross joins broadcast single rows, not data
+    base.crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        expr("(2 * 3 * n_triangles * 10000 + n_wedges) div (2 * n_wedges)").as("transitivity_bp"))
+  }
+
   val defs: Vector[QueryDef] = Vector(
     // exact twin: same distinct co-purchase edges, 3 unrolled rounds of
     // the same integer recurrence (DuckDB's hugeint sums are cast back
@@ -85,6 +141,32 @@ object GraphOps {
                cast((15000000000 + 85 * sum(rank // od)) // 100 as bigint) AS rank
         FROM e JOIN r2 ON r2.node = e.src GROUP BY dst)
       SELECT node AS part_key, rank FROM r3
-      ORDER BY rank DESC, part_key LIMIT 20"""))
+      ORDER BY rank DESC, part_key LIMIT 20""")),
+    QueryDef("graph_triangles", triangles, Some("""
+      WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      und AS MATERIALIZED (
+        SELECT DISTINCT a.pk AS x, b.pk AS y
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+      deg AS MATERIALIZED (
+        SELECT n, cast(count(*) as bigint) AS d,
+               cast(count(*) as bigint) * 4294967296 + n AS ord
+        FROM (SELECT x AS n FROM und UNION ALL SELECT y AS n FROM und)
+        GROUP BY n),
+      o AS MATERIALIZED (
+        SELECT CASE WHEN dx.ord < dy.ord THEN und.x ELSE und.y END AS u,
+               CASE WHEN dx.ord < dy.ord THEN und.y ELSE und.x END AS v,
+               greatest(dx.ord, dy.ord) AS vord
+        FROM und JOIN deg dx ON und.x = dx.n JOIN deg dy ON und.y = dy.n),
+      tri AS (
+        SELECT cast(count(*) as bigint) AS n_triangles
+        FROM o p JOIN o q ON p.u = q.u AND p.vord < q.vord
+             JOIN o c ON c.u = p.v AND c.v = q.v),
+      agg AS (
+        SELECT (SELECT cast(count(*) as bigint) FROM deg) AS n_nodes,
+               (SELECT cast(count(*) as bigint) FROM und) AS n_edges,
+               (SELECT cast(sum(d * (d - 1) // 2) as bigint) FROM deg) AS n_wedges)
+      SELECT n_nodes, n_edges, n_wedges, n_triangles,
+             (2 * 3 * n_triangles * 10000 + n_wedges) // (2 * n_wedges) AS transitivity_bp
+      FROM agg, tri"""))
   )
 }

@@ -45,4 +45,25 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(ranks.forall(_ >= 15 * Seed / 100), "every node keeps the 0.15 teleport mass")
     assert(ranks.toSet.size > 1, "test premise: the graph is not rank-regular")
   }
+
+  test("triangle count EQUALS the naive adjacency-set reference") {
+    // naive reference: canonical undirected edge set, then for each edge
+    // {x,y} count common neighbors z > y — each triangle once at its
+    // smallest vertex. No orientation trick, so agreement here proves the
+    // degree-ordered wedge join loses and double-counts nothing.
+    val und = edges.iterator.map { case (a, b) => (a min b, a max b) }.toSet
+    val adj = und.foldLeft(Map.empty[Long, Set[Long]]) { case (m, (x, y)) =>
+      m.updated(x, m.getOrElse(x, Set.empty) + y).updated(y, m.getOrElse(y, Set.empty) + x)
+    }
+    val naiveTri = und.iterator.map { case (x, y) =>
+      (adj(x) & adj(y)).count(_ > y).toLong
+    }.sum
+    val naiveWedges = adj.valuesIterator.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    val row = GraphOps.triangles(spark, dir).collect().head
+    assert(row.getAs[Long]("n_nodes") == adj.size.toLong)
+    assert(row.getAs[Long]("n_edges") == und.size.toLong)
+    assert(row.getAs[Long]("n_wedges") == naiveWedges)
+    assert(row.getAs[Long]("n_triangles") == naiveTri)
+    assert(naiveTri > 0, "test premise: the co-purchase graph closes triangles")
+  }
 }

@@ -94,6 +94,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "the 4-row df side must broadcast")
   }
 
+  test("graph_triangles: every join an equi-join — the wedge join keys on the apex") {
+    val p = plan("graph_triangles")
+    assert(!p.contains("CartesianProduct"),
+      "wedge/close joins must be equi-joins; only the three 1-row stat frames may nest-loop")
+    // the 1-row stat frames join as BroadcastNestedLoopJoin — that's the
+    // sanctioned shape; what must never appear is a shuffled cartesian
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), "wedge join must be an equi-join")
+  }
+
   test("text_bpe_pairs: bounded top-40, one pair shuffle, no global sort") {
     val p = plan("text_bpe_pairs")
     assert(p.contains("TakeOrderedAndProject"), "top-40 must not global-sort")
