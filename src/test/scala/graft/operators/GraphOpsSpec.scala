@@ -51,7 +51,13 @@ class GraphOpsSpec extends AnyFunSuite {
     // {x,y} count common neighbors z > y — each triangle once at its
     // smallest vertex. No orientation trick, so agreement here proves the
     // degree-ordered wedge join loses and double-counts nothing.
-    val und = edges.iterator.map { case (a, b) => (a min b, a max b) }.toSet
+    val op = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 40)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und = op.groupBy(_._1).valuesIterator.flatMap { xs =>
+      for (a <- xs.toSeq; b <- xs.toSeq if a._2 < b._2) yield (a._2, b._2)
+    }.toSet
     val adj = und.foldLeft(Map.empty[Long, Set[Long]]) { case (m, (x, y)) =>
       m.updated(x, m.getOrElse(x, Set.empty) + y).updated(y, m.getOrElse(y, Set.empty) + x)
     }
