@@ -441,6 +441,24 @@ object Dedup {
       .agg(count(lit(1)).as("n_members"))
       .orderBy("cluster_id")
 
+  /** Cluster-SIZE histogram — the one-page summary a dedup run reports:
+   *  how many near-dup clusters of each size exist, with the singleton
+   *  count (docs in no cluster) as the size-1 row. Consumes the shared
+   *  label snapshot; the histogram is two O(#clusters) aggregates plus
+   *  two 1-row count frames joined broadcast-style — nothing rescans
+   *  text, so the report is free at any corpus size once the clustering
+   *  snapshot exists. */
+  def dedupClusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    val labels = ngramClusterLabels(spark, dir)
+    val hist = labels.groupBy("label").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+    val singles = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(labels.agg(count(lit(1)).as("n_in_clusters")))
+      .select(lit(1L).as("cluster_size"),
+        (col("n_docs") - col("n_in_clusters")).as("n_clusters"))
+    hist.unionAll(singles).orderBy("cluster_size")
+  }
+
   /** Canonical-document selection — the step AFTER clustering: each
    *  near-dup cluster keeps exactly one representative, chosen by highest
    *  quality score with lowest doc_id as the tiebreak. The argmax is a
@@ -664,6 +682,47 @@ object Dedup {
       SELECT cluster_id, count(*) AS n_members FROM (
         SELECT a AS node, min(b) AS cluster_id FROM reach GROUP BY a) c
       GROUP BY cluster_id ORDER BY cluster_id""")),
+    // same cluster CTE chain as dedup_clusters; final select is the
+    // size histogram plus the singleton (unclustered docs) row
+    QueryDef("dedup_cluster_sizes", dedupClusterSizes, Some("""
+      WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3),
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 100),
+      cold AS (SELECT * FROM sh ANTI JOIN hot USING (sh)),
+      pc AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+        FROM cold x JOIN cold y USING (sh)
+        WHERE x.doc_id < y.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id_a, id_b FROM pc
+        JOIN counts a ON a.doc_id = id_a
+        JOIN counts b ON b.doc_id = id_b
+        WHERE cast(inter as double) / cast(a.n_sh + b.n_sh - inter as double) >= 0.5),
+      und AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT a, b FROM (SELECT a, b FROM und UNION SELECT a, a FROM und)
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+      c AS (SELECT a AS node, min(b) AS cluster_id FROM reach GROUP BY a),
+      hist AS (
+        SELECT sz AS cluster_size, cast(count(*) as bigint) AS n_clusters
+        FROM (SELECT cluster_id, count(*) AS sz FROM c GROUP BY 1)
+        GROUP BY 1)
+      SELECT cluster_size, n_clusters FROM hist
+      UNION ALL
+      SELECT cast(1 as bigint),
+             (SELECT count(*) FROM documents) - (SELECT count(*) FROM c)
+      ORDER BY cluster_size""")),
     // cluster CTEs as in dedup_clusters; quality CTEs as in the
     // pipeline_clean_corpus oracle; argmax via row_number (oracle scale)
     QueryDef("dedup_canonical", dedupCanonical, Some(s"""
