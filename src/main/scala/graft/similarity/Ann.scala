@@ -330,6 +330,86 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** PRODUCT-QUANTIZED ANN with asymmetric distance computation (Jégou,
+   *  Douze & Schmid 2011, "Product Quantization for Nearest Neighbor
+   *  Search") — the index-compression tier between [[quantize]]'s flat
+   *  INT8 and the IVF cell probes: the 64-dim vector splits into 8
+   *  subspaces of 8 dims, each subvector encoded as its nearest of 16
+   *  codewords, so a corpus vector is EIGHT BYTES in the index (32×
+   *  smaller than float32). A query never decodes the corpus: it builds
+   *  one 8×16 distance table against the codebook and scores each corpus
+   *  vector as 8 table lookups summed — the ADC scan, which is why PQ is
+   *  the 100 TB serving shape (the full vectors are never read again
+   *  after encoding).
+   *
+   *  Everything runs in an INTEGER domain so the DuckDB oracle matches
+   *  bit-for-bit: vectors are first quantized on a single GLOBAL scale
+   *  (per-vector scales would make distances incomparable), all
+   *  distances are exact integer sums of squares (≤ 8·254² per
+   *  subspace — far inside BIGINT), and the per-subspace argmin packs
+   *  (dist·16 + codeword) into one `array_min` with ties to the lowest
+   *  codeword. The codebook is the quantized subvectors of the 16 lowest
+   *  vec_ids — the standard sampled init (production would Lloyd-train
+   *  per subspace exactly like [[kmeansCentroids]]); it is K×64 longs of
+   *  driver-side bookkeeping, never data.
+   *
+   *  Scale shape: encoding is one map-side narrow pass (no shuffle);
+   *  queries broadcast WITH their distance tables precomputed, so the
+   *  corpus-side work per row is 8 array lookups + adds; top-3 per query
+   *  is the bounded [[TopKAgg]]. Nothing shuffles but O(k) buffers. */
+  def pqTopK(spark: SparkSession, dir: String): DataFrame =
+    pqTopKOf(Tables.embeddings(spark, dir))
+
+  /** [[pqTopK]] over an arbitrary `(vec_id, embedding)` corpus — lets
+   *  PqSpec drive the same plan against a cluster-structured variant to
+   *  show recall is an embedding-structure question (random vectors are
+   *  the adversarial case for any 8-byte code). */
+  private[similarity] def pqTopKOf(emb: DataFrame): DataFrame = {
+    val M = 8; val K = 16; val w = 8 // M subspaces × w dims; K codewords each
+    // one corpus max-abs scalar — the global quantization scale (bookkeeping)
+    val gs = emb.agg(
+      max(array_max(transform(col("embedding"), x => abs(x.cast("double")))))).head().getDouble(0)
+    require(gs > 0.0, "PQ needs a non-degenerate corpus (all-zero embeddings)")
+    // same round-half-up chain as quantize, on the global scale
+    val quantized = transform(col("embedding"), x =>
+      floor(lit(127.0d) * x.cast("double") / lit(gs) + lit(0.5d)))
+    val quant = emb.select(col("vec_id"), quantized.as("q"))
+    // codebook = quantized subvectors of the K lowest vec_ids (K×64 longs)
+    val cb: Array[Array[Long]] = quant.filter(col("vec_id") < K).orderBy("vec_id")
+      .collect().map(_.getSeq[Long](1).toArray) // K tiny rows — the only driver-side data
+    require(cb.length == K, s"corpus must contain the $K codebook seed vectors")
+    def cwLit(s: Int): Column = array((0 until K).map(c =>
+      array((0 until w).map(i => lit(cb(c)(s * w + i))): _*)): _*)
+    def subv(s: Int): Column = slice(col("q"), s * w + 1, w)
+    def sqd(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+    // per-subspace code: argmin over K codewords, ties → lowest codeword
+    val codes = array((0 until M).map { s =>
+      pmod(array_min(zip_with(cwLit(s), sequence(lit(0L), lit((K - 1).toLong)),
+        (cw, c) => sqd(subv(s), cw) * K + c)), lit(K.toLong))
+    }: _*)
+    // each query ships its 8×16 ADC table, built once on the broadcast side
+    val qtab = array((0 until M).map(s => transform(cwLit(s), cw => sqd(subv(s), cw))): _*)
+    val encoded = quant.select(col("vec_id"), codes.as("code"))
+    val queries = broadcast(quant.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), qtab.as("qt")))
+    val adc = aggregate(
+      zip_with(col("qt"), col("code"), (t, cd) => element_at(t, (cd + 1).cast("int"))),
+      lit(0L), (acc, x) => acc + x)
+    val grouped = encoded.crossJoin(queries)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("pq_dist"))
+      // lower distance wins: negate into the (higher-better) bounded top-k;
+      // pq_dist ≤ 8·8·254² ≈ 4.1M, exact in the double score
+      .groupBy("query_id")
+      .agg(topK(3)((-col("pq_dist")).cast("double"), col("neighbor_id")).as("top"))
+    grouped.select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("bigint").as("rank"),
+        (-col("col.score")).cast("bigint").as("pq_dist"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Per-dimension normalization statistics — the pass every embedding
    *  pipeline runs before scaling/whitening or index building: mean, min
    *  and max of each of the 64 dimensions. ONE hash aggregate computes
@@ -392,6 +472,44 @@ object Ann {
         JOIN embeddings e ON e.vec_id = c.neighbor_id) t
       WHERE rank <= 3
       ORDER BY query_id, rank""")),
+    // exact twin of the integer PQ pipeline: same global scale, same
+    // round-half-up quantization, same packed argmin encoding (min of
+    // dist·16+c), same ADC sum — the query-side distance table is just the
+    // dists rows of the query vectors, so the join on (s, code) IS the
+    // table lookup
+    QueryDef("ann_pq", pqTopK, Some("""
+      WITH gs AS (SELECT max(abs(cast(x as double))) AS g
+                  FROM embeddings, unnest(embedding) u(x)),
+      qv AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> cast(floor(127.0 * cast(x as double) / gs.g + 0.5) as bigint)) AS q
+        FROM embeddings, gs),
+      cb AS MATERIALIZED (
+        SELECT t.s, qv.vec_id AS c, qv.q[t.s*8+1 : t.s*8+8] AS cw
+        FROM qv, unnest(range(0, 8)) t(s)
+        WHERE qv.vec_id < 16),
+      dists AS MATERIALIZED (
+        SELECT qv.vec_id, cb.s, cb.c,
+               cast(list_sum(list_transform(range(1, 9),
+                 i -> (qv.q[cb.s*8+i] - cb.cw[i]) * (qv.q[cb.s*8+i] - cb.cw[i]))) as bigint) AS d
+        FROM qv, cb),
+      codes AS MATERIALIZED (
+        SELECT vec_id, s, cast(min(d * 16 + c) % 16 as bigint) AS code
+        FROM dists GROUP BY vec_id, s),
+      adc AS (
+        SELECT d.vec_id AS query_id, c.vec_id AS neighbor_id,
+               cast(sum(d.d) as bigint) AS pq_dist
+        FROM codes c
+        JOIN dists d ON d.vec_id < 8 AND d.s = c.s AND d.c = c.code
+        WHERE c.vec_id <> d.vec_id
+        GROUP BY 1, 2)
+      SELECT query_id, neighbor_id, rank, pq_dist FROM (
+        SELECT query_id, neighbor_id, pq_dist,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY pq_dist, neighbor_id) AS rank
+        FROM adc) t
+      WHERE rank <= 3 ORDER BY query_id, rank""")),
     QueryDef("ann_bruteforce_topk", bruteForceTopK, Some("""
       SELECT query_id, neighbor_id, rank FROM (
         SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

@@ -285,6 +285,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "the rerank must join the broadcast shortlist")
   }
 
+  test("ann_pq: encode is map-side narrow, score is bounded aggregate, no window") {
+    val p = plan("ann_pq")
+    assert(!p.contains("Window"), "PQ top-k must use the bounded aggregate")
+    assert(p.contains("ObjectHashAggregate"), p)
+    // encoding + ADC must not shuffle the corpus: the only exchange feeds
+    // the final O(k)-buffer aggregate (plus the tiny broadcast query side)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the corpus must never shuffle for a PQ scan")
+  }
+
   test("q51_dq_rules: the whole rule set is ONE aggregate pass") {
     val p = plan("q51_dq_rules")
     assert(!p.contains("Join") && !p.contains("Window"), p)
