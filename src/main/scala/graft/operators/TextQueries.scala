@@ -236,7 +236,77 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** MEAN-TOKEN-RANK fluency score — the integer-exact stand-in for the
+   *  LM-perplexity quality filter of CCNet (Wenzek et al. 2020): rank the
+   *  curated-source vocabulary by frequency (rank 1 = most frequent), score
+   *  each document as the mean rank of its tokens (out-of-vocabulary →
+   *  V+1), roll up per source. A document of common, target-like tokens
+   *  scores low; OOV-heavy or junk-token text scores high — the same
+   *  ordering a unigram-LM cross-entropy produces (rank is a monotone
+   *  transform of frequency), with no float log in sight. Distinct from
+   *  [[CurationPipeline.dsirWeights]] (hashed-BUCKET target/raw ratios —
+   *  domain match) and text_oov_rate (binary top-100 membership): this is
+   *  a per-document fluency ordering over the FULL vocabulary.
+   *
+   *  Scale shape: the vocabulary rank is [[ScalableRank.withGlobalRowNumber]]
+   *  (range-partition by (count desc, token), rank locally, broadcast
+   *  offsets) — never a global one-task window; the token→rank lookup is a
+   *  plain shuffle equi-join on the token (at 100 TB the vocab outgrows a
+   *  broadcast; hot-token skew is AQE skew-split territory, asserted
+   *  engaged elsewhere); per-doc then per-source rollups are ordinary
+   *  partial-aggregated shuffles. Zero-token documents carry no tokens and
+   *  drop from the scoring, as a length filter would have removed them
+   *  upstream anyway. */
+  def rankQuality(spark: SparkSession, dir: String): DataFrame = {
+    val target = Seq("src0", "src1", "src2", "src3")
+    val docToks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("tok"))
+    val vocab = docToks.filter(col("source").isin(target: _*))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val (ranked, vocabSize) =
+      ScalableRank.withGlobalRowNumber(vocab, Seq(col("cnt").desc, col("tok")), "rank")
+    val perDoc = docToks
+      .join(ranked.select(col("tok"), col("rank")), Seq("tok"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("rank"), lit(vocabSize + 1)).as("r"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("ntok"), sum("r").as("sum_rank"))
+      .select(col("doc_id"), col("source"),
+        expr("sum_rank * 10000 div ntok").as("mean_rank_bp"))
+    perDoc.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        expr("sum(mean_rank_bp) div count(1)").as("avg_doc_rank_bp"),
+        min("mean_rank_bp").as("best_doc_bp"),
+        max("mean_rank_bp").as("worst_doc_bp"))
+      .orderBy("source")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // same tokenization CTE as the other text oracles; the rank is the
+    // same (cnt desc, tok) total order, OOV = V+1, all divisions integer
+    QueryDef("text_rank_quality", rankQuality, Some("""
+      WITH dt AS MATERIALIZED (
+        SELECT doc_id, source, unnest(
+          CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+               ELSE regexp_split_to_array(trim(text), '\s+') END) AS tok
+        FROM documents),
+      vc AS (SELECT tok, count(*) AS cnt FROM dt
+             WHERE source IN ('src0','src1','src2','src3') GROUP BY tok),
+      rk AS MATERIALIZED (
+        SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS rank FROM vc),
+      sc AS (
+        SELECT dt.doc_id, dt.source, count(*) AS ntok,
+               sum(coalesce(rk.rank, (SELECT count(*) + 1 FROM vc))) AS sum_rank
+        FROM dt LEFT JOIN rk USING (tok)
+        GROUP BY 1, 2),
+      d AS (SELECT doc_id, source,
+                   cast(sum_rank * 10000 // ntok as bigint) AS mean_rank_bp
+            FROM sc)
+      SELECT source, cast(count(*) as bigint) AS n_docs,
+             cast(sum(mean_rank_bp) // count(*) as bigint) AS avg_doc_rank_bp,
+             cast(min(mean_rank_bp) as bigint) AS best_doc_bp,
+             cast(max(mean_rank_bp) as bigint) AS worst_doc_bp
+      FROM d GROUP BY source ORDER BY source""")),
     QueryDef("q48_hof_suite", hofSuite, Some("""
       WITH t AS (
         SELECT source,

@@ -285,6 +285,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "the rerank must join the broadcast shortlist")
   }
 
+  test("text_rank_quality: vocab rank windows ride range slices, no cartesian") {
+    val p = plan("text_rank_quality")
+    assert(!p.contains("CartesianProduct"), p)
+    // every window must partition on the range-slice id — a bare
+    // `row_number() OVER (ORDER BY cnt)` would collapse the vocabulary
+    // into one task
+    val windows = "Window .*".r.findAllIn(p).toList
+    assert(windows.nonEmpty, "expected the ScalableRank local-rank window")
+    windows.foreach(w => assert(w.contains("__pid"), s"global window: $w"))
+  }
+
   test("ann_pq: encode is map-side narrow, score is bounded aggregate, no window") {
     val p = plan("ann_pq")
     assert(!p.contains("Window"), "PQ top-k must use the bounded aggregate")
