@@ -570,7 +570,73 @@ object Media {
       .orderBy("doc_id")
   }
 
+  /** VOICE-ACTIVITY SEGMENTS over the windowed energies — the actual VAD /
+   *  silence-trim pass [[audioLoudness]] is the precursor of: a window is
+   *  ACTIVE when its energy is strictly above the document's mean window
+   *  energy (an integer cross-multiplied compare, `energy·n_windows >
+   *  total_energy` — no division, no float), and adjacent active windows
+   *  merge into segments by gaps-and-islands. Output per track: segment
+   *  count, longest segment, active windows and active ratio. Documents
+   *  whose windows all tie the mean have no active window and drop — a
+   *  constant-energy track has nothing to trim.
+   *
+   *  Scale shape: same per-partition codec stream as the other audio ops;
+   *  the islands window partitions on doc_id — high-cardinality, with a
+   *  per-doc window count bounded by payload/100 — the same per-key window
+   *  discipline as text_keywords, never a global or low-cardinality key. */
+  def audioVad(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val win = mediaContainers(spark, dir)
+      .filter(_.format == "wav")
+      .flatMap(r => Codec.windowEnergies(r.media, win = 100)
+        .map { case (widx, e, _) => (r.doc_id, widx, e) })
+      .toDF("doc_id", "widx", "energy")
+    val stats = win.groupBy("doc_id")
+      .agg(count(lit(1)).as("nw"), sum("energy").as("tot"))
+    val active = win.join(stats, "doc_id")
+      .filter(col("energy") * col("nw") > col("tot"))
+    val islands = Window.partitionBy("doc_id").orderBy("widx")
+    val segs = active
+      .withColumn("island", col("widx") - row_number().over(islands))
+      .groupBy("doc_id", "island")
+      .agg(count(lit(1)).as("seg_len"))
+    segs.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        max("seg_len").as("longest_seg"),
+        sum("seg_len").as("active_windows"))
+      .join(stats.select(col("doc_id"), col("nw")), "doc_id")
+      .select(col("doc_id"), col("n_segments"), col("longest_seg"),
+        col("active_windows"),
+        expr("active_windows * 10000 div nw").as("active_ratio_bp"))
+      .orderBy("doc_id")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // same PCM reconstruction as media_audio_loudness; islands via
+    // widx − row_number per doc, all arithmetic integer
+    QueryDef("media_vad", audioVad, Some("""
+      WITH s AS (
+        SELECT doc_id, (i - 1) // 100 AS widx,
+               cast((ascii(substring(text, i, 1)) - 128) * 256 as bigint) AS smp
+        FROM documents, unnest(range(1, length(text) + 1)) u(i)
+        WHERE doc_id % 2 = 1),
+      e AS (SELECT doc_id, widx, sum(smp * smp) AS energy FROM s GROUP BY 1, 2),
+      st AS (SELECT doc_id, count(*) AS nw, sum(energy) AS tot FROM e GROUP BY 1),
+      a AS (
+        SELECT e.doc_id, e.widx,
+               row_number() OVER (PARTITION BY e.doc_id ORDER BY e.widx) AS rn
+        FROM e JOIN st USING (doc_id)
+        WHERE e.energy * st.nw > st.tot),
+      seg AS (SELECT doc_id, widx - rn AS island, count(*) AS seg_len
+              FROM a GROUP BY 1, 2)
+      SELECT seg.doc_id,
+             cast(count(*) as bigint) AS n_segments,
+             cast(max(seg_len) as bigint) AS longest_seg,
+             cast(sum(seg_len) as bigint) AS active_windows,
+             cast(sum(seg_len) * 10000 // max(st.nw) as bigint) AS active_ratio_bp
+      FROM seg JOIN st ON seg.doc_id = st.doc_id
+      GROUP BY 1 ORDER BY 1""")),
     // the BMP grayscale pixel at payload index i IS the ASCII byte (luma of
     // (v,v,v) = 1000v/1000 = v), indices past the text pad with 0 — so the
     // whole aHash (geometry, cell sums, integer mean, sign bit 63) replays

@@ -139,6 +139,32 @@ class MediaSpec extends AnyFunSuite {
     assert(Codec.ahash64(Containers.bmp(Array.fill(20)(1.toByte))).isEmpty)
   }
 
+  test("audioVad segments equal an independent per-doc recomputation") {
+    // recompute VAD from windowEnergies with plain Scala collections and
+    // compare every emitted row — exercises the mean threshold, the
+    // gaps-and-islands merge, and the drop of constant-energy docs
+    val rows = Media.audioVad(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val expected = Media.mediaContainers(spark, "/root/testdata/sf0.001")
+      .filter(_.format == "wav").collect().flatMap { r =>
+        val es = Codec.windowEnergies(r.media, win = 100).map(_._2)
+        val n = es.length.toLong
+        val tot = es.sum
+        val act = es.zipWithIndex.collect { case (e, i) if e * n > tot => i }
+        if (act.isEmpty) None
+        else {
+          val segs = act.foldLeft(List.empty[List[Int]]) {
+            case (cur :: rest, i) if i == cur.head + 1 => (i :: cur) :: rest
+            case (acc, i) => List(i) :: acc
+          }.map(_.size.toLong)
+          Some(r.doc_id -> ((segs.size.toLong, segs.max, segs.sum, segs.sum * 10000 / n)))
+        }
+      }.toMap
+    assert(expected.nonEmpty, "corpus must contain non-constant wav tracks")
+    assert(rows == expected)
+  }
+
   test("aHash is orientation-correct: bottom-up file equals its top-down rewrite") {
     val payload = Array.tabulate(300)(i => (i % 251).toByte)
     val bu = Containers.bmp(payload) // positive height = bottom-up rows

@@ -62,6 +62,44 @@ class AqePlanSpec extends AnyFunSuite {
     assert(finalPlan("q31_salted_join").contains("ShuffledHashJoin"))
   }
 
+  test("runtime bloom filter injects on a selective shuffle join") {
+    // Spark's InjectRuntimeFilter: when a shuffle join's creation side
+    // carries a selective predicate, a bloom filter built from its join
+    // keys is pushed into the application side's SCAN — at 100 TB this is
+    // the difference between shuffling the whole fact table and shuffling
+    // only rows that can match. Engagement depends on size thresholds the
+    // toy corpus can't meet (application side must look like a 10 GB+
+    // scan), so shrink them the same way the skew test does and pin that
+    // the rewrite actually fires on our join shape.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> scala.util.Try(conf.get(k)).toOption.filter(_ != null)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      import org.apache.spark.sql.functions._
+      val orders = graft.Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val li = graft.Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val j = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"runtime bloom filter did not inject into the application-side scan:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("AQE skew-split engages on a synthetic skewed sort-merge join") {
     val conf = spark.conf
     val saved = Seq(
