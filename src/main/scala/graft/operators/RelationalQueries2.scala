@@ -404,7 +404,128 @@ object RelationalQueries2 {
       .orderBy("rule_name")
   }
 
+  /** EXACT 3σ OUTLIER DETECTION per order priority — the anomaly gate a
+   *  pipeline runs before trusting a batch, with the float-free trick that
+   *  makes it oracle-exact AND order-independent: `|x − μ| > 3σ` is
+   *  cross-multiplied into `(n·x − S)² > 9·(n·Q − S²)` over cents-integer
+   *  prices (S = Σx, Q = Σx²), so there is no division, no square root,
+   *  and no accumulation-order sensitivity anywhere. All arithmetic is
+   *  DECIMAL(38,0) (hugeint in the oracle): at sf100 the extreme term
+   *  9·(n·Q − S²) is ~10³¹ of the 10³⁸ headroom, so the identity holds
+   *  exactly at any plausible scale.
+   *
+   *  Scale shape: one partial-aggregated stats pass (5 rows), broadcast
+   *  back, one filtered re-aggregate — two scans, zero shuffles of data
+   *  rows beyond the map-side-combined aggregates. */
+  def q56Outliers(spark: SparkSession, dir: String): DataFrame = {
+    val cents = expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as decimal(38,0))")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_totalprice"), cents.as("c"))
+    val stats = o.groupBy("o_orderpriority").agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("c")).as("s"),
+      sum(expr("c * c")).as("q"))
+    val dev = expr("(n * c - s) * (n * c - s)")
+    val bound = expr("9 * (n * q - s * s)")
+    o.join(broadcast(stats), "o_orderpriority")
+      .select(col("o_orderpriority"), col("o_totalprice"), col("n"),
+        (dev > bound).as("is_outlier"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+        max(when(col("is_outlier"), col("o_totalprice"))).as("max_outlier"))
+      .withColumn("outlier_bp", expr("n_outliers * 10000 div n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** EXACT PER-GROUP TREND (OLS slope) of monthly revenue per brand — the
+   *  "is this segment growing" regression, kept bit-exact by emitting the
+   *  slope's integer NUMERATOR and DENOMINATOR (num = nΣxy − ΣxΣy,
+   *  den = nΣx² − (Σx)², x = months since the corpus' first ship month,
+   *  y = revenue cents) and deriving the double slope as one num/den
+   *  division — a single correctly-rounded IEEE op both engines agree on.
+   *  Normalizing x by the global min month (a broadcast 1-row aggregate,
+   *  never a collect) keeps the slope identical and the magnitudes
+   *  bigint-renderable even at sf100.
+   *
+   *  Scale shape: broadcast dim join (part), two hash aggregates
+   *  (brand×month, then brand — both map-side combined), one 1-row
+   *  broadcast. No windows, no sorts beyond the 25-row output. */
+  def q57Trend(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        expr("year(l_shipdate) * 12 + month(l_shipdate)").as("mabs"),
+        expr("cast(cast(l_extendedprice as decimal(12,2)) * 100 as decimal(38,0))").as("cents"))
+    val minm = li.agg(min("mabs").as("m0")) // 1 row — broadcast, not collected
+    val brand = broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand"))
+    val monthly = li.join(brand, col("l_partkey") === col("p_partkey"))
+      .crossJoin(broadcast(minm))
+      .select(col("p_brand"), (col("mabs") - col("m0")).cast("decimal(38,0)").as("x"),
+        col("cents").as("y"))
+      .groupBy("p_brand", "x")
+      .agg(sum("y").as("ym")) // monthly revenue per brand, exact cents
+    monthly.groupBy("p_brand")
+      .agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"),
+        sum(expr("x * x")).as("sxx"),
+        sum(col("ym")).as("sy"),
+        sum(expr("x * ym")).as("sxy"))
+      .select(col("p_brand"),
+        col("n").cast("bigint").as("n_months"),
+        expr("cast(n * sxy - sx * sy as bigint)").as("slope_num"),
+        expr("cast(n * sxx - sx * sx as bigint)").as("slope_den"))
+      .withColumn("slope_cents_per_month",
+        col("slope_num").cast("double") / col("slope_den").cast("double"))
+      .orderBy("p_brand")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("q56_outliers", q56Outliers, Some("""
+      WITH x AS (
+        SELECT o_orderpriority, o_totalprice,
+               cast(cast(o_totalprice as decimal(12,2)) * 100 as hugeint) AS c
+        FROM orders),
+      s AS (
+        SELECT o_orderpriority, cast(count(*) as hugeint) AS n,
+               sum(c) AS sm, sum(c * c) AS q
+        FROM x GROUP BY 1)
+      SELECT x.o_orderpriority,
+             count(*) AS n_orders,
+             cast(sum(CASE WHEN (s.n * x.c - s.sm) * (s.n * x.c - s.sm)
+                                > 9 * (s.n * s.q - s.sm * s.sm)
+                           THEN 1 ELSE 0 END) as bigint) AS n_outliers,
+             max(CASE WHEN (s.n * x.c - s.sm) * (s.n * x.c - s.sm)
+                           > 9 * (s.n * s.q - s.sm * s.sm)
+                      THEN x.o_totalprice END) AS max_outlier,
+             cast(sum(CASE WHEN (s.n * x.c - s.sm) * (s.n * x.c - s.sm)
+                                > 9 * (s.n * s.q - s.sm * s.sm)
+                           THEN 1 ELSE 0 END) * 10000 // count(*) as bigint) AS outlier_bp
+      FROM x JOIN s USING (o_orderpriority)
+      GROUP BY 1 ORDER BY 1""")),
+    QueryDef("q57_trend", q57Trend, Some("""
+      WITH li AS (
+        SELECT l_partkey,
+               year(l_shipdate) * 12 + month(l_shipdate)
+                 - (SELECT min(year(l_shipdate) * 12 + month(l_shipdate)) FROM lineitem)
+                 AS x,
+               cast(cast(l_extendedprice as decimal(12,2)) * 100 as hugeint) AS cents
+        FROM lineitem),
+      m AS (
+        SELECT p_brand, cast(x as hugeint) AS x, sum(cents) AS ym
+        FROM li JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2),
+      st AS (
+        SELECT p_brand, cast(count(*) as hugeint) AS n,
+               sum(x) AS sx, sum(x * x) AS sxx, sum(ym) AS sy, sum(x * ym) AS sxy
+        FROM m GROUP BY 1)
+      SELECT p_brand, cast(n as bigint) AS n_months,
+             cast(n * sxy - sx * sy as bigint) AS slope_num,
+             cast(n * sxx - sx * sx as bigint) AS slope_den,
+             cast(n * sxy - sx * sy as double) / cast(n * sxx - sx * sx as double)
+               AS slope_cents_per_month
+      FROM st ORDER BY p_brand""")),
     QueryDef("q51_dq_rules", q51DqRules, Some("""
       WITH a AS (
         SELECT count(*) AS n_rows,

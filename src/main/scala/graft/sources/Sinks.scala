@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.Tables
 import graft.Tables.QueryDef
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -122,7 +122,90 @@ object Sinks {
       .orderBy("l_returnflag")
   }
 
+  /** Bit-spread for Morton interleave: the low 32 bits of `c` move to the
+   *  even bit positions of a Long. Five mask-and-shift rounds, all plain
+   *  bitwise `Column` arithmetic — codegen'd, no UDF. */
+  private def spreadBits(c: Column): Column = {
+    val s1 = c.bitwiseOR(shiftleft(c, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+    val s2 = s1.bitwiseOR(shiftleft(s1, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    val s3 = s2.bitwiseOR(shiftleft(s2, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    val s4 = s3.bitwiseOR(shiftleft(s3, 2)).bitwiseAND(lit(0x3333333333333333L))
+    s4.bitwiseOR(shiftleft(s4, 1)).bitwiseAND(lit(0x5555555555555555L))
+  }
+
+  /** Morton (Z-order) key of two columns already normalized to [0, 255]:
+   *  x in the even bits, y in the odd bits — a 16-bit key whose prefix
+   *  ranges are 2-D boxes. */
+  private[sources] def zKey(x: Column, y: Column): Column =
+    spreadBits(x).bitwiseOR(shiftleft(spreadBits(y), 1))
+
+  /** Z-ORDER LAYOUT — the multi-dimensional data-skipping write: events
+   *  are laid out by the Morton interleave of (user_id, hour), each first
+   *  normalized to an 8-bit grid so both dimensions contribute equally to
+   *  the key, then range-partitioned on the z-key and written sorted. A
+   *  z-prefix range is a 2-D BOX, so every output file covers a bounded
+   *  slice of BOTH dimensions at once (SinkLayoutSpec measures the
+   *  per-file spans) — which is what lets parquet row-group min/max stats
+   *  skip files for a user-range × time-range query. A layout sorted on
+   *  user_id alone answers user slices but full-scans every time slice;
+   *  at 100 TB the z-order table answers both from footer stats. The
+   *  read-back runs a quartile box on both dimensions (bounds are the
+   *  corpus quartiles, derived identically in the oracle) and aggregates;
+   *  PlanSpec pins that both predicates reach the parquet scan.
+   *
+   *  The 4-value stats row collected up front is bookkeeping (min/max of
+   *  two columns), never data. */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"), col("user_id"),
+      expr("ts div 3600000000000").as("hr"),
+      col("event_type"), col("value"))
+    val s = ev.agg(min("user_id"), max("user_id"), min("hr"), max("hr")).head()
+    val (mu, xu, mh, xh) = (s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3))
+    val (ru, rh) = (math.max(xu - mu, 1L), math.max(xh - mh, 1L))
+    val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_zorder_" +
+      s"${spark.sparkContext.applicationId}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    if (written.add(out)) {
+      val gx = expr(s"(user_id - $mu) * 255 div $ru") // integer div: 0..255 grid
+      val gy = expr(s"(hr - $mh) * 255 div $rh")
+      ev.withColumn("z", zKey(gx, gy))
+        .repartitionByRange(16, col("z"))
+        .sortWithinPartitions("z")
+        .write.mode("overwrite").parquet(out)
+    }
+    // quartile box in RAW coordinates, floor-div exactly as the oracle's //
+    val (uLo, uHi) = (mu + (xu - mu) / 4, mu + (xu - mu) / 2)
+    val (hLo, hHi) = (mh + (xh - mh) / 4, mh + (xh - mh) / 2)
+    spark.read.parquet(out)
+      .filter(col("user_id").between(uLo, uHi) && col("hr").between(hLo, hHi))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** The z-ordered files on disk for `dir` (written on first use) — lets
+   *  SinkLayoutSpec measure per-file dimension spans. */
+  private[graft] def zorderPath(spark: SparkSession, dir: String): String = {
+    zorderLayout(spark, dir).collect() // ensure written
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_zorder_" +
+      s"${spark.sparkContext.applicationId}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("sink_zorder", zorderLayout, Some("""
+      WITH b AS (
+        SELECT min(user_id) AS mu, max(user_id) AS xu,
+               min(epoch_us(ts) // 3600000000) AS mh,
+               max(epoch_us(ts) // 3600000000) AS xh
+        FROM events)
+      SELECT event_type, count(*) AS n,
+             cast(sum(cast(value as decimal(12,2))) as double) AS sum_value
+      FROM events, b
+      WHERE user_id BETWEEN b.mu + (b.xu - b.mu) // 4 AND b.mu + (b.xu - b.mu) // 2
+        AND epoch_us(ts) // 3600000000
+            BETWEEN b.mh + (b.xh - b.mh) // 4 AND b.mh + (b.xh - b.mh) // 2
+      GROUP BY 1 ORDER BY 1""")),
     QueryDef("sink_orc_roundtrip", orcRoundtrip, Some("""
       SELECT l_returnflag, count(*) AS n,
              cast(sum(cast(l_extendedprice as decimal(12,2))) as double) AS revenue

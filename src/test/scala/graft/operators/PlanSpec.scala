@@ -168,6 +168,22 @@ class PlanSpec extends AnyFunSuite {
       s"quantity filter must push into the ORC scan:\n$p")
   }
 
+  test("sink_zorder: both box predicates push into the z-ordered parquet scan") {
+    graft.SparkEntry.queries("sink_zorder")(spark, dir).collect() // ensure written
+    val p = plan("sink_zorder")
+    // both dimensions must reach the scan — that's what lets parquet
+    // row-group min/max stats skip: each z-ordered file bounds BOTH.
+    // PushedFilters renders truncated ("…"), so the prefix pins user_id's
+    // bounds + hr's not-null, and the Filter node text pins hr's bounds.
+    assert(p.contains(
+      "PushedFilters: [IsNotNull(user_id), IsNotNull(hr), GreaterThanOrEqual(user_id"),
+      s"box filters must push into the parquet scan:\n$p")
+    for (op <- Seq(">=", "<=")) {
+      assert(raw"hr#\d+L? $op \d+".r.findFirstIn(p).isDefined,
+        s"hr $op bound must reach the scan's data filters:\n$p")
+    }
+  }
+
   test("pipeline_pack: every window rides a range slice, never source alone or global") {
     val df = graft.SparkEntry.queries("pipeline_pack")(spark, dir)
     val windows = df.queryExecution.optimizedPlan.collect {
