@@ -210,6 +210,39 @@ object SchemerQueries {
    *  TIMESTAMP column, like the WTs merge), else the VARCHAR ladder.
    *  `TRY_CAST` supplies the same calendar check as the Scala side's
    *  LocalDate.parse — 2024-02-31 NULLs out on both. */
+  /** SCHEMA DRIFT REPORT — the check a pipeline runs between yesterday's
+   *  batch and today's before appending to a table: the SAME witness fold
+   *  as [[schemaColumns]] run per cohort (cohort A = the first 100 events,
+   *  the "initial batch"; B = everything since) in ONE grouped aggregate
+   *  (partial aggregation applies — only witnesses shuffle), then pivoted
+   *  to `(col_name, type_a, type_b, drifted)`. On this corpus `event_id`
+   *  genuinely drifts (the first batch fits TINYINT; the full id space
+   *  doesn't) — exactly the widening a consumer's DDL has to chase.
+   *
+   *  Scale shape: two witness buffers total, whatever the corpus size;
+   *  the pivot is a 4-row reshape. */
+  def schemaDrift(spark: SparkSession, dir: String): DataFrame = {
+    val json = Tables.events(spark, dir).select(
+      when(col("event_id") < 100, "batch_a").otherwise("batch_b").as("cohort"),
+      concat(
+        lit("{\"event_id\":"), col("event_id"),
+        lit(",\"event_type\":\""), col("event_type"),
+        lit("\",\"user_id\":"), col("user_id"),
+        lit(",\"props\":"), col("props"),
+        lit("}")).as("j"))
+    json.groupBy("cohort")
+      .agg(InferSchema.infer_column_types(col("j")).as("cols"))
+      .select(col("cohort"), explode(col("cols")).as("c"))
+      .select(col("cohort"),
+        col("c.col_name").as("col_name"), col("c.hive_type").as("t"))
+      .groupBy("col_name")
+      .agg(
+        max(when(col("cohort") === "batch_a", col("t"))).as("type_a"),
+        max(when(col("cohort") === "batch_b", col("t"))).as("type_b"))
+      .withColumn("drifted", col("type_a") =!= col("type_b"))
+      .orderBy("col_name")
+  }
+
   private def tsLadderSql(c: String): String =
     s"""CASE WHEN count(*) = count(CASE WHEN regexp_full_match($c, '\\d{4}-\\d{2}-\\d{2}')
        |                                 AND TRY_CAST($c AS DATE) IS NOT NULL THEN 1 END)
@@ -340,6 +373,31 @@ object SchemerQueries {
         UNION ALL
         SELECT 'label', ${tsLadderSql("label")} FROM j) t
       ORDER BY col_name""")),
+    QueryDef("schema_drift", schemaDrift, Some(s"""
+      WITH s AS (
+        SELECT CASE WHEN event_id < 100 THEN 'batch_a' ELSE 'batch_b' END AS cohort,
+               min(event_id) AS mn_e, max(event_id) AS mx_e,
+               max(length(event_type)) AS len_t,
+               min(user_id) AS mn_u, max(user_id) AS mx_u,
+               min(cast(json_extract(props, '$$.k') as bigint)) AS mn_k,
+               max(cast(json_extract(props, '$$.k') as bigint)) AS mx_k
+        FROM events GROUP BY 1),
+      t AS (
+        SELECT cohort, 'event_id' AS col_name, ${bucketSql("mn_e", "mx_e")} AS hive_type FROM s
+        UNION ALL
+        SELECT cohort, 'event_type', CASE WHEN len_t > 0 AND len_t < 65356
+                                          THEN 'VARCHAR(' || len_t || ')' ELSE 'STRING' END FROM s
+        UNION ALL
+        SELECT cohort, 'user_id', ${bucketSql("mn_u", "mx_u")} FROM s
+        UNION ALL
+        SELECT cohort, 'props', 'STRUCT<' || chr(10) || chr(9) || 'k: ' ||
+                                ${bucketSql("mn_k", "mx_k")} || chr(10) || '>' FROM s)
+      SELECT col_name,
+             max(CASE WHEN cohort = 'batch_a' THEN hive_type END) AS type_a,
+             max(CASE WHEN cohort = 'batch_b' THEN hive_type END) AS type_b,
+             max(CASE WHEN cohort = 'batch_a' THEN hive_type END)
+               <> max(CASE WHEN cohort = 'batch_b' THEN hive_type END) AS drifted
+      FROM t GROUP BY 1 ORDER BY 1""")),
     QueryDef("schema_driven_read", schemaDrivenRead, Some("""
       SELECT event_type, count(*) AS n,
              min(event_id) AS min_event_id, max(event_id) AS max_event_id,

@@ -62,6 +62,17 @@ class AqePlanSpec extends AnyFunSuite {
     assert(finalPlan("q31_salted_join").contains("ShuffledHashJoin"))
   }
 
+  test("AQE coalesces undersized shuffle partitions in the finalized plan") {
+    // with shuffle.partitions sized for the full corpus (32 here, thousands
+    // on a cluster), a small aggregate's reduce side would otherwise run
+    // one near-empty task per configured partition — at 100 TB settings
+    // that's thousands of no-op tasks per stage. The finalized plan must
+    // show the AQEShuffleRead collapsing them to the data's actual size.
+    val p = finalPlan("q4_order_priority")
+    assert(p.contains("AQEShuffleRead coalesced"),
+      s"expected coalesced shuffle reads in the finalized plan:\n$p")
+  }
+
   test("runtime bloom filter injects on a selective shuffle join") {
     // Spark's InjectRuntimeFilter: when a shuffle join's creation side
     // carries a selective predicate, a bloom filter built from its join
