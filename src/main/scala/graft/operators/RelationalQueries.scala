@@ -102,14 +102,20 @@ object RelationalQueries {
       .orderBy("r_name")
   }
 
-  /** Window ranking: top-3 orders by value within each priority class.
-   *  Deterministic tiebreak on orderkey so the oracle agrees. */
+  /** Top-3 orders by value within each priority class — via the bounded
+   *  [[graft.similarity.TopKAgg]], NOT a row_number window: with only 5
+   *  priority classes, a per-priority window would funnel the entire
+   *  orders table through 5 reducer tasks (the exact anti-pattern the
+   *  TopK scaladoc names). The aggregate keeps an O(3) buffer per class
+   *  per map task and only buffers shuffle; tie semantics (price desc,
+   *  orderkey asc) match the oracle's window exactly. */
   def q7TopPerPriority(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    Tables.orders(spark, dir)
-      .withColumn("rn", row_number().over(w).cast("bigint"))
-      .filter(col("rn") <= 3)
-      .select("o_orderpriority", "o_orderkey", "rn")
+    import graft.similarity.TopK._
+    val grouped = Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(topK(3)(col("o_totalprice"), col("o_orderkey")).as("top"))
+    explodeRanks(grouped, "o_orderpriority", "o_orderkey")
+      .withColumnRenamed("rank", "rn")
       .orderBy("o_orderpriority", "rn")
   }
 

@@ -168,6 +168,13 @@ class PlanSpec extends AnyFunSuite {
       s"quantity filter must push into the ORC scan:\n$p")
   }
 
+  test("q7: per-priority top-k is the bounded aggregate, never a 5-task window") {
+    val p = plan("q7_top_per_priority")
+    assert(p.contains("ObjectHashAggregate"), s"q7 must use the bounded TopK aggregate:\n$p")
+    assert(!p.contains("Window"),
+      s"a per-priority window funnels all orders through 5 tasks:\n$p")
+  }
+
   test("sink_zorder: both box predicates push into the z-ordered parquet scan") {
     graft.SparkEntry.queries("sink_zorder")(spark, dir).collect() // ensure written
     val p = plan("sink_zorder")
