@@ -225,7 +225,14 @@ object RelationalQueries2 {
    *  percent_rank, cume_dist) and navigation (lag, lead, first_value,
    *  nth_value) over the per-priority price ordering. percent_rank /
    *  cume_dist are exact rational doubles — identical IEEE division in
-   *  both engines. Restricted to two priorities for a compact result. */
+   *  both engines. Restricted to two priorities for a compact result.
+   *
+   *  Unlike q7 (where top-k is the SEMANTICS and the bounded TopK
+   *  aggregate replaces the window), percent_rank/cume_dist/lag need the
+   *  whole ordered partition by definition — the low-cardinality window
+   *  here IS the API surface being exercised. At scale this family runs
+   *  on high-cardinality keys (see text_keywords, q41) or through
+   *  ScalableRank's range-partitioned two-phase rank. */
   def q35WindowSuite(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -481,7 +488,52 @@ object RelationalQueries2 {
       .orderBy("p_brand")
   }
 
+  /** TIME-SERIES GAP FILL — hourly resampling with forward-fill, the
+   *  densification every metrics/feature pipeline needs before a model
+   *  sees the series: per-user hourly sums, a generated dense hour grid
+   *  (`sequence` + `explode` — each user's span only, never a global
+   *  calendar cross join), left-joined and carried forward with
+   *  `last(ignoreNulls)` over the per-user ordered window. Restricted to
+   *  a fixed user slice so the row-level output stays bounded at any SF;
+   *  the filter pushes to the scan.
+   *
+   *  Scale shape: the grid explode is O(span) per user; the fill window
+   *  partitions on user_id — high-cardinality, the per-key window
+   *  discipline. The join key is (user_id, hr) — hash-distributed, no
+   *  skew (one row per user-hour by construction). */
+  def q58Gapfill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(spark, dir)
+      .filter(col("user_id") < 10)
+      .groupBy(col("user_id"), expr("ts div 3600000000000").as("hr"))
+      .agg(sum(dec("value")).cast("double").as("v"))
+    val bounds = hourly.groupBy("user_id").agg(min("hr").as("mn"), max("hr").as("mx"))
+    val grid = bounds.select(col("user_id"),
+      explode(sequence(col("mn"), col("mx"))).as("hr"))
+    val w = Window.partitionBy("user_id").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hr"), "left")
+      .select(col("user_id"), col("hr"), col("v"),
+        last(col("v"), ignoreNulls = true).over(w).as("filled"),
+        col("v").isNull.as("is_gap"))
+      .orderBy("user_id", "hr")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("q58_gapfill", q58Gapfill, Some("""
+      WITH hourly AS (
+        SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
+               cast(sum(cast(value as decimal(12,2))) as double) AS v
+        FROM events WHERE user_id < 10 GROUP BY 1, 2),
+      b AS (SELECT user_id, min(hr) AS mn, max(hr) AS mx FROM hourly GROUP BY 1),
+      grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS hr FROM b),
+      j AS (SELECT g.user_id, g.hr, h.v FROM grid g
+            LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr)
+      SELECT user_id, hr, v,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+             v IS NULL AS is_gap
+      FROM j ORDER BY user_id, hr""")),
     QueryDef("q56_outliers", q56Outliers, Some("""
       WITH x AS (
         SELECT o_orderpriority, o_totalprice,
