@@ -365,6 +365,45 @@ object Media {
       Some((hash, nBits))
     }
 
+    /** INTEGER SOBEL edge statistics over the logical luma grid: at every
+     *  interior pixel, gx/gy are the standard 3×3 Sobel responses on the
+     *  same integer BT.601 luma as [[ahash64]]; the pixel is an EDGE when
+     *  `|gx| + |gy| >= thresh`. Returns (interiorPixels, edgePixels), or
+     *  None when the image has no interior (w or h < 3). All-integer —
+     *  the SQL oracle replays the stencil exactly. One O(pixels) pass
+     *  (each luma re-read is O(1) against the mapped buffer). */
+    def edgeStats(b: Array[Byte], thresh: Int): Option[(Long, Long)] = {
+      val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      val offset = buf.getInt(10)
+      val w = buf.getInt(18)
+      val hRaw = buf.getInt(22)
+      val h = math.abs(hRaw)
+      require(buf.getShort(28) == 24, "unsupported BMP bpp")
+      if (w < 3 || h < 3) return None
+      val rowBytes = (w * 3 + 3) & ~3
+      def luma(r: Int, c: Int): Int = {
+        val fileRow = if (hRaw > 0) h - 1 - r else r
+        val p = offset + fileRow * rowBytes + c * 3
+        val bl = b(p) & 0xFF; val g = b(p + 1) & 0xFF; val rr = b(p + 2) & 0xFF
+        (299 * rr + 587 * g + 114 * bl) / 1000
+      }
+      var edges = 0L
+      var r = 1
+      while (r < h - 1) {
+        var c = 1
+        while (c < w - 1) {
+          val gx = (luma(r - 1, c + 1) + 2 * luma(r, c + 1) + luma(r + 1, c + 1)) -
+                   (luma(r - 1, c - 1) + 2 * luma(r, c - 1) + luma(r + 1, c - 1))
+          val gy = (luma(r + 1, c - 1) + 2 * luma(r + 1, c) + luma(r + 1, c + 1)) -
+                   (luma(r - 1, c - 1) + 2 * luma(r - 1, c) + luma(r - 1, c + 1))
+          if (math.abs(gx) + math.abs(gy) >= thresh) edges += 1
+          c += 1
+        }
+        r += 1
+      }
+      Some(((w - 2).toLong * (h - 2), edges))
+    }
+
     /** FNV-1a 64-bit over the whole payload — the content fingerprint. */
     def fingerprint(bytes: Array[Byte]): Long = {
       var h = 0xcbf29ce484222325L
@@ -507,6 +546,27 @@ object Media {
       .orderBy("doc_id")
   }
 
+  /** EDGE DENSITY per image — the 2-D stencil pass (integer Sobel) that a
+   *  visual-quality filter runs to separate structured content from flat
+   *  or noise frames: per-pixel |gx|+|gy| against a fixed threshold over
+   *  the interior of the luma grid, rolled up to per-image edge counts
+   *  and density in basis points. The stencil runs inside the same typed
+   *  per-partition stream as the other decoders (a neighborhood
+   *  computation has no Catalyst expression — this is the legitimate
+   *  `mapPartitions` tier), and the all-integer arithmetic lets the SQL
+   *  oracle replay the full 3×3 convolution with a stencil join. */
+  def edgeDensity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaContainers(spark, dir)
+      .filter(col("format") === "bmp").as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        Codec.edgeStats(r.media, thresh = 160).map { case (ni, ne) => (r.doc_id, ni, ne) }
+      })
+      .toDF("doc_id", "n_interior", "n_edges")
+      .withColumn("edge_density_bp", expr("n_edges * 10000 div n_interior"))
+      .orderBy("doc_id")
+  }
+
   /** Scene-cut detection over the sampled frame stream: per-frame energy
    *  (byte sum), then the absolute delta between consecutive SAMPLED
    *  frames — a jump above the threshold marks a content cut. The
@@ -637,6 +697,49 @@ object Media {
              cast(sum(seg_len) * 10000 // max(st.nw) as bigint) AS active_ratio_bp
       FROM seg JOIN st ON seg.doc_id = st.doc_id
       GROUP BY 1 ORDER BY 1""")),
+    // same pixel-is-ASCII-byte replay as media_image_ahash; the 3x3 Sobel
+    // runs as a stencil join (8 named offsets x weights), densities in
+    // integer basis points
+    QueryDef("media_edge_density", edgeDensity, Some("""
+      WITH base AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n0
+        FROM documents WHERE doc_id % 2 = 0),
+      geo AS (
+        SELECT doc_id, text, greatest(n0, 1) AS n,
+               least(256, greatest(1,
+                 cast(ceil(sqrt(cast(greatest(n0, 1) as double))) as bigint))) AS w
+        FROM base),
+      geo2 AS (SELECT doc_id, text, n, w, (n + w - 1) // w AS h FROM geo),
+      ok AS (SELECT * FROM geo2 WHERE w >= 3 AND h >= 3),
+      px AS (
+        SELECT doc_id, i // w AS r, i % w AS c,
+               CASE WHEN i < n THEN ascii(substr(text, cast(i + 1 as int), 1))
+                    ELSE 0 END AS v
+        FROM ok, unnest(range(0, w * h)) u(i)),
+      st(dr, dc, wx, wy) AS (
+        VALUES (-1,-1,-1,-1), (-1,0,0,-2), (-1,1,1,-1),
+               (0,-1,-2,0),                (0,1,2,0),
+               (1,-1,-1,1),  (1,0,0,2),  (1,1,1,1)),
+      g AS (
+        SELECT p.doc_id, p.r, p.c,
+               sum(nb.v * s.wx) AS gx, sum(nb.v * s.wy) AS gy
+        FROM ok o
+        JOIN px p ON p.doc_id = o.doc_id
+                 AND p.r BETWEEN 1 AND o.h - 2 AND p.c BETWEEN 1 AND o.w - 2
+        CROSS JOIN st s
+        JOIN px nb ON nb.doc_id = p.doc_id
+                  AND nb.r = p.r + s.dr AND nb.c = p.c + s.dc
+        GROUP BY 1, 2, 3),
+      e AS (
+        SELECT doc_id,
+               sum(CASE WHEN abs(gx) + abs(gy) >= 160 THEN 1 ELSE 0 END) AS ne
+        FROM g GROUP BY 1)
+      SELECT o.doc_id,
+             cast((o.w - 2) * (o.h - 2) as bigint) AS n_interior,
+             cast(e.ne as bigint) AS n_edges,
+             cast(e.ne * 10000 // ((o.w - 2) * (o.h - 2)) as bigint) AS edge_density_bp
+      FROM ok o JOIN e ON e.doc_id = o.doc_id
+      ORDER BY o.doc_id""")),
     // the BMP grayscale pixel at payload index i IS the ASCII byte (luma of
     // (v,v,v) = 1000v/1000 = v), indices past the text pad with 0 — so the
     // whole aHash (geometry, cell sums, integer mean, sign bit 63) replays

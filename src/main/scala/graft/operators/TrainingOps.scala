@@ -289,7 +289,50 @@ object TrainingOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** MARKOV TRANSITION MATRIX over per-user event sequences — the
+   *  sequence-modeling prep that turns a log into next-step statistics:
+   *  order each user's events (exact micros, event_id tiebreak — the q15
+   *  convention), pair each with its successor via `lead` on the per-user
+   *  window (high-cardinality key, the per-key window discipline), and
+   *  count (from, to) pairs with the within-from share in exact basis
+   *  points. The 5×5 output is the bigram table a sampler or a
+   *  next-event baseline consumes.
+   *
+   *  Scale shape: one hash exchange on user_id for the window, one
+   *  map-combined pair aggregate, a 5-row broadcast for the shares. */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"),
+        col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val totals = pairs.groupBy("from_type").agg(sum("n_transitions").as("t"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        expr("n_transitions * 10000 div t").as("share_bp"))
+      .orderBy("from_type", "to_type")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("q59_transitions", transitions, Some("""
+      WITH seq AS (
+        SELECT event_type,
+               lead(event_type, 1) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS next_type
+        FROM events),
+      p AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               count(*) AS n_transitions
+        FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n_transitions,
+             cast(n_transitions * 10000
+                  // sum(n_transitions) OVER (PARTITION BY from_type) as bigint)
+               AS share_bp
+      FROM p ORDER BY from_type, to_type""")),
     QueryDef("text_keywords", keywords, Some("""
       WITH tok AS (
         SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]

@@ -139,6 +139,32 @@ class MediaSpec extends AnyFunSuite {
     assert(Codec.ahash64(Containers.bmp(Array.fill(20)(1.toByte))).isEmpty)
   }
 
+  test("edgeStats: Sobel counts a known step edge and nothing on flat fields") {
+    // flat image: zero gradient everywhere
+    val flat = Containers.bmp(Array.fill[Byte](100)(77)) // 10x10
+    assert(Codec.edgeStats(flat, 160).contains((64L, 0L)))
+    // vertical step edge down the middle of a 10x10: columns 0-4 are 0,
+    // columns 5-9 are 100 → |gx| = 400 at c in {4,5}, 0 elsewhere; gy = 0
+    val step = Array.tabulate(100)(i => if (i % 10 >= 5) 100.toByte else 0.toByte)
+    val Some((ni, ne)) = Codec.edgeStats(Containers.bmp(step), 160)
+    assert(ni == 64L)
+    assert(ne == 16L, s"8 interior rows x 2 straddling columns, got $ne")
+    // threshold above the response: nothing fires
+    assert(Codec.edgeStats(Containers.bmp(step), 401).contains((64L, 0L)))
+    // no interior below 3x3
+    assert(Codec.edgeStats(Containers.bmp(Array.fill[Byte](4)(1)), 160).isEmpty)
+    // orientation invariance: top-down rewrite counts the same edges
+    val bu = Containers.bmp(step)
+    val td = bu.clone()
+    val tbuf = java.nio.ByteBuffer.wrap(td).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val w = tbuf.getInt(18); val h = tbuf.getInt(22)
+    val rowBytes = (w * 3 + 3) & ~3
+    tbuf.putInt(22, -h)
+    for (r <- 0 until h)
+      System.arraycopy(bu, 54 + (h - 1 - r) * rowBytes, td, 54 + r * rowBytes, rowBytes)
+    assert(Codec.edgeStats(td, 160) == Codec.edgeStats(bu, 160))
+  }
+
   test("audioVad segments equal an independent per-doc recomputation") {
     // recompute VAD from windowEnergies with plain Scala collections and
     // compare every emitted row — exercises the mean threshold, the
