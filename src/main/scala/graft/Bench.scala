@@ -8,6 +8,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -56,7 +57,7 @@ object Bench {
       name -> sec
     }
     val total = results.map(_._2).sum
-    val line = BenchFormat.line(total, results, sfDir)
+    val line = BenchFormat.line(total, results, sfDir, errors.keys.toSeq)
     // full-resolution copy where a driver can read a file instead of
     // regexing an sbt-banner-wrapped stdout tail
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")

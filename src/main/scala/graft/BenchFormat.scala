@@ -36,29 +36,43 @@ object BenchFormat {
       .getOrElse("\"" + sfDir + "\"")
 
   private def build(total: Double, qs: Seq[(String, Double)], sfDir: String,
-                    decimals: Int, omitted: Int): String = {
+                    decimals: Int, omitted: Int, errJson: String): String = {
     val body = qs.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, decimals) }
       .mkString("{", ",", "}")
     val omit = if (omitted > 0) s""","omitted":$omitted""" else ""
-    s"""{"metric":"total","value":${fmt(total, decimals)},"unit":"sec","queries":$body$omit,"sf":${sfJson(sfDir)}}"""
+    s"""{"metric":"total","value":${fmt(total, decimals)},"unit":"sec","queries":$body$omit$errJson,"sf":${sfJson(sfDir)}}"""
   }
 
-  def line(total: Double, queries: Seq[(String, Double)], sfDir: String): String = {
-    val two = build(total, queries, sfDir, 2, 0)
+  /** `"errors":N` (+ failed names, budget permitting) — a crashed query must
+   *  never read as a fast query in the tail the driver captures. */
+  private def errJson(errNames: Seq[String], withNames: Boolean): String =
+    if (errNames.isEmpty) ""
+    else if (withNames)
+      s""","errors":${errNames.size},"failed":${errNames.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    else s""","errors":${errNames.size}"""
+
+  def line(total: Double, queries: Seq[(String, Double)], sfDir: String,
+           errNames: Seq[String] = Nil): String = {
+    val errFull = errJson(errNames, withNames = true)
+    val errCount = errJson(errNames, withNames = false)
+    val two = build(total, queries, sfDir, 2, 0, errFull)
     if (two.length <= Budget) return two
-    val one = build(total, queries, sfDir, 1, 0)
+    val one = build(total, queries, sfDir, 1, 0, errFull)
     if (one.length <= Budget) return one
+    val oneCnt = build(total, queries, sfDir, 1, 0, errCount)
+    if (oneCnt.length <= Budget) return oneCnt
     // Last resort: drop the fastest queries (least informative for a perf
     // grader) until the line fits; the count of dropped entries is explicit.
+    // The error COUNT always survives — only the failed-name list is shed.
     val bySlow = queries.sortBy(-_._2)
     var keep = queries.size
     while (keep > 1) {
       keep -= 1
-      val l = build(total, bySlow.take(keep), sfDir, 1, queries.size - keep)
+      val l = build(total, bySlow.take(keep), sfDir, 1, queries.size - keep, errCount)
       if (l.length <= Budget) return l
     }
-    build(total, bySlow.take(1), sfDir, 1, queries.size - 1)
+    build(total, bySlow.take(1), sfDir, 1, queries.size - 1, errCount)
   }
 
   /** Full-resolution form for the bench_result.json side channel. Query

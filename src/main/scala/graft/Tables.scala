@@ -1,19 +1,37 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /**
  * Testdata table loaders (see TESTDATA.md). One parquet per table under the
  * scale-factor directory the driver passes in.
  *
- * `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark rejects by
- * default — `spark.sql.legacy.parquet.nanosAsLong` reads it as a raw
- * nanosecond Long. The DuckDB oracle sees the same column truncated to
- * microseconds, so oracled queries must bucket via `ts div 1000`
- * (micros) — never `ts / 1000` (Long nanos exceed 2^53, double math would
- * corrupt them).
+ * `events.ts` arrives in whatever physical type the generator chose —
+ * INT64 TIMESTAMP(NANOS) (older testdata; `nanosAsLong` reads it as a raw
+ * nanosecond Long) or TIMESTAMP(MICROS) with/without UTC adjustment (the
+ * 2026-08-13 regeneration; Spark reads it as TIMESTAMP_NTZ/TIMESTAMP).
+ * [[normalizeTs]] folds every layout to the suite-wide contract: `ts` is a
+ * raw NANOSECOND Long. The DuckDB oracle's `epoch_us(ts)` yields the same
+ * microseconds for every layout, so oracled queries bucket via
+ * `ts div 1000` (micros) — never `ts / 1000` (Long nanos exceed 2^53,
+ * double math would corrupt them).
  */
 object Tables {
+
+  /** Fold any on-disk `ts` type to the Long-nanos contract. TIMESTAMP_NTZ
+   *  must be interpreted as UTC wall clock (that is what the generator
+   *  wrote and what DuckDB's `epoch_us` assumes), so the NTZ→TZ cast runs
+   *  under the UTC session timezone every entry point pins. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampType) =>
+        df.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case _ => df // already a raw Long (NANOS layout under nanosAsLong)
+    }
 
   /** One query-definition row: name, builder, optional DuckDB oracle SQL. */
   final case class QueryDef(
@@ -41,9 +59,12 @@ object Tables {
       |             + 2000*alpha*64) + 64*len1) // (128*len1)""".stripMargin
 
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
-    // runtime-settable SQL conf; must be on before the events read resolves
+    // runtime-settable SQL confs; must be on before the events read resolves.
+    // UTC pins the NTZ interpretation in normalizeTs (no-op when the entry
+    // point already set it — Verify, tests — or the host default is UTC).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$table.parquet")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    normalizeTs(spark.read.parquet(s"$sfDir/$table.parquet"))
   }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")

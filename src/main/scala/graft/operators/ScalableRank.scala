@@ -75,7 +75,12 @@ object ScalableRank {
     // Only groups spanning >1 range slice need a carry-in; collect just those.
     val spanning = totals.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).drop("__n")
-    val spanRows = totals.join(spanning, groupCols, "left_semi").collect() // ≤ 2·#partitions rows
+    // the using-column semi join moves the join columns to the FRONT of the
+    // row, so re-select the explicit (__pid, groups…, __psum) layout the
+    // index-based fold below depends on
+    val spanRows = totals.join(spanning, groupCols, "left_semi")
+      .select(("__pid" +: groupCols :+ "__psum").map(col): _*)
+      .collect() // ≤ 2·#partitions rows
     val offRows = spanRows
       .groupBy(r => groupCols.indices.map(i => r.get(1 + i))) // row layout: __pid, groups…, __psum
       .valuesIterator.flatMap { rs =>

@@ -130,7 +130,9 @@ object EventStreams {
       .parquet(streamDir).schema
     val rs = spark.readStream.schema(schema).option("pathGlobFilter", streamGlob)
     filesPerTrigger.foreach(n => rs.option("maxFilesPerTrigger", n.toString))
-    rs.parquet(streamDir)
+    // same Long-nanos ts contract as the batch loader, whatever the files'
+    // physical type — a stateless per-row projection, safe on a stream
+    Tables.normalizeTs(rs.parquet(streamDir))
   }
 
   /** Session replay source: a temp directory with the real events file
@@ -159,8 +161,19 @@ object EventStreams {
     } else Files.createSymbolicLink(tmp.resolve("events.parquet"), srcTable)
     // leading underscore: Spark ignores the build dir when listing sources
     val build = tmp.resolve("_sentinel_build")
+    // the sentinel file is globbed into the SAME stream source as the real
+    // events file, so its ts must carry the real file's physical type (the
+    // stream reads every file through one schema); eventsStream then folds
+    // both to the Long-nanos contract
+    val rawTsType = spark.read.parquet(srcTable.toString).schema("ts").dataType
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val sentinelTsCol = rawTsType match {
+      case TimestampType    => timestamp_micros(lit(sentinelTs / 1000L))
+      case TimestampNTZType => timestamp_micros(lit(sentinelTs / 1000L)).cast(TimestampNTZType)
+      case _                => lit(sentinelTs) // Long-nanos layout
+    }
     ev.select(col("user_id")).distinct()
-      .select(lit(-1L).as("event_id"), lit(sentinelTs).as("ts"), col("user_id"),
+      .select(lit(-1L).as("event_id"), sentinelTsCol.as("ts"), col("user_id"),
         lit("sentinel").as("event_type"), lit(0.0).as("value"),
         lit(null).cast("string").as("props"))
       .write.parquet(build.toString)

@@ -28,6 +28,25 @@ class ScalableRankSpec extends AnyFunSuite {
     assert(joined.filter(col("rn") =!= col("rn2")).count() == 0)
   }
 
+  test("grouped prefix sum is exact when a group spans multiple range slices") {
+    // r6 regression: the carry-in branch only executes when a group straddles
+    // ≥2 range partitions — 2 string-keyed groups × 2000 rows over 32 slices
+    // guarantees it (and the STRING key reproduces the using-join
+    // column-order ClassCastException the r6 driver bench hit at sf0.1)
+    val df = (1 to 4000).map { i =>
+      (if (i % 2 == 0) "web" else "api", i.toLong, (i % 13).toLong)
+    }.toDF("source", "seq", "amount").repartition(11)
+    val got = ScalableRank.withGroupedPrefixSum(df, Seq("source"), Seq("seq"), "amount", "prior")
+    val nSlices = got.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(nSlices > 1, "test needs >1 range slice to exercise the carry branch")
+    val want = df.withColumn("prior2",
+      (sum(col("amount")).over(
+        Window.partitionBy("source").orderBy("seq")) - col("amount")).cast("bigint"))
+    val joined = got.join(want, Seq("source", "seq", "amount"))
+    assert(joined.count() == 4000)
+    assert(joined.filter(col("prior") =!= col("prior2")).count() == 0)
+  }
+
   test("ntile matches the window ntile, including non-divisible remainders") {
     for (n <- Seq(1000, 1003, 150, 5)) { // 1003 % 4 = 3, 150 % 4 = 2, 5 % 4 = 1
       val df = sample(n)
