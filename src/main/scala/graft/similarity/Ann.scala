@@ -93,10 +93,16 @@ object Ann {
     centroids
   }
 
-  /** `2·x·c − ‖c‖²` per centroid — argmax of this equals argmin ‖x−c‖². */
+  /** `2·x·c − ‖c‖²` per centroid — argmax of this equals argmin ‖x−c‖².
+   *  Each centroid rides as ONE array literal (`typedLit`), not `dim`
+   *  scalar literal nodes: with k=16, dim=64 the per-element form put
+   *  1024 literal expressions in the tree and Janino compilation of the
+   *  generated class dominated the whole query's first run (10 s vs a
+   *  3 s steady state at sf0.1 — and the fresh-JVM driver bench pays the
+   *  compile every round). Same doubles, same dot — bit-identical. */
   private def cellScores(centroids: Array[Array[Double]]): Column =
     array(centroids.map { c =>
-      val cLit = array(c.map(lit): _*)
+      val cLit = typedLit(c.toSeq)
       val norm2 = c.map(v => v * v).sum
       lit(2.0) * dot(col("embedding"), cLit) - lit(norm2)
     }: _*)

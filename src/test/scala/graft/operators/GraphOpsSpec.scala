@@ -13,7 +13,10 @@ class GraphOpsSpec extends AnyFunSuite {
   private val Seed = 1000000000L
 
   private lazy val edges: Array[(Long, Long)] = {
+    // same bulk threshold as bulkCoPurchaseEdges — both graph queries
+    // read the shared thresholded edge base since r7
     val op = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 40)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     op.groupBy(_._1).valuesIterator.flatMap { xs =>
