@@ -167,6 +167,37 @@ object XxhashOracle {
    *  → per-(doc, bucket) counts → +1-smoothed target/raw basis-point
    *  ratios → count-weighted per-doc sums rolled up per source. All
    *  integer arithmetic, so the comparison is hash-exact. */
+  /** Oracle for text_classifier_score: per-token string xxh64 → bucket
+   *  (unsigned mod 4096 — a power of two, so it equals Spark's signed
+   *  `pmod`), per-DISTINCT-bucket long xxh64 → weight
+   *  `(h mod 2048) − 1024` (again power-of-two), per-doc weight sums
+   *  rolled up per source with a `score > 0` keep count. The Spark side
+   *  computes the weight inline per occurrence; hashing only the
+   *  distinct buckets here is the same function evaluated once per
+   *  input, so the joined result is identical. */
+  lazy val classifierSql: String = {
+    s"""
+       |      WITH $toksCte,
+       |      xin AS MATERIALIZED (
+       |        SELECT doc_id*1000000 + u.i AS sid, toks[u.i] AS s
+       |        FROM toks, unnest(range(1, len(toks)+1)) u(i)),
+       |      ${xxhStringCtes("x", "xin")},
+       |      tb AS MATERIALIZED (
+       |        SELECT sid // 1000000 AS doc_id, (${unsigned("h")}) % 4096 AS b FROM x_out),
+       |      wsrc AS MATERIALIZED (
+       |        SELECT b, b::hugeint AS u, 42::hugeint AS sd FROM (SELECT DISTINCT b FROM tb)),
+       |      ${hashLongCtes("w", "wsrc", Seq("b"))},
+       |      wt AS MATERIALIZED (
+       |        SELECT b, (hu % 2048)::bigint - 1024 AS w FROM w_out),
+       |      pd AS MATERIALIZED (
+       |        SELECT t.doc_id, sum(w) AS score FROM tb t JOIN wt USING (b) GROUP BY 1)
+       |      SELECT d.source, count(*) AS n_docs,
+       |             cast(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) as bigint) AS n_keep,
+       |             cast(sum(score) as bigint) AS sum_score
+       |      FROM pd JOIN documents d USING (doc_id)
+       |      GROUP BY 1 ORDER BY source""".stripMargin
+  }
+
   lazy val dsirSql: String = {
     val target = "('src0', 'src1', 'src2', 'src3')"
     s"""

@@ -281,7 +281,41 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** HASHED LINEAR QUALITY CLASSIFIER — the fasttext-style filter shape
+   *  every production corpus pipeline runs before training: token →
+   *  hashed feature bucket (4096, the hashing trick), bucket → frozen
+   *  weight, document score = Σ weights, keep = score > 0. The weight
+   *  table is DERIVED (weight(b) = pmod(xxh64(b), 2048) − 1024) rather
+   *  than trained, which keeps the entry fully deterministic and lets
+   *  the DuckDB oracle reproduce every weight bit-for-bit through the
+   *  xxh64-in-SQL machinery; swapping in real trained weights is a
+   *  broadcast-join of a 4096-row table, same plan shape.
+   *
+   *  Scale shape: the whole classifier is MAP-SIDE (hash → hash →
+   *  subtract per token, no weight-table join at all), then one partial
+   *  agg per doc and one per source — the same two-shuffle profile as
+   *  the other text rollups. Both moduli are powers of two, so unsigned
+   *  and signed pmod agree and the oracle can mod the unsigned hash. */
+  def classifierScore(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), col("source"),
+        (pmod(xxhash64(pmod(xxhash64(col("t")), lit(4096L))), lit(2048L)) - 1024L).as("w"))
+      .groupBy("doc_id", "source")
+      .agg(sum("w").as("score"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_keep"),
+        sum(col("score")).as("sum_score"))
+      .orderBy("source")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // weights reproduced through the xxh64-in-SQL machinery: per-token
+    // string hash → bucket (power-of-two mod), per-bucket long hash →
+    // weight; all integer, so the comparison is hash-exact
+    QueryDef("text_classifier_score", classifierScore,
+      Some(graft.dedup.XxhashOracle.classifierSql)),
     // same tokenization CTE as the other text oracles; the rank is the
     // same (cnt desc, tok) total order, OOV = V+1, all divisions integer
     QueryDef("text_rank_quality", rankQuality, Some("""

@@ -143,7 +143,12 @@ object EventStreams {
   private def sessionSourceDir(spark: SparkSession, dir: String): (String, Long) = {
     val ev = Tables.events(spark, dir)
     val maxTs = ev.agg(max("ts")).head().getLong(0)
-    val sentinelTs = maxTs + 2 * SessionGapUs * 1000L // ts is nanos, gap micros
+    // 3 gaps past max: the final watermark (sentinel − 1 gap) then lands
+    // STRICTLY past every real session's window end (≤ max + 1 gap), so
+    // both the state-timeout path (sessionize) and the native
+    // session_window aggregation emit even the session holding the
+    // global max event
+    val sentinelTs = maxTs + 3 * SessionGapUs * 1000L // ts is nanos, gap micros
     val tmp = tempDirWithCleanup("graft_sess_replay")
     // single-file table → one symlink; multi-file directory table → one
     // symlink per data file, flattened (the replay dir must stay a flat
@@ -193,7 +198,7 @@ object EventStreams {
   private final case class Replay(
       hourly: DataFrame, sessions: DataFrame, schema: DataFrame, dedup: DataFrame,
       enriched: DataFrame, sliding: DataFrame, typeUserCounts: DataFrame,
-      attributed: DataFrame, fileSink: DataFrame)
+      attributed: DataFrame, fileSink: DataFrame, sessionWin: DataFrame)
   private val replays = scala.collection.concurrent.TrieMap.empty[String, Replay]
 
   /** One shared AvailableNow replay per sf directory: the four streaming
@@ -228,6 +233,27 @@ object EventStreams {
           .as[Event]
         val qSess = sessionize(sessEvents)
           .writeStream.format("memory").queryName(sessName)
+          .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+        // NATIVE session windows — the same 30-min-gap sessions computed by
+        // Spark's built-in session_window aggregation instead of the custom
+        // flatMapGroupsWithState fold: state is managed by the engine's
+        // session-window store (merge-on-overlap), the watermark bounds it,
+        // and Append mode emits each session once its window end passes the
+        // watermark. Boundary semantics differ from sessionize BY CONTRACT:
+        // windows [t, t+gap) merge only on OVERLAP, so an event exactly
+        // `gap` after the last one starts a NEW session (sessionize's
+        // `diff <= gap` keeps it) — the oracle encodes `diff >= gap`.
+        // Same sentinel replay closes every real session; sentinel
+        // sessions are filtered on read like streamSessions.
+        val sessWinName = s"stream_sesswin_$tag"
+        val qSessWin = withEventTime(eventsStream(spark, sessDir, glob = "*.parquet"))
+          .withWatermark("event_time", "30 minutes")
+          .groupBy(col("user_id"), session_window(col("event_time"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("session_start_us"),
+            col("n_events"))
+          .writeStream.format("memory").queryName(sessWinName)
           .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
         val qDedup = withEventTime(eventsStream(spark, dir))
           .withWatermark("event_time", "30 minutes")
@@ -316,7 +342,8 @@ object EventStreams {
           .option("checkpointLocation", sinkRoot.resolve("chk").toString)
           .partitionBy("event_type")
           .trigger(Trigger.AvailableNow()).start()
-        Seq(qHourly, qSchema, qSess, qDedup, qEnriched, qSliding, qTopk, qJoin, qFile)
+        Seq(qHourly, qSchema, qSess, qDedup, qEnriched, qSliding, qTopk, qJoin,
+            qFile, qSessWin)
           .foreach(_.awaitTermination())
         // read the sink back THROUGH the commit log (partition-pruned scan)
         // and roll it up — equals the batch aggregate over the source
@@ -337,7 +364,10 @@ object EventStreams {
           typeUserCounts = spark.table(topkName),
           attributed = spark.table(joinName)
             .orderBy("user_id", "purchase_id", "view_id"),
-          fileSink = sunk)
+          fileSink = sunk,
+          sessionWin = spark.table(sessWinName)
+            .filter(col("session_start_us") < sentinelUs)
+            .orderBy("user_id", "session_start_us"))
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     })
 
@@ -410,6 +440,15 @@ object EventStreams {
    *  Part of the shared replay. */
   def streamJoin(spark: SparkSession, dir: String): DataFrame =
     replay(spark, dir).attributed
+
+  /** Native `session_window` gap sessions (30 min) per user — the built-in
+   *  operator twin of [[streamSessions]] (which keeps the custom
+   *  flatMapGroupsWithState fold as the arbitrary-state example). Window
+   *  merge is on OVERLAP, so the session boundary is `diff >= gap`
+   *  (strict-at-the-boundary, vs sessionize's `diff <= gap` continue);
+   *  the oracle encodes that convention. Part of the shared replay. */
+  def streamSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    replay(spark, dir).sessionWin
 
   /** Streaming parquet FILE sink (checkpointed, partitioned by
    *  event_type), read back through the sink's commit log and rolled up.
@@ -570,6 +609,23 @@ object EventStreams {
       FROM events
       GROUP BY 1, 2
       ORDER BY hour_start_us, event_type""")),
+    // native session_window: windows [t, t+gap) merge on OVERLAP, so a
+    // NEW session starts at diff >= 30 min (boundary-exclusive — the one
+    // semantic difference from the stateful-fold sessionize below)
+    QueryDef("stream_session_window", streamSessionWindow, Some("""
+      SELECT user_id, session_start_us, n_events FROM (
+        SELECT user_id, min(ts_us) AS session_start_us, count(*) AS n_events FROM (
+          SELECT user_id, ts_us,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+          FROM (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                          OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                        >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+            FROM events) g) s
+        GROUP BY user_id, sess_id) t
+      ORDER BY user_id, session_start_us""")),
     // gap convention mirrors sessionize: an event CONTINUES a session at
     // diff <= 30 min, so a NEW session needs diff > 30 min (strict)
     QueryDef("stream_sessions", streamSessions, Some("""
