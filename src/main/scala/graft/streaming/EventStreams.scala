@@ -198,7 +198,8 @@ object EventStreams {
   private final case class Replay(
       hourly: DataFrame, sessions: DataFrame, schema: DataFrame, dedup: DataFrame,
       enriched: DataFrame, sliding: DataFrame, typeUserCounts: DataFrame,
-      attributed: DataFrame, fileSink: DataFrame, sessionWin: DataFrame)
+      attributed: DataFrame, fileSink: DataFrame, sessionWin: DataFrame,
+      dedupWm: DataFrame)
   private val replays = scala.collection.concurrent.TrieMap.empty[String, Replay]
 
   /** One shared AvailableNow replay per sf directory: the four streaming
@@ -260,6 +261,23 @@ object EventStreams {
           .dropDuplicates("user_id", "event_type")
           .select("user_id", "event_type")
           .writeStream.format("memory").queryName(dedupName)
+          .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+        // BOUNDED-STATE streaming dedup — dropDuplicatesWithinWatermark:
+        // plain dropDuplicates keeps every key in state FOREVER (state =
+        // O(distinct keys ever seen) — an unbounded stream eventually
+        // OOMs); the WithinWatermark variant evicts keys once the
+        // watermark passes their event time, so state is O(keys per
+        // watermark horizon) — the only production-safe default for an
+        // unbounded 100 TB/day stream. Within the bounded replay every
+        // duplicate arrives inside one watermark window, so the result
+        // still equals the batch DISTINCT — an exact oracle, while the
+        // operator itself is the one a real deployment must use.
+        val dedupWmName = s"stream_dedupwm_$tag"
+        val qDedupWm = withEventTime(eventsStream(spark, dir))
+          .withWatermark("event_time", "30 minutes")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .select("user_id", "event_type")
+          .writeStream.format("memory").queryName(dedupWmName)
           .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
         // STREAM-STATIC enrichment: the unbounded event stream joins a
         // broadcast dimension (customer → nation, the id mapping is
@@ -343,7 +361,7 @@ object EventStreams {
           .partitionBy("event_type")
           .trigger(Trigger.AvailableNow()).start()
         Seq(qHourly, qSchema, qSess, qDedup, qEnriched, qSliding, qTopk, qJoin,
-            qFile, qSessWin)
+            qFile, qSessWin, qDedupWm)
           .foreach(_.awaitTermination())
         // read the sink back THROUGH the commit log (partition-pruned scan)
         // and roll it up — equals the batch aggregate over the source
@@ -367,7 +385,8 @@ object EventStreams {
           fileSink = sunk,
           sessionWin = spark.table(sessWinName)
             .filter(col("session_start_us") < sentinelUs)
-            .orderBy("user_id", "session_start_us"))
+            .orderBy("user_id", "session_start_us"),
+          dedupWm = spark.table(dedupWmName).orderBy("user_id", "event_type"))
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     })
 
@@ -389,6 +408,13 @@ object EventStreams {
    *  (standard streaming semantics). Part of the shared replay. */
   def streamDedup(spark: SparkSession, dir: String): DataFrame =
     replay(spark, dir).dedup
+
+  /** Bounded-state streaming dedup (`dropDuplicatesWithinWatermark`) —
+   *  state evicts at the watermark instead of growing with every key
+   *  ever seen; the production-safe twin of [[streamDedup]]. Part of
+   *  the shared replay. */
+  def streamDedupWithinWatermark(spark: SparkSession, dir: String): DataFrame =
+    replay(spark, dir).dedupWm
 
   /** Evolving-schema-over-a-stream: the witness aggregator (the engine's
    *  core) running as a STREAMING stateful aggregation — per event type,
@@ -609,6 +635,11 @@ object EventStreams {
       FROM events
       GROUP BY 1, 2
       ORDER BY hour_start_us, event_type""")),
+    // bounded replay: every duplicate key arrives within one watermark
+    // horizon, so watermark-evicted dedup still equals the batch DISTINCT
+    QueryDef("stream_dedup_within_watermark", streamDedupWithinWatermark, Some("""
+      SELECT DISTINCT user_id, event_type FROM events
+      ORDER BY user_id, event_type""")),
     // native session_window: windows [t, t+gap) merge on OVERLAP, so a
     // NEW session starts at diff >= 30 min (boundary-exclusive — the one
     // semantic difference from the stateful-fold sessionize below)
