@@ -210,13 +210,17 @@ object RelationalQueries2 {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_extendedprice").cast("decimal(12,2)").as("price"),
         col("l_orderkey"), col("l_linenumber"))
-    val (ranked, total) = ScalableRank.withGlobalRowNumber(
-      li, Seq(col("price"), col("l_orderkey"), col("l_linenumber")), "rn")
-    // ceil in DOUBLE on both sides: identical IEEE math ⇒ identical target
-    val targets = Seq(0.50, 0.90, 0.99).map(q => (q, math.ceil(q * total).toLong))
+    // ceil in DOUBLE on both sides: identical IEEE math ⇒ identical target.
+    // rowsAtGlobalRanks sorts ONLY the range slices holding the 3 targets
+    // (3 of #partitions), not the whole table — the exact-percentile scale
+    // shape; the r6 form ranked every slice to read 3 rows.
+    val qs = Seq(0.50, 0.90, 0.99)
+    val (hit, total) = ScalableRank.rowsAtGlobalRanks(
+      li, Seq(col("price"), col("l_orderkey"), col("l_linenumber")),
+      n => qs.map(q => math.ceil(q * n).toLong), "rn")
     import spark.implicits._
-    val tDf = broadcast(targets.toDF("q", "target_rn"))
-    ranked.join(tDf, col("rn") === col("target_rn"))
+    val tDf = broadcast(qs.map(q => (q, math.ceil(q * total).toLong)).toDF("q", "target_rn"))
+    hit.join(tDf, col("rn") === col("target_rn"))
       .select(col("q"), col("price").cast("double").as("price"))
       .orderBy("q")
   }

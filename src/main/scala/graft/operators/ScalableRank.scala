@@ -47,6 +47,44 @@ object ScalableRank {
     (ranked, total)
   }
 
+  /** Rows at specific global ranks WITHOUT ranking the whole table — the
+   *  exact-percentile shape: range-partition by the sort key, count per
+   *  slice (tiny driver-side table, like the offset pass above), locate
+   *  each target rank's slice, then sort ONLY the hit slices and pick the
+   *  local rank. At 1000 slices and 3 percentile targets this sorts 3
+   *  slices instead of 1000 — the difference between an exact-percentile
+   *  query costing a full distributed sort and costing ~nothing beyond
+   *  the range exchange. `ranksOf` receives the total row count (free
+   *  from the count pass) and returns the 1-based global ranks wanted.
+   *  Returns (hit rows + `outCol` = global rank, total). */
+  def rowsAtGlobalRanks(df: DataFrame, sortCols: Seq[Column],
+                        ranksOf: Long => Seq[Long], outCol: String): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist() // scanned twice: once for counts, once for the hit-slice sort
+    val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    // (pid, rows-before-pid) — O(#partitions), driver-side bookkeeping
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
+    val before = counts.map(_._1).zip(offsets.init.map(_._2)).toMap
+    val hits = ranksOf(total).distinct.collect {
+      case r if r >= 1 && r <= total =>
+        val pid = counts.find { case (p, c) => r > before(p) && r <= before(p) + c }.get._1
+        (pid, r - before(pid), r)
+    }
+    import spark.implicits._
+    val hitDf = broadcast(hits.toDF("__pid", "__lrn", outCol))
+    val local = Window.partitionBy("__pid").orderBy(sortCols: _*)
+    val out = ranged.filter(col("__pid").isin(hits.map(_._1).distinct: _*))
+      .withColumn("__lrn", row_number().over(local).cast("bigint"))
+      .join(hitDf, Seq("__pid", "__lrn"))
+      .drop("__pid", "__lrn")
+    (out, total)
+  }
+
   /** Adds `outCol` = exact EXCLUSIVE running sum of `valueCol` within each
    *  `groupCols` group ordered by `sortCols` (which must total-order rows
    *  within a group), without ever funneling one group through a single

@@ -47,6 +47,21 @@ class ScalableRankSpec extends AnyFunSuite {
     assert(joined.filter(col("prior") =!= col("prior2")).count() == 0)
   }
 
+  test("rowsAtGlobalRanks returns exactly the window-ranked rows at each target") {
+    val df = sample(1000)
+    val (hit, total) = ScalableRank.rowsAtGlobalRanks(
+      df, Seq(col("v"), col("id")),
+      n => Seq(1L, n / 2, n, n + 7 /* out of range: dropped */), "rn")
+    assert(total == 1000L)
+    val want = df.withColumn("rn2",
+        row_number().over(Window.orderBy(col("v"), col("id"))).cast("bigint"))
+      .filter(col("rn2").isin(1L, 500L, 1000L))
+    assert(hit.count() == 3)
+    val joined = hit.join(want, Seq("id", "v"))
+    assert(joined.count() == 3)
+    assert(joined.filter(col("rn") =!= col("rn2")).count() == 0)
+  }
+
   test("ntile matches the window ntile, including non-divisible remainders") {
     for (n <- Seq(1000, 1003, 150, 5)) { // 1003 % 4 = 3, 150 % 4 = 2, 5 % 4 = 1
       val df = sample(n)
