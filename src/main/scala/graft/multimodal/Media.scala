@@ -546,6 +546,40 @@ object Media {
       .orderBy("doc_id")
   }
 
+  /** NEAR-DUPLICATE IMAGE DETECTION — the media-side dedup tier every
+   *  multimodal training pipeline runs (resized/re-encoded copies of one
+   *  image must collapse before training): perceptual aHash per image,
+   *  then pairs within Hamming ≤ 7 via the 8×8-bit PIGEONHOLE chunk join
+   *  — two hashes differing in ≤ 7 bits MUST agree on at least one of 8
+   *  disjoint 8-bit chunks, so candidate generation is an equi-join on
+   *  (chunk, key), never an all-pairs scan (the [[graft.dedup
+   *  .Dedup.simhashDup]] discipline applied to the image domain). The
+   *  decode runs once in the typed per-partition stream; the signature
+   *  table is persisted for the 8 chunk expansions × 2 join sides. */
+  def imageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = mediaContainers(spark, dir)
+      .filter(col("format") === "bmp").as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        Codec.ahash64(r.media).map { case (h, _) => (r.doc_id, h) }
+      })
+      .toDF("doc_id", "ahash")
+      .persist()
+    val chunked = sigs.select(col("doc_id"), col("ahash"),
+      explode(transform(sequence(lit(0), lit(7)),
+        c => struct(c.as("chunk"),
+          call_function("shiftright", col("ahash"), c * 8).bitwiseAND(0xFFL).as("ckey")))).as("cc"))
+      .select(col("doc_id"), col("ahash"), col("cc.chunk"), col("cc.ckey"))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("hamming"))
+      .distinct() // a pair may collide in several chunks
+      .filter(col("hamming") <= 7)
+      .orderBy("id_a", "id_b")
+  }
+
   /** EDGE DENSITY per image — the 2-D stencil pass (integer Sobel) that a
    *  visual-quality filter runs to separate structured content from flat
    *  or noise frames: per-pixel |gx|+|gy| against a fixed threshold over
@@ -672,6 +706,39 @@ object Media {
       .orderBy("doc_id")
   }
 
+  /** Shared oracle CTE chain: per-image aHash replayed in SQL (BMP
+   *  grayscale pixel i = ASCII byte i of the text, zero-padded) —
+   *  consumed by the media_image_ahash projection and the
+   *  media_dedup_ahash pair join. Final CTE: `bits(doc_id, hv, nb)`. */
+  private val AhashCtes: String = """base AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n0
+        FROM documents WHERE doc_id % 2 = 0),
+      geo AS (
+        SELECT doc_id, text, greatest(n0, 1) AS n,
+               least(256, greatest(1,
+                 cast(ceil(sqrt(cast(greatest(n0, 1) as double))) as bigint))) AS w
+        FROM base),
+      geo2 AS (
+        SELECT doc_id, text, n, w, (n + w - 1) // w AS h
+        FROM geo),
+      ok AS (SELECT * FROM geo2 WHERE w >= 8 AND h >= 8),
+      px AS (
+        SELECT doc_id, ((i // w) * 8) // h AS cr, ((i % w) * 8) // w AS cc,
+               CASE WHEN i < n THEN ascii(substr(text, cast(i + 1 as int), 1))
+                    ELSE 0 END AS v
+        FROM ok, unnest(range(0, w * h)) u(i)),
+      cells AS (
+        SELECT doc_id, cr, cc, sum(v) // count(*) AS a
+        FROM px GROUP BY 1, 2, 3),
+      m AS (SELECT doc_id, sum(a) // 64 AS mean FROM cells GROUP BY 1),
+      bits AS (
+        SELECT c.doc_id,
+               sum(CASE WHEN c.a > m.mean
+                        THEN (1::HUGEINT << cast(c.cr * 8 + c.cc as int))
+                        ELSE 0::HUGEINT END) AS hv,
+               sum(CASE WHEN c.a > m.mean THEN 1 ELSE 0 END) AS nb
+        FROM cells c JOIN m ON m.doc_id = c.doc_id GROUP BY 1)"""
+
   val defs: Vector[QueryDef] = Vector(
     // same PCM reconstruction as media_audio_loudness; islands via
     // widx − row_number per doc, all arithmetic integer
@@ -744,40 +811,28 @@ object Media {
     // (v,v,v) = 1000v/1000 = v), indices past the text pad with 0 — so the
     // whole aHash (geometry, cell sums, integer mean, sign bit 63) replays
     // in SQL; HUGEINT carries the bit sum, wrapped to signed at the end
-    QueryDef("media_image_ahash", imageAhash, Some("""
-      WITH base AS (
-        SELECT doc_id, text, octet_length(encode(text)) AS n0
-        FROM documents WHERE doc_id % 2 = 0),
-      geo AS (
-        SELECT doc_id, text, greatest(n0, 1) AS n,
-               least(256, greatest(1,
-                 cast(ceil(sqrt(cast(greatest(n0, 1) as double))) as bigint))) AS w
-        FROM base),
-      geo2 AS (
-        SELECT doc_id, text, n, w, (n + w - 1) // w AS h
-        FROM geo),
-      ok AS (SELECT * FROM geo2 WHERE w >= 8 AND h >= 8),
-      px AS (
-        SELECT doc_id, ((i // w) * 8) // h AS cr, ((i % w) * 8) // w AS cc,
-               CASE WHEN i < n THEN ascii(substr(text, cast(i + 1 as int), 1))
-                    ELSE 0 END AS v
-        FROM ok, unnest(range(0, w * h)) u(i)),
-      cells AS (
-        SELECT doc_id, cr, cc, sum(v) // count(*) AS a
-        FROM px GROUP BY 1, 2, 3),
-      m AS (SELECT doc_id, sum(a) // 64 AS mean FROM cells GROUP BY 1),
-      bits AS (
-        SELECT c.doc_id,
-               sum(CASE WHEN c.a > m.mean
-                        THEN (1::HUGEINT << cast(c.cr * 8 + c.cc as int))
-                        ELSE 0::HUGEINT END) AS hv,
-               sum(CASE WHEN c.a > m.mean THEN 1 ELSE 0 END) AS nb
-        FROM cells c JOIN m ON m.doc_id = c.doc_id GROUP BY 1)
+    QueryDef("media_image_ahash", imageAhash, Some(s"""
+      WITH $AhashCtes
       SELECT doc_id,
              cast(CASE WHEN hv >= (1::HUGEINT << 63) THEN hv - (1::HUGEINT << 64)
                        ELSE hv END as bigint) AS ahash,
              cast(nb as bigint) AS n_bits
       FROM bits ORDER BY doc_id""")),
+    // oracle = unblocked all-pairs over the same signed aHash values (the
+    // chunk join is lossless by pigeonhole at threshold 7, so the sets
+    // must be identical); xor on signed bigints == xor on the raw bits
+    QueryDef("media_dedup_ahash", imageNearDup, Some(s"""
+      WITH $AhashCtes,
+      sigs AS (
+        SELECT doc_id,
+               cast(CASE WHEN hv >= (1::HUGEINT << 63) THEN hv - (1::HUGEINT << 64)
+                         ELSE hv END as bigint) AS ahash
+        FROM bits)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             cast(bit_count(xor(a.ahash, b.ahash)) as int) AS hamming
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.ahash, b.ahash)) <= 7
+      ORDER BY id_a, id_b""")),
     // frame j of doc d covers text chars [j·32+1, j·32+32]; sampled frames
     // are the even indices (stride 2), energy = Σ ascii codes
     QueryDef("media_scene_cuts", sceneCuts, Some("""

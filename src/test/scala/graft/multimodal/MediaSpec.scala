@@ -191,6 +191,22 @@ class MediaSpec extends AnyFunSuite {
     assert(rows == expected)
   }
 
+  test("ahash near-dup chunk join equals the all-pairs ground truth") {
+    // pigeonhole soundness: hamming <= 7 over 64 bits must collide on one
+    // of the 8 disjoint 8-bit chunks, so the blocked join loses nothing
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val sigs = Media.imageAhash(spark, dir).select("doc_id", "ahash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ida, ha) <- sigs; (idb, hb) <- sigs if ida < idb
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= 7
+    } yield (ida, idb, h)).sortBy(p => (p._1, p._2)).toSeq
+    val got = Media.imageNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == brute)
+  }
+
   test("aHash is orientation-correct: bottom-up file equals its top-down rewrite") {
     val payload = Array.tabulate(300)(i => (i % 251).toByte)
     val bu = Containers.bmp(payload) // positive height = bottom-up rows
