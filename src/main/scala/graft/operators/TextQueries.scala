@@ -105,10 +105,10 @@ object TextQueries {
    *  the corpus. Ratios are exact integer basis points over integer sums,
    *  so the per-source rollup is partitioning-independent and oracled. */
   def boilerplate(spark: SparkSession, dir: String): DataFrame = {
-    val docSh = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        explode(array_distinct(wordShingleHashes(col("text"), 3))).as("sh"))
-      .persist() // feeds the common-set scan and the per-doc counts
+    // the corpus-level shingle index snapshot (same (doc_id, source, sh)
+    // frame this query previously rebuilt and persisted privately) —
+    // shared with every other 3-gram consumer, tokenized once per corpus
+    val docSh = graft.dedup.Dedup.shingleIndex(spark, dir)
     val common = docSh.groupBy("sh").count().filter(col("count") > 100).select("sh")
     val hotPerDoc = docSh.join(broadcast(common), Seq("sh"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hot"))
