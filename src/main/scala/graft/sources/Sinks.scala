@@ -99,6 +99,31 @@ object Sinks {
       .orderBy("event_type")
   }
 
+  /** NDJSON round trip — the REFERENCE'S OWN interchange format as a
+   *  sink: a documents projection written as newline-delimited JSON
+   *  (one object per line, the exact layout `SchemaGen` ingests), read
+   *  back with an EXPLICIT schema (never inferSchema's second full
+   *  scan), and aggregated. `total_text_chars` rides along so the check
+   *  proves string payload fidelity through the JSON escape/unescape
+   *  round trip, not just numeric survival. */
+  def ndjsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_ndjson_" +
+      s"${spark.sparkContext.applicationId}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    if (written.add(out)) {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"), col("n_chars"))
+        .write.mode("overwrite").json(out)
+    }
+    spark.read
+      .schema("doc_id BIGINT, lang STRING, source STRING, text STRING, n_chars BIGINT")
+      .json(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(length(col("text"))).as("total_text_chars"))
+      .orderBy("lang")
+  }
+
   /** ORC round trip — the second columnar format Spark ships natively:
    *  a lineitem projection written as ORC WITH predicate-pushdown-friendly
    *  layout, read back with a filter that reaches the ORC reader
@@ -211,6 +236,10 @@ object Sinks {
              cast(sum(cast(l_extendedprice as decimal(12,2))) as double) AS revenue
       FROM lineitem WHERE l_quantity >= 25.0
       GROUP BY l_returnflag ORDER BY l_returnflag""")),
+    QueryDef("sink_ndjson_roundtrip", ndjsonRoundtrip, Some("""
+      SELECT lang, count(*) AS n_docs, cast(sum(n_chars) as bigint) AS total_chars,
+             cast(sum(length(text)) as bigint) AS total_text_chars
+      FROM documents GROUP BY lang ORDER BY lang""")),
     QueryDef("sink_csv_roundtrip", csvRoundtrip, Some("""
       SELECT event_type, count(*) AS n,
              cast(sum(cast(value as decimal(12,2))) as double) AS sum_value,
