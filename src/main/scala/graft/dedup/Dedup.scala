@@ -278,7 +278,8 @@ object Dedup {
    *  bucket-join discipline. */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val centroids = graft.similarity.Ann.kmeansCentroids(emb, 16, 3)
+    // shared per-corpus index artifact — same training the IVF search uses
+    val centroids = graft.similarity.Ann.trainedCentroids(spark, dir, 16, 3)
     val assigned = graft.similarity.Ann.assignCells(emb, centroids)
       .select(col("cell"), col("vec_id"), col("embedding"))
       .persist() // trained assignment feeds both sides of the pair join
