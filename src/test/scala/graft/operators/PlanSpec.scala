@@ -358,4 +358,25 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("SelectedBucketsCount: 8 out of 8"), p)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("text_classifier_score: weights computed inline — no join, no window") {
+    val p = plan("text_classifier_score")
+    assert(!p.contains("Join"), "the frozen weight must not come from a join")
+    assert(!p.contains("Window"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "per-doc and per-source aggregates must both map-side combine")
+  }
+
+  test("media_dedup_ahash: chunk equi-join, no cartesian, no window") {
+    val p = plan("media_dedup_ahash")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("sink_ndjson_roundtrip: reads back through a JSON file scan with explicit schema") {
+    val p = plan("sink_ndjson_roundtrip")
+    assert(p.toLowerCase.contains("filescan json") || p.contains("JsonScan") ||
+      p.toLowerCase.contains("format: json"), p.take(2000))
+  }
 }
