@@ -40,6 +40,32 @@ class TestdataContractSpec extends AnyFunSuite {
     }
   }
 
+  // the generalized r6 lesson: a regeneration can change ANY table's shape
+  // minutes before a driver run — pin every table's loaded column set so
+  // drift fails a local test instead of 24 driver queries
+  private val ExpectedCols = Map(
+    "region" -> Seq("r_regionkey", "r_name"),
+    "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate"),
+    "events" -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+    "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings" -> Seq("vec_id", "embedding", "label"))
+
+  test("every testdata table loads with the column set the suite assumes") {
+    val dir = sfDirs.head
+    for ((t, cols) <- ExpectedCols) {
+      val got = Tables.load(spark, dir, t).schema.fieldNames.toSeq
+      assert(got == cols, s"$t column drift: got $got")
+    }
+  }
+
   test("streamed events carry the same Long-nanos ts as the batch loader") {
     // the streaming source path normalizes independently of Tables.load;
     // both must agree bit-for-bit on (min, max, sum-hash) of ts
