@@ -2,7 +2,7 @@ package graft.multimodal
 
 import graft.Tables
 import graft.Tables.QueryDef
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import java.nio.{ByteBuffer, ByteOrder}
@@ -549,13 +549,23 @@ object Media {
   /** NEAR-DUPLICATE IMAGE DETECTION — the media-side dedup tier every
    *  multimodal training pipeline runs (resized/re-encoded copies of one
    *  image must collapse before training): perceptual aHash per image,
-   *  then pairs within Hamming ≤ 7 via the 8×8-bit PIGEONHOLE chunk join
-   *  — two hashes differing in ≤ 7 bits MUST agree on at least one of 8
-   *  disjoint 8-bit chunks, so candidate generation is an equi-join on
-   *  (chunk, key), never an all-pairs scan (the [[graft.dedup
-   *  .Dedup.simhashDup]] discipline applied to the image domain). The
-   *  decode runs once in the typed per-partition stream; the signature
-   *  table is persisted for the 8 chunk expansions × 2 join sides. */
+   *  then pairs within Hamming ≤ 7 via 16-BIT PIGEONHOLE CHUNKS WITH
+   *  1-BIT MULTIPROBE. Soundness: ≤ 7 differing bits over 4 disjoint
+   *  16-bit chunks means SOME chunk differs in at most ⌊7/4⌋ = 1 bit, so
+   *  probing each image's 4 chunk keys plus their 16 one-bit flips
+   *  (17 probes/chunk) against the corpus's exact chunk keys catches
+   *  every qualifying pair through an equi-join on (chunk, key).
+   *
+   *  Why not the naive 8×8-bit chunk join (one clean chunk guaranteed):
+   *  8-bit keys give only 256 buckets per chunk — at 2.5M images (sf10)
+   *  every bucket holds ~10k signatures and the candidate join performs
+   *  ~10¹¹ comparisons (measured: 265 s). 16-bit keys give 65k buckets;
+   *  the 68-probe expansion costs 68 rows/signature but candidate pairs
+   *  drop ~30×, and bucket population stays O(corpus/65536) as the
+   *  corpus grows — the same population-vs-key-width reasoning as
+   *  [[graft.similarity.Ann.sigBits]]. The decode runs once in the typed
+   *  per-partition stream; the signature table is persisted for both
+   *  join sides. */
   def imageNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sigs = mediaContainers(spark, dir)
@@ -565,18 +575,25 @@ object Media {
       })
       .toDF("doc_id", "ahash")
       .persist()
-    val chunked = sigs.select(col("doc_id"), col("ahash"),
-      explode(transform(sequence(lit(0), lit(7)),
-        c => struct(c.as("chunk"),
-          call_function("shiftright", col("ahash"), c * 8).bitwiseAND(0xFFL).as("ckey")))).as("cc"))
-      .select(col("doc_id"), col("ahash"), col("cc.chunk"), col("cc.ckey"))
-    chunked.as("a").join(chunked.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("hamming"))
-      .distinct() // a pair may collide in several chunks
+    def chunkOf(c: Int): Column =
+      call_function("shiftright", col("ahash"), lit(c * 16)).bitwiseAND(0xFFFFL)
+    // probe side: 4 chunks × (exact + 16 one-bit flips)
+    val probes = for { c <- 0 until 4; f <- 0 to 16 } yield
+      struct(lit(c).as("chunk"),
+        (if (f == 0) chunkOf(c) else chunkOf(c).bitwiseXOR(lit(1L << (f - 1)))).as("ckey"))
+    val probe = sigs.select(col("doc_id").as("id_a"), col("ahash").as("ha"),
+        explode(array(probes: _*)).as("p"))
+      .select(col("id_a"), col("ha"), col("p.chunk").as("chunk"), col("p.ckey").as("ckey"))
+    val exact = sigs.select(col("doc_id").as("id_b"), col("ahash").as("hb"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("chunk"), chunkOf(c).as("ckey"))): _*)).as("e"))
+      .select(col("id_b"), col("hb"), col("e.chunk").as("chunk"), col("e.ckey").as("ckey"))
+    probe.join(exact, Seq("chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
       .filter(col("hamming") <= 7)
+      .distinct() // a pair may match through several (chunk, flip) probes
       .orderBy("id_a", "id_b")
   }
 
