@@ -336,7 +336,107 @@ object CurationPipeline {
       .orderBy("source")
   }
 
+  /** Token-budget selection — the capped form of quality filtering: each
+   *  source contributes its best documents (quality desc, doc_id
+   *  tiebreak) until a fixed per-source token budget is exhausted; the
+   *  first document that crosses the line is cut. This is how a mixture
+   *  spec ("at most B tokens from domain X") is actually materialized.
+   *
+   *  Scale shape: quality and token counts are map-side expressions; the
+   *  only shuffle is the per-source window (sources are the natural
+   *  parallel unit — thousands of domains at 100 TB, each sorted
+   *  independently; no global sort). Output is one row per source. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 600L
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("ntok"),
+        qualityBp(col("text")).as("qbp"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("qbp").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.withColumn("cum_tok", sum(col("ntok")).over(w))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("cum_tok") <= budget, 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("cum_tok") <= budget, col("ntok")).otherwise(0L)).as("tokens_selected"),
+        min(when(col("cum_tok") <= budget, col("qbp"))).as("cutoff_qbp"))
+      .orderBy("source")
+  }
+
+  /** Repetition-aware upsampling plan — the other half of domain mixing:
+   *  small domains are repeated (bounded at 4 epochs, the standard
+   *  "don't repeat data past ~4 passes" rule) toward a target of 2× the
+   *  largest domain's tokens. Emits one row per (source, epoch) so the
+   *  plan IS the training-order manifest.
+   *
+   *  Scale shape: one partial-aggregated rollup to per-source totals, a
+   *  1-row broadcast of the global max, and a sequence-explode bounded at
+   *  4 rows per source — no data-plane rows are duplicated here; the
+   *  epoch manifest is what a downstream reader fans out from. */
+  def upsamplePlan(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text")).cast("long")).as("tok"))
+    val target = perSource.agg(max(col("tok")).as("max_t"))
+    perSource.crossJoin(broadcast(target)) // 1-row broadcast: no real cross
+      .select(col("source"), col("n_docs"), col("tok"),
+        least(lit(4L), expr("(2 * max_t + tok - 1) div tok")).as("repeat_n"))
+      .select(col("source"), col("n_docs"), col("tok"), col("repeat_n"),
+        explode(sequence(lit(1L), col("repeat_n"))).as("epoch"))
+      .withColumn("cum_tokens", col("tok") * col("epoch"))
+      .orderBy("source", "epoch")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("pipeline_token_budget", tokenBudget, Some(s"""
+      WITH t AS (
+        SELECT doc_id, source, text,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS ntok
+        FROM documents),
+      f AS (
+        SELECT doc_id, source, ntok,
+               ${graft.Tables.QbpParts}
+        FROM t),
+      s AS (
+        SELECT doc_id, source, ntok, ${graft.Tables.QbpExpr} AS qbp
+        FROM f),
+      c AS (
+        SELECT source, ntok, qbp,
+               sum(ntok) OVER (PARTITION BY source ORDER BY qbp DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        FROM s)
+      SELECT source,
+             count(*) AS n_total,
+             cast(sum(CASE WHEN cum_tok <= 600 THEN 1 ELSE 0 END) as bigint) AS n_selected,
+             cast(sum(CASE WHEN cum_tok <= 600 THEN ntok ELSE 0 END) as bigint) AS tokens_selected,
+             cast(min(CASE WHEN cum_tok <= 600 THEN qbp END) as bigint) AS cutoff_qbp
+      FROM c GROUP BY source ORDER BY source""")),
+    QueryDef("pipeline_upsample", upsamplePlan, Some("""
+      WITH p AS (
+        SELECT source, count(*) AS n_docs,
+               sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END)
+                 AS tok
+        FROM documents GROUP BY source),
+      m AS (SELECT max(tok) AS max_t FROM p),
+      r AS (
+        SELECT source, n_docs, tok,
+               cast(least(4, (2 * max_t + tok - 1) // tok) as bigint) AS repeat_n
+        FROM p, m),
+      e AS (
+        SELECT source, n_docs, tok, repeat_n,
+               unnest(generate_series(1, repeat_n)) AS epoch
+        FROM r)
+      SELECT source, n_docs, cast(tok as bigint) AS tok,
+             cast(repeat_n as bigint) AS repeat_n,
+             cast(epoch as bigint) AS epoch,
+             cast(tok * epoch as bigint) AS cum_tokens
+      FROM e ORDER BY source, epoch""")),
     // the funnel oracle composes the dedup_clusters CC chain (hot-capped
     // shingles for the pair graph), the UNcapped shingle set for the
     // contamination tier, and the md5 exact tier — same formulas, one WITH

@@ -137,7 +137,133 @@ object JoinsAndSetOps {
       .orderBy("label")
   }
 
+  /** Exact per-line revenue in 1e-4-dollar units: cents × percent, both
+   *  exact integers (prices/discounts carry 2 decimals), so group sums are
+   *  order-independent hugeint/decimal(38) arithmetic in both engines. */
+  private def revU: org.apache.spark.sql.Column =
+    (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("decimal(18,0)") *
+      (lit(100).cast("decimal(18,0)") -
+        (col("l_discount").cast("decimal(12,2)") * 100).cast("decimal(18,0)"))
+
+  /** TPC-H Q8 shape — national market share: of all PROMO-part revenue
+   *  sold to ASIA-region customers, the fraction supplied by NATION_7, per
+   *  order year. The canonical star-join stress test: one fact (lineitem)
+   *  against four dimension arms (part; orders→customer→nation→region;
+   *  supplier→nation), then a single grouped aggregate.
+   *
+   *  Scale shape: only the 25-row nation / 5-row region dims are forced
+   *  broadcast; customer and supplier are NOT (at 100 TB they are
+   *  billion-row tables — AQE may still choose broadcast at small SF).
+   *  The region filter semi-reduces customers 5× BEFORE the orders join,
+   *  and the p_type filter pushes to the part scan, so the two fact-side
+   *  shuffles (orderkey, suppkey) carry only qualifying rows. Share is an
+   *  exact integer basis-point division; doubles appear only on output. */
+  def q60MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+    val asiaNationKeys = nat
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cnk"))
+    val asiaCust = Tables.customer(spark, dir)
+      .join(broadcast(asiaNationKeys), col("c_nationkey") === col("cnk"), "left_semi")
+      .select(col("c_custkey"))
+    val asiaOrders = Tables.orders(spark, dir)
+      .join(asiaCust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("bigint").as("yr"))
+    val suppNation = Tables.supplier(spark, dir)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val promoParts = Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    val nationRev = when(col("supp_nation") === "NATION_7", col("rev_u"))
+      .otherwise(lit(0).cast("decimal(38,0)"))
+    Tables.lineitem(spark, dir)
+      .join(promoParts, col("l_partkey") === col("p_partkey"))
+      .join(asiaOrders, col("l_orderkey") === col("o_orderkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .select(col("yr"), col("supp_nation"), revU.as("rev_u"))
+      .groupBy("yr")
+      .agg(sum(col("rev_u")).as("den"), sum(nationRev).as("num"))
+      .select(col("yr"),
+        (col("den").cast("double") / 1e4).as("total_rev"),
+        (col("num").cast("double") / 1e4).as("nation_rev"),
+        expr("(num * 10000) div den").as("share_bp"))
+      .orderBy("yr")
+  }
+
+  /** TPC-H Q9 shape — product-line profit by supplier nation × year over
+   *  widget parts, with cost proxied at 60% of retail (no partsupp table
+   *  in this corpus). Profit is exact integer 1e-6-dollar units:
+   *  rev(cents×pct)×100 − qty(hundredths)×retail(cents)×60 — zero float
+   *  boundaries until the output column, so the 6-table join tree is
+   *  hash-reproducible at any partitioning.
+   *
+   *  Scale shape: same discipline as q60 — nation broadcast, the p_name
+   *  LIKE filter pushed into the part scan (prunes the partkey shuffle),
+   *  supplier/orders joins on their natural keys with AQE free to pick
+   *  broadcast at small SF and shuffle-hash at 100 TB. */
+  def q61ProfitByNation(spark: SparkSession, dir: String): DataFrame = {
+    val widgetParts = Tables.part(spark, dir)
+      .filter(col("p_name").contains("widget"))
+      .select(col("p_partkey"),
+        (col("p_retailprice").cast("decimal(12,2)") * 100).cast("decimal(18,0)").as("retail_c"))
+    val suppNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val orderYear = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("bigint").as("yr"))
+    val qtyH = (col("l_quantity").cast("decimal(12,2)") * 100).cast("decimal(18,0)")
+    Tables.lineitem(spark, dir)
+      .join(widgetParts, col("l_partkey") === col("p_partkey"))
+      .join(orderYear, col("l_orderkey") === col("o_orderkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .select(col("supp_nation"), col("yr"),
+        (revU * 100 - qtyH * col("retail_c") * 60).as("profit_u6"))
+      .groupBy("supp_nation", "yr")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("profit_u6")).as("p6"))
+      .select(col("supp_nation"), col("yr"), col("n_lines"),
+        (col("p6").cast("double") / 1e6).as("profit"))
+      .orderBy("supp_nation", "yr")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("q60_market_share", q60MarketShare, Some("""
+      WITH b AS (
+        SELECT year(o_orderdate) AS yr, n2.n_name AS supp_nation,
+               cast(cast(l_extendedprice as decimal(12,2)) * 100 as hugeint)
+                 * (100 - cast(cast(l_discount as decimal(12,2)) * 100 as hugeint)) AS rev_u
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n1.n_regionkey AND r_name = 'ASIA'
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s_nationkey)
+      SELECT cast(yr as bigint) AS yr,
+             cast(sum(rev_u) as double) / 1e4 AS total_rev,
+             cast(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev_u ELSE 0 END) as double) / 1e4
+               AS nation_rev,
+             cast(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev_u ELSE 0 END) * 10000
+                  // sum(rev_u) as bigint) AS share_bp
+      FROM b GROUP BY yr ORDER BY yr""")),
+    QueryDef("q61_profit_by_nation", q61ProfitByNation, Some("""
+      WITH b AS (
+        SELECT n_name AS supp_nation, year(o_orderdate) AS yr,
+               cast(cast(l_extendedprice as decimal(12,2)) * 100 as hugeint)
+                 * (100 - cast(cast(l_discount as decimal(12,2)) * 100 as hugeint)) * 100
+               - cast(cast(l_quantity as decimal(12,2)) * 100 as hugeint)
+                 * cast(cast(p_retailprice as decimal(12,2)) * 100 as hugeint) * 60 AS profit_u6
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey AND p_name LIKE '%widget%'
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey)
+      SELECT supp_nation, cast(yr as bigint) AS yr,
+             count(*) AS n_lines,
+             cast(sum(profit_u6) as double) / 1e6 AS profit
+      FROM b GROUP BY 1, 2 ORDER BY 1, 2""")),
     QueryDef("q47_nullsafe_lookup", q47NullSafeLookup, Some("""
       SELECT label, count(*) AS n,
              cast(sum(cast(o_totalprice as decimal(12,2))) as double) AS total

@@ -310,7 +310,48 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Hapax-legomena rate per source — the vocabulary-tail statistic
+   *  (share of a domain's token mass that is corpus-unique) that flags
+   *  both high-novelty and high-noise domains. A corpus-hapax token has
+   *  exactly one occurrence, so it belongs to exactly one source:
+   *  `max(source)` on the count=1 group IS that source — no join back to
+   *  the token stream.
+   *
+   *  Scale shape: word-count — explode, partial-aggregated groupBy on the
+   *  token (map-side combine collapses repeats before the shuffle), then
+   *  a per-source rollup. Two shuffles over the token stream, both on
+   *  high-cardinality keys. */
+  def hapaxRate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+    val perSourceTok = toks.groupBy("source").agg(count(lit(1)).as("n_tok"))
+    val hapax = toks.groupBy("tok")
+      .agg(count(lit(1)).as("cnt"), max(col("source")).as("src1"))
+      .filter(col("cnt") === 1L)
+      .groupBy(col("src1").as("source")).agg(count(lit(1)).as("n_hapax"))
+    perSourceTok.join(hapax, Seq("source"), "left")
+      .select(col("source"), col("n_tok"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"))
+      .withColumn("hapax_bp", expr("n_hapax * 10000 div n_tok"))
+      .orderBy("source")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("text_hapax_rate", hapaxRate, Some("""
+      WITH dt AS (
+        SELECT source, unnest(
+          CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+               ELSE regexp_split_to_array(trim(text), '\s+') END) AS tok
+        FROM documents),
+      st AS (SELECT source, count(*) AS n_tok FROM dt GROUP BY source),
+      h AS (
+        SELECT max(source) AS source, count(*) AS cnt FROM dt GROUP BY tok),
+      hs AS (SELECT source, count(*) AS n_hapax FROM h WHERE cnt = 1 GROUP BY source)
+      SELECT st.source, st.n_tok,
+             cast(coalesce(hs.n_hapax, 0) as bigint) AS n_hapax,
+             cast(coalesce(hs.n_hapax, 0) * 10000 // st.n_tok as bigint) AS hapax_bp
+      FROM st LEFT JOIN hs ON st.source = hs.source
+      ORDER BY st.source""")),
     // weights reproduced through the xxh64-in-SQL machinery: per-token
     // string hash → bucket (power-of-two mod), per-bucket long hash →
     // weight; all integer, so the comparison is hash-exact

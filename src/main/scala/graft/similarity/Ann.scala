@@ -456,7 +456,34 @@ object Ann {
       .orderBy("dim")
   }
 
+  /** Per-label centroid vectors — the class prototypes a
+   *  nearest-centroid classifier or a per-class drift monitor runs on.
+   *  Same single-pass discipline as [[dimStats]]: one hash aggregate
+   *  computes all labels × 64 dims (element_at per dimension, never a
+   *  posexplode Expand), means on the exact 1e-7 truncation grid so both
+   *  engines sum the same integers in any order. Output is labels × 64
+   *  rows — bounded by the label vocabulary, not the corpus. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val aggs = (0 until dim).map(d =>
+      sum(expr(s"cast(cast(element_at(embedding, ${d + 1}) as double) * 1e7 as long)")).as(s"s$d"))
+    val g = Tables.embeddings(spark, dir)
+      .groupBy(col("label").cast("bigint").as("label"))
+      .agg(count(lit(1)).as("n"), aggs: _*)
+    val stackArgs = (0 until dim).map(d => s"${d + 1}L, s$d").mkString(", ")
+    g.selectExpr("label", "n", s"stack($dim, $stackArgs) as (dim, s)")
+      .select(col("label"), col("dim"), col("n"),
+        expr("cast(s as double) / n / 1e7").as("centroid"))
+      .orderBy("label", "dim")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("embed_label_centroids", labelCentroids, Some("""
+      SELECT cast(label as bigint) AS label, i AS dim, count(*) AS n,
+             cast(sum(cast(trunc(cast(embedding[i] as double) * 1e7) as bigint)) as double)
+               / count(*) / 1e7 AS centroid
+      FROM embeddings, unnest(range(1, 65)) u(i)
+      GROUP BY label, i ORDER BY label, dim""")),
     // trunc (not cast) on the DuckDB side: duckdb's double->bigint cast
     // ROUNDS where spark's truncates
     QueryDef("embed_dim_stats", dimStats, Some("""
