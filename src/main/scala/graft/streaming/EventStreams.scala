@@ -199,7 +199,7 @@ object EventStreams {
       hourly: DataFrame, sessions: DataFrame, schema: DataFrame, dedup: DataFrame,
       enriched: DataFrame, sliding: DataFrame, typeUserCounts: DataFrame,
       attributed: DataFrame, fileSink: DataFrame, sessionWin: DataFrame,
-      dedupWm: DataFrame)
+      dedupWm: DataFrame, leftJoin: DataFrame)
   private val replays = scala.collection.concurrent.TrieMap.empty[String, Replay]
 
   /** One shared AvailableNow replay per sf directory: the four streaming
@@ -347,6 +347,38 @@ object EventStreams {
             (unix_micros(col("purchase_time")) - unix_micros(col("view_time"))).as("lag_us"))
           .writeStream.format("memory").queryName(joinName)
           .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+        // STREAM-STREAM LEFT OUTER interval join — the attribution report
+        // including the misses: every purchase, matched views or NULL.
+        // Outer rows can only emit once the watermark proves no match can
+        // still arrive, so this query NEEDS watermark progress past the
+        // last real event — it reads the sentinel-augmented source (the
+        // sessionize replay's trick): sentinels ride along on BOTH sides
+        // (filtered to view/purchase + sentinel), push the final
+        // watermark a full gap past every real purchase, and are dropped
+        // on read by their timestamp. On an unbounded stream the same
+        // plan emits each unmatched purchase one watermark delay after
+        // its window closes — state stays bounded on both sides.
+        val leftJoinName = s"stream_leftjoin_$tag"
+        val lViews = withEventTime(eventsStream(spark, sessDir, glob = "*.parquet"))
+          .filter(col("event_type").isin("view", "sentinel"))
+          .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+            col("event_time").as("view_time"))
+          .withWatermark("view_time", "30 minutes")
+        val lPurch = withEventTime(eventsStream(spark, sessDir, glob = "*.parquet"))
+          .filter(col("event_type").isin("purchase", "sentinel"))
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("event_time").as("purchase_time"))
+          .withWatermark("purchase_time", "30 minutes")
+        val qLeftJoin = lPurch.join(lViews,
+            col("user_id") === col("v_user") &&
+            col("view_time") <= col("purchase_time") &&
+            col("view_time") >= col("purchase_time") - expr("INTERVAL 30 MINUTES"),
+            "leftOuter")
+          .select(col("user_id"), col("purchase_id"), col("view_id"),
+            unix_micros(col("purchase_time")).as("purchase_us"),
+            (unix_micros(col("purchase_time")) - unix_micros(col("view_time"))).as("lag_us"))
+          .writeStream.format("memory").queryName(leftJoinName)
+          .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
         // FILE SINK — the production persistence path (memory sinks are
         // harness-only): append the enriched event stream to partitioned
         // parquet with a checkpoint. The sink's _spark_metadata commit log
@@ -361,7 +393,7 @@ object EventStreams {
           .partitionBy("event_type")
           .trigger(Trigger.AvailableNow()).start()
         Seq(qHourly, qSchema, qSess, qDedup, qEnriched, qSliding, qTopk, qJoin,
-            qFile, qSessWin, qDedupWm)
+            qFile, qSessWin, qDedupWm, qLeftJoin)
           .foreach(_.awaitTermination())
         // read the sink back THROUGH the commit log (partition-pruned scan)
         // and roll it up — equals the batch aggregate over the source
@@ -386,7 +418,10 @@ object EventStreams {
           sessionWin = spark.table(sessWinName)
             .filter(col("session_start_us") < sentinelUs)
             .orderBy("user_id", "session_start_us"),
-          dedupWm = spark.table(dedupWmName).orderBy("user_id", "event_type"))
+          dedupWm = spark.table(dedupWmName).orderBy("user_id", "event_type"),
+          leftJoin = spark.table(leftJoinName)
+            .filter(col("purchase_us") < sentinelUs)
+            .orderBy("user_id", "purchase_id", "view_id"))
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     })
 
@@ -466,6 +501,16 @@ object EventStreams {
    *  Part of the shared replay. */
   def streamJoin(spark: SparkSession, dir: String): DataFrame =
     replay(spark, dir).attributed
+
+  /** Stream-stream LEFT OUTER interval join: every purchase with its
+   *  attributed views, or a NULL row once the watermark proves no view
+   *  can still arrive — the attribution report that also shows the
+   *  misses. Outer emission is watermark-driven, so the replay reads the
+   *  sentinel-augmented source to push the final watermark past every
+   *  real purchase (see the replay harness note). Part of the shared
+   *  replay. */
+  def streamLeftJoin(spark: SparkSession, dir: String): DataFrame =
+    replay(spark, dir).leftJoin
 
   /** Native `session_window` gap sessions (30 min) per user — the built-in
    *  operator twin of [[streamSessions]] (which keeps the custom
@@ -594,6 +639,19 @@ object EventStreams {
        AND v.event_type = 'view' AND p.event_type = 'purchase'
        AND epoch_us(v.ts) <= epoch_us(p.ts)
        AND epoch_us(v.ts) >= epoch_us(p.ts) - 1800000000
+      ORDER BY p.user_id, purchase_id, view_id""")),
+    QueryDef("stream_left_join", streamLeftJoin, Some("""
+      SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+             epoch_us(p.ts) AS purchase_us,
+             CASE WHEN v.event_id IS NULL THEN NULL
+                  ELSE epoch_us(p.ts) - epoch_us(v.ts) END AS lag_us
+      FROM events p
+      LEFT JOIN events v
+        ON v.user_id = p.user_id
+       AND v.event_type = 'view'
+       AND epoch_us(v.ts) <= epoch_us(p.ts)
+       AND epoch_us(v.ts) >= epoch_us(p.ts) - 1800000000
+      WHERE p.event_type = 'purchase'
       ORDER BY p.user_id, purchase_id, view_id""")),
     QueryDef("stream_topk", streamTopk, Some("""
       SELECT event_type, user_id, rank, n FROM (
