@@ -143,7 +143,76 @@ object GraphOps {
         expr("(2 * 3 * n_triangles * 10000 + n_wedges) div (2 * n_wedges)").as("transitivity_bp"))
   }
 
+  /** LABEL PROPAGATION (3 synchronous rounds) — community detection over
+   *  the same shared co-purchase edge base: each round every node adopts
+   *  the most frequent label among its neighbors, ties to the SMALLEST
+   *  label (Raghavan et al. 2007, made deterministic). Unlike the dedup
+   *  module's connected components (which answers "is there any path"),
+   *  LPA finds densely-linked groups inside one component.
+   *
+   *  The argmax is packed into one BIGINT — `cnt·2³² + (2³²−1−lbl)` —
+   *  so the per-node reduction is a plain `max` and the tiebreak (higher
+   *  count first, then smaller label) is total and engine-independent;
+   *  labels are part keys < 2³², counts bounded by degree, so the pack
+   *  is exact with 2⁶³ headroom.
+   *
+   *  Scale shape: each round is two shuffles of (long, long) pairs —
+   *  count per (node, neighbor-label), then max per node — both
+   *  partial-aggregated map-side; the label table joins the edge list on
+   *  src (AQE broadcast while it fits, co-partitioned shuffle beyond).
+   *  Output is the 20 largest communities, via TakeOrdered. */
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val und = bulkCoPurchaseEdges(spark, dir)
+    val edges = und.select(col("x").as("src"), col("y").as("dst"))
+      .unionAll(und.select(col("y").as("src"), col("x").as("dst")))
+    var lbl = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to 3) {
+      lbl = edges.join(lbl.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("node")
+        .agg(max(expr("cnt * 4294967296 + (4294967295 - lbl)")).as("sc"))
+        .select(col("node"), expr("4294967295 - (sc % 4294967296)").as("lbl"))
+    }
+    lbl.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_member"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(20)
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: same symmetric edges, 3 unrolled rounds of the packed
+    // integer argmax recurrence — no floats, no arbitrary tie order
+    QueryDef("graph_label_prop", labelPropagation, Some("""
+      WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem WHERE l_quantity >= 40),
+      edges AS MATERIALIZED (
+        SELECT DISTINCT a.pk AS src, b.pk AS dst
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk <> b.pk),
+      l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+      l1 AS MATERIALIZED (
+        SELECT node, 4294967295 - (max(sc) % 4294967296) AS lbl FROM (
+          SELECT e.dst AS node,
+                 cast(count(*) as bigint) * 4294967296 + (4294967295 - l0.lbl) AS sc
+          FROM edges e JOIN l0 ON l0.node = e.src GROUP BY e.dst, l0.lbl) t
+        GROUP BY node),
+      l2 AS MATERIALIZED (
+        SELECT node, 4294967295 - (max(sc) % 4294967296) AS lbl FROM (
+          SELECT e.dst AS node,
+                 cast(count(*) as bigint) * 4294967296 + (4294967295 - l1.lbl) AS sc
+          FROM edges e JOIN l1 ON l1.node = e.src GROUP BY e.dst, l1.lbl) t
+        GROUP BY node),
+      l3 AS MATERIALIZED (
+        SELECT node, 4294967295 - (max(sc) % 4294967296) AS lbl FROM (
+          SELECT e.dst AS node,
+                 cast(count(*) as bigint) * 4294967296 + (4294967295 - l2.lbl) AS sc
+          FROM edges e JOIN l2 ON l2.node = e.src GROUP BY e.dst, l2.lbl) t
+        GROUP BY node)
+      SELECT cast(lbl as bigint) AS community, count(*) AS n_members,
+             cast(min(node) as bigint) AS min_member
+      FROM l3 GROUP BY lbl
+      ORDER BY n_members DESC, community LIMIT 20""")),
     // exact twin: same distinct bulk co-purchase edges, 3 unrolled rounds
     // of the same integer recurrence (DuckDB's hugeint sums are cast back
     // down; every division is integer `//`, so no float anywhere)
