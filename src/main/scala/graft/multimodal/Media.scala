@@ -365,6 +365,57 @@ object Media {
       Some((hash, nBits))
     }
 
+    /** Difference-hash (dHash) of a 24-bit BMP: box-average the luma
+     *  matrix into an 8×9 grid (one extra column), bit r·8+c = 1 when
+     *  cell (r, c+1) is strictly brighter than cell (r, c) — a horizontal
+     *  GRADIENT sign, invariant to global brightness/contrast shifts that
+     *  flip aHash bits near the mean. Same all-integer arithmetic as
+     *  [[ahash64]] so the SQL oracle replays it exactly; None below the
+     *  9×8 grid. One O(pixels) pass; O(1) state. */
+    def dhash64(b: Array[Byte]): Option[(Long, Int)] = {
+      val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      val offset = buf.getInt(10)
+      val w = buf.getInt(18)
+      val hRaw = buf.getInt(22)
+      val h = math.abs(hRaw)
+      require(buf.getShort(28) == 24, "unsupported BMP bpp")
+      if (w < 9 || h < 8) return None
+      val rowBytes = (w * 3 + 3) & ~3
+      val sums = new Array[Long](72)
+      val counts = new Array[Long](72)
+      var r = 0
+      while (r < h) {
+        val fileRow = if (hRaw > 0) h - 1 - r else r
+        val base = offset + fileRow * rowBytes
+        val cr = r * 8 / h
+        var c = 0
+        while (c < w) {
+          val p = base + c * 3
+          val bl = b(p) & 0xFF; val g = b(p + 1) & 0xFF; val rr = b(p + 2) & 0xFF
+          val cell = cr * 9 + c * 9 / w
+          sums(cell) += (299 * rr + 587 * g + 114 * bl) / 1000
+          counts(cell) += 1
+          c += 1
+        }
+        r += 1
+      }
+      val avgs = Array.tabulate(72)(k => sums(k) / counts(k))
+      var hash = 0L
+      var nBits = 0
+      var rr2 = 0
+      while (rr2 < 8) {
+        var cc2 = 0
+        while (cc2 < 8) {
+          if (avgs(rr2 * 9 + cc2 + 1) > avgs(rr2 * 9 + cc2)) {
+            hash |= 1L << (rr2 * 8 + cc2); nBits += 1
+          }
+          cc2 += 1
+        }
+        rr2 += 1
+      }
+      Some((hash, nBits))
+    }
+
     /** INTEGER SOBEL edge statistics over the logical luma grid: at every
      *  interior pixel, gx/gy are the standard 3×3 Sobel responses on the
      *  same integer BT.601 luma as [[ahash64]]; the pixel is an EDGE when
@@ -543,6 +594,24 @@ object Media {
         Codec.ahash64(r.media).map { case (h, n) => (r.doc_id, h, n.toLong) }
       })
       .toDF("doc_id", "ahash", "n_bits")
+      .orderBy("doc_id")
+  }
+
+  /** Gradient-sign perceptual hash (dHash) per image — the
+   *  brightness-invariant complement of [[imageAhash]]: a global
+   *  luma/contrast shift moves every cell AND the mean, flipping aHash
+   *  bits near the threshold, but leaves horizontal gradient SIGNS
+   *  unchanged. A production near-dup tier keys on both hashes;
+   *  [[imageNearDup]]'s pigeonhole chunk join applies to this signature
+   *  unchanged. Same typed per-partition decode stream. */
+  def imageDhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaContainers(spark, dir)
+      .filter(col("format") === "bmp").as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        Codec.dhash64(r.media).map { case (h, n) => (r.doc_id, h, n.toLong) }
+      })
+      .toDF("doc_id", "dhash", "n_bits")
       .orderBy("doc_id")
   }
 
@@ -756,7 +825,54 @@ object Media {
                sum(CASE WHEN c.a > m.mean THEN 1 ELSE 0 END) AS nb
         FROM cells c JOIN m ON m.doc_id = c.doc_id GROUP BY 1)"""
 
+  /** Oracle CTE chain for [[imageDhash]]: same synthetic-BMP geometry as
+   *  [[AhashCtes]] but an 8×9 cell grid and a horizontal-neighbor
+   *  comparison instead of the global-mean threshold. Final CTE:
+   *  `bits(doc_id, hv, nb)`. */
+  private val DhashCtes: String = """base AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n0
+        FROM documents WHERE doc_id % 2 = 0),
+      geo AS (
+        SELECT doc_id, text, greatest(n0, 1) AS n,
+               least(256, greatest(1,
+                 cast(ceil(sqrt(cast(greatest(n0, 1) as double))) as bigint))) AS w
+        FROM base),
+      geo2 AS (
+        SELECT doc_id, text, n, w, (n + w - 1) // w AS h
+        FROM geo),
+      ok AS (SELECT * FROM geo2 WHERE w >= 9 AND h >= 8),
+      px AS (
+        SELECT doc_id, ((i // w) * 8) // h AS cr, ((i % w) * 9) // w AS cc,
+               CASE WHEN i < n THEN ascii(substr(text, cast(i + 1 as int), 1))
+                    ELSE 0 END AS v
+        FROM ok, unnest(range(0, w * h)) u(i)),
+      cells AS (
+        SELECT doc_id, cr, cc, sum(v) // count(*) AS a
+        FROM px GROUP BY 1, 2, 3),
+      d AS (
+        SELECT a.doc_id, a.cr, a.cc,
+               CASE WHEN b.a > a.a THEN 1 ELSE 0 END AS bit
+        FROM cells a JOIN cells b
+          ON b.doc_id = a.doc_id AND b.cr = a.cr AND b.cc = a.cc + 1
+        WHERE a.cc < 8),
+      bits AS (
+        SELECT doc_id,
+               sum(CASE WHEN bit = 1
+                        THEN (1::HUGEINT << cast(cr * 8 + cc as int))
+                        ELSE 0::HUGEINT END) AS hv,
+               sum(bit) AS nb
+        FROM d GROUP BY 1)"""
+
   val defs: Vector[QueryDef] = Vector(
+    // gradient-sign hash replay: same pixel-is-ASCII-byte geometry, 8x9
+    // cells, neighbor comparison; HUGEINT bit sum wrapped to signed
+    QueryDef("media_image_dhash", imageDhash, Some(s"""
+      WITH $DhashCtes
+      SELECT doc_id,
+             cast(CASE WHEN hv >= (1::HUGEINT << 63) THEN hv - (1::HUGEINT << 64)
+                       ELSE hv END as bigint) AS dhash,
+             cast(nb as bigint) AS n_bits
+      FROM bits ORDER BY doc_id""")),
     // same PCM reconstruction as media_audio_loudness; islands via
     // widx − row_number per doc, all arithmetic integer
     QueryDef("media_vad", audioVad, Some("""

@@ -227,7 +227,43 @@ object JoinsAndSetOps {
       .orderBy("supp_nation", "yr")
   }
 
+  /** LOG COMPACTION — the Kafka-compacted-topic / CDC-materialization
+   *  semantics: the event stream is a change log keyed by
+   *  (user_id, event_type); compaction keeps only the LATEST record per
+   *  key, last-writer-wins ordered by (ts, event_id) so concurrent
+   *  timestamps still resolve deterministically. q38 merges one change
+   *  SET into a base; this collapses the whole unbounded log.
+   *
+   *  Scale shape: ONE `max_by` hash aggregate — partial compaction
+   *  happens map-side inside each scan task before the single shuffle on
+   *  the key, which is exactly how a 100 TB log compacts (never a
+   *  window/row_number funnel over the full log). Output is bounded by
+   *  the live key space, not the log length. */
+  def q62LogCompact(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id", "event_type")
+      .agg(
+        max_by(struct(col("event_id"), col("value")), struct(col("ts"), col("event_id"))).as("last"),
+        max(col("ts")).as("last_ts"),
+        count(lit(1)).as("n_changes"))
+      .select(col("user_id"), col("event_type"),
+        col("last.event_id").as("last_event_id"),
+        col("last.value").as("last_value"),
+        col("last_ts"), col("n_changes"))
+      .orderBy("user_id", "event_type")
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("q62_log_compact", q62LogCompact, Some("""
+      WITH r AS (
+        SELECT user_id, event_type, event_id, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                 ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn,
+               count(*) OVER (PARTITION BY user_id, event_type) AS n_changes,
+               max(epoch_us(ts)) OVER (PARTITION BY user_id, event_type) AS mx
+        FROM events)
+      SELECT user_id, event_type, event_id AS last_event_id, value AS last_value,
+             mx * 1000 AS last_ts, n_changes
+      FROM r WHERE rn = 1 ORDER BY user_id, event_type""")),
     QueryDef("q60_market_share", q60MarketShare, Some("""
       WITH b AS (
         SELECT year(o_orderdate) AS yr, n2.n_name AS supp_nation,
