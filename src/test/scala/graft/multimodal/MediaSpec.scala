@@ -139,6 +139,26 @@ class MediaSpec extends AnyFunSuite {
     assert(Codec.ahash64(Containers.bmp(Array.fill(20)(1.toByte))).isEmpty)
   }
 
+  test("dHash: brightness shift preserves the gradient hash where aHash may flip") {
+    val rnd = new scala.util.Random(11)
+    // 20x20 image, pixels in [40, 200) so a +20 global shift cannot clip
+    val payload = Array.fill(400)((rnd.nextInt(160) + 40).toByte)
+    val Some((d0, n0)) = Codec.dhash64(Containers.bmp(payload))
+    assert(n0 > 0 && n0 < 64, "gradient signs must split the bits")
+    // global brightness shift: every cell average moves by the same +20,
+    // so every horizontal difference — and therefore every dHash bit —
+    // is unchanged (aHash's global-mean threshold has no such guarantee)
+    val brighter = payload.map(b => ((b & 0xFF) + 20).toByte)
+    val Some((d1, _)) = Codec.dhash64(Containers.bmp(brighter))
+    assert(d0 == d1, "dHash must be invariant to a non-clipping brightness shift")
+    // structurally different content (inverted gradient) lands far away
+    val other = Array.tabulate(400)(i => (255 - (i * 255 / 400)).toByte)
+    val Some((d2, _)) = Codec.dhash64(Containers.bmp(other))
+    assert(java.lang.Long.bitCount(d0 ^ d2) > 8, "unrelated images must not collide")
+    // below the 9-column grid there is no percept (8x8 image)
+    assert(Codec.dhash64(Containers.bmp(Array.fill(64)(1.toByte))).isEmpty)
+  }
+
   test("edgeStats: Sobel counts a known step edge and nothing on flat fields") {
     // flat image: zero gradient everywhere
     val flat = Containers.bmp(Array.fill[Byte](100)(77)) // 10x10

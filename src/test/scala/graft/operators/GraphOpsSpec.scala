@@ -49,6 +49,28 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(ranks.toSet.size > 1, "test premise: the graph is not rank-regular")
   }
 
+  test("label propagation EQUALS the sequential synchronous-LPA reference") {
+    // naive reference: 3 synchronous rounds of most-frequent-neighbor
+    // label, ties to the smallest label — written with plain maps, no
+    // packing trick, so agreement proves the packed-argmax encoding
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    var lbl: Map[Long, Long] = adj.keysIterator.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lbl = adj.map { case (n, ns) =>
+        val freq = ns.groupBy(lbl).map { case (l, xs) => (l, xs.length) }
+        val best = freq.toSeq.minBy { case (l, c) => (-c, l) }._1
+        n -> best
+      }
+    }
+    val expected = lbl.groupBy(_._2)
+      .map { case (c, m) => (c, m.size.toLong, m.keys.min) }
+      .toArray.sortBy { case (c, n, _) => (-n, c) }.take(20)
+    val got = GraphOps.labelPropagation(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expected.toSeq)
+    assert(expected.exists(_._2 > 1), "test premise: LPA forms non-trivial communities")
+  }
+
   test("triangle count EQUALS the naive adjacency-set reference") {
     // naive reference: canonical undirected edge set, then for each edge
     // {x,y} count common neighbors z > y — each triangle once at its
