@@ -477,7 +477,66 @@ object Ann {
       .orderBy("label", "dim")
   }
 
+  /** ANN recall evaluation AS A QUERY — the index-quality report a
+   *  production retrieval pipeline recomputes after every index rebuild:
+   *  the trained-IVF top-3 joined against the exact brute-force top-3
+   *  ground truth, hits per query in integer basis points. Composes the
+   *  two existing pipelines (the k-means centroids are the memoized
+   *  per-corpus artifact, so training is not repeated); the join is
+   *  queries×k rows — negligible against either search. RecallSpec's
+   *  floors remain the regression guard; this entry makes the metric a
+   *  first-class, oracled output. */
+  def recallReport(spark: SparkSession, dir: String): DataFrame = {
+    val ivf = kmeansIvfTopK(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val bf = bruteForceTopK(spark, dir).filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    bf.join(ivf, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        expr("n_hit * 10000 div 3").as("recall_bp"))
+      .orderBy("query_id")
+  }
+
+  /** One POWER-ITERATION step on the Gram matrix from the all-ones start
+   *  — the distributed matrix-vector product (w = XᵀX·1) that seeds a
+   *  dominant-direction estimate for PCA/whitening. Exact integers on
+   *  the 1e-7 grid end to end: per row the map-side HOF fold computes
+   *  sᵢ = Σ_d x_id (one pass over the array), the single hash aggregate
+   *  sums x_id·sᵢ per dimension in DECIMAL(38) (sums exceed 2⁶³ long
+   *  before they exceed 38 digits by ~10¹⁸×), and only the output column
+   *  renders to double. One corpus scan, one 1-row aggregate reshaped to
+   *  64 rows — the same shape as [[dimStats]]. */
+  def powerIteration(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val xs = (0 until dim).map(d =>
+      expr(s"cast(cast(element_at(embedding, ${d + 1}) as double) * 1e7 as long)").as(s"x$d"))
+    val base = Tables.embeddings(spark, dir).select(
+      (expr("aggregate(embedding, 0L, (a, v) -> a + cast(cast(v as double) * 1e7 as long))").as("s")
+        +: xs): _*)
+    val aggs = (0 until dim).map(d =>
+      sum((col(s"x$d") * col("s")).cast("decimal(38,0)")).as(s"w$d"))
+    val row1 = base.agg(count(lit(1)).as("n"), aggs: _*)
+    val stackArgs = (0 until dim).map(d => s"${d + 1}L, w$d").mkString(", ")
+    row1.selectExpr("n", s"stack($dim, $stackArgs) as (dim, w)")
+      .select(col("dim"), col("n"), col("w").cast("double").as("w"))
+      .orderBy("dim")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("ann_recall_report", recallReport, Some(KmeansOracle.recallSql)),
+    QueryDef("embed_power_iteration", powerIteration, Some("""
+      WITH g AS (
+        SELECT embedding,
+               list_sum(list_transform(embedding,
+                 v -> cast(trunc(cast(v as double) * 1e7) as bigint))) AS s
+        FROM embeddings),
+      n AS (SELECT count(*) AS n FROM g)
+      SELECT i AS dim, n.n,
+             cast(sum(cast(trunc(cast(embedding[i] as double) * 1e7) as hugeint) * s) as double) AS w
+      FROM g, unnest(range(1, 65)) u(i), n
+      GROUP BY i, n.n ORDER BY dim""")),
     QueryDef("embed_label_centroids", labelCentroids, Some("""
       SELECT cast(label as bigint) AS label, i AS dim, count(*) AS n,
              cast(sum(cast(trunc(cast(embedding[i] as double) * 1e7) as bigint)) as double)

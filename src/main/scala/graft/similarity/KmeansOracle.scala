@@ -90,6 +90,42 @@ object KmeansOracle {
        |      ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Oracle for ann_recall_report: the trained-IVF top-3 (the same chain
+   *  as [[sql]]) LEFT-joined against the exact brute-force top-3 ground
+   *  truth, hits counted per query in integer basis points. */
+  lazy val recallSql: String = {
+    s"""
+       |      WITH $trainedCtes,
+       |      q AS (SELECT vec_id AS query_id, embedding AS q_emb, cell
+       |            FROM a$Iters WHERE vec_id < 8),
+       |      ivf AS (
+       |        SELECT query_id, neighbor_id FROM (
+       |          SELECT q.query_id, a.vec_id AS neighbor_id,
+       |                 row_number() OVER (
+       |                   PARTITION BY q.query_id
+       |                   ORDER BY list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) DESC,
+       |                            a.vec_id) AS rank
+       |          FROM a$Iters a JOIN q ON a.cell = q.cell
+       |          WHERE a.vec_id <> q.query_id) t
+       |        WHERE rank <= 3),
+       |      bf AS (
+       |        SELECT query_id, neighbor_id FROM (
+       |          SELECT qq.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |                 row_number() OVER (
+       |                   PARTITION BY qq.vec_id
+       |                   ORDER BY list_cosine_similarity(CAST(qq.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC,
+       |                            e.vec_id) AS rank
+       |          FROM embeddings qq JOIN embeddings e ON e.vec_id <> qq.vec_id
+       |          WHERE qq.vec_id < 8) t
+       |        WHERE rank <= 3)
+       |      SELECT b.query_id,
+       |             cast(count(i.neighbor_id) as bigint) AS n_hit,
+       |             cast(count(i.neighbor_id) * 10000 // 3 as bigint) AS recall_bp
+       |      FROM bf b LEFT JOIN ivf i
+       |        ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+       |      GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
+  }
+
   /** Oracle for dedup_semantic (SemDeDup): the SAME trained assignment
    *  chain, then within-cell pairwise cosines as left-associative double
    *  `+` chains — the identical IEEE operation order as the fused

@@ -217,7 +217,52 @@ object Sinks {
       s"${spark.sparkContext.applicationId}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
   }
 
+  /** SMALL-FILE COMPACTION — the table-maintenance pass (OPTIMIZE /
+   *  rewrite-data-files) every streaming-fed lake table needs: a 64-way
+   *  fragmented parquet layout is rewritten into few large files. The
+   *  rewrite is `coalesce` (narrow — each output task concatenates input
+   *  splits, NO shuffle; `repartition` would pay one for nothing unless
+   *  re-clustering is wanted). The result reads back through the
+   *  compacted layout and must aggregate identically to the source —
+   *  content preservation is the oracled contract here;
+   *  [[graft.sources.SinkLayoutSpec]] pins the file-count geometry
+   *  (64 → ≤ 4), which no SQL oracle can see. */
+  def compactSmallFiles(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_compact_" +
+      s"${spark.sparkContext.applicationId}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    if (written.add(root)) {
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .repartition(64) // the fragmented state a micro-batch writer leaves
+        .write.mode("overwrite").parquet(s"$root/small")
+      spark.read.parquet(s"$root/small")
+        .coalesce(4)
+        .write.mode("overwrite").parquet(s"$root/compacted")
+    }
+    spark.read.parquet(s"$root/compacted")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("event_id")).as("id_sum"))
+      .orderBy("event_type")
+  }
+
+  /** The compacted layout root for [[compactSmallFiles]] — consumed by
+   *  SinkLayoutSpec to assert the file-count geometry. */
+  private[graft] def compactRoot(spark: SparkSession, dir: String): String = {
+    compactSmallFiles(spark, dir).collect() // ensure both layouts exist
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_compact_" +
+      s"${spark.sparkContext.applicationId}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("sink_compact_small_files", compactSmallFiles, Some("""
+      SELECT event_type, count(*) AS n,
+             cast(sum(cast(value as decimal(12,2))) as double) AS sum_value,
+             count(DISTINCT user_id) AS n_users,
+             cast(sum(event_id) as bigint) AS id_sum
+      FROM events GROUP BY event_type ORDER BY event_type""")),
     QueryDef("sink_zorder", zorderLayout, Some("""
       WITH b AS (
         SELECT min(user_id) AS mu, max(user_id) AS xu,

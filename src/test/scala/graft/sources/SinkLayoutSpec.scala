@@ -27,6 +27,17 @@ class SinkLayoutSpec extends AnyFunSuite {
     assert(morton(255, 0) == 0x5555L && morton(0, 255) == 0xAAAAL)
   }
 
+  test("compaction rewrites the 64-file layout into at most 4 files, same rows") {
+    val root = Sinks.compactRoot(spark, dir)
+    def parquets(sub: String) = new java.io.File(s"$root/$sub").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquets("small") == 64, "premise: the fragmented layout is 64-way")
+    assert(parquets("compacted") <= 4, "compaction must reach the target file count")
+    val a = spark.read.parquet(s"$root/small").count()
+    val b = spark.read.parquet(s"$root/compacted").count()
+    assert(a == b && a > 0, "compaction must preserve every row")
+  }
+
   test("every z-ordered file covers a bounded slice of BOTH dimensions") {
     import org.apache.spark.sql.functions._
     val path = Sinks.zorderPath(spark, dir)
