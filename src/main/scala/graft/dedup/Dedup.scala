@@ -534,7 +534,30 @@ object Dedup {
       .orderBy("dup_of_corpus")
   }
 
+  /** DEDUP CANDIDATE-QUALITY EVALUATION — precision/recall of the
+   *  MinHash-LSH candidate set against the exact n-gram-Jaccard ground
+   *  truth, as a query: the report a pipeline owner re-runs whenever the
+   *  banding parameters (k, bands) or the threshold change. Composes the
+   *  two existing pipelines — the shared shingle index is computed once —
+   *  and reduces both pair sets plus their semi-join to one integer row;
+   *  everything heavier than three counts is work the two inputs already
+   *  paid. Banding misses some true pairs (recall < 100%) and the 32-perm
+   *  estimator passes some false ones (precision < 100%) — that gap IS
+   *  the measurement. */
+  def lshEval(spark: SparkSession, dir: String): DataFrame = {
+    val cand = minhashLsh(spark, dir).select("id_a", "id_b")
+    val truth = ngramJaccard(spark, dir).select("id_a", "id_b")
+    val hits = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
+    cand.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits"))) // 1-row frames
+      .select(col("n_candidates"), col("n_truth"), col("n_hits"),
+        expr("n_hits * 10000 div greatest(n_candidates, 1)").as("precision_bp"),
+        expr("n_hits * 10000 div greatest(n_truth, 1)").as("recall_bp"))
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("dedup_lsh_eval", lshEval, Some(XxhashOracle.dedupEvalSql)),
     QueryDef("dedup_incremental", incrementalDedup, Some("""
       WITH f AS (
         SELECT doc_id,

@@ -290,4 +290,43 @@ object XxhashOracle {
        |      WHERE est_jaccard >= 0.5
        |      ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** Oracle for dedup_lsh_eval: the full minhash chain re-run up to its
+   *  thresholded candidate set, joined against the exact n-gram-Jaccard
+   *  ground truth (the dedup_ngram_jaccard formulas verbatim: `inter`
+   *  over cap-filtered cold shingles, sizes over ALL shingles), then
+   *  precision/recall in integer basis points. Extracts the shared CTE
+   *  prefix from [[minhashSql]] so the two stay in lockstep. */
+  lazy val dedupEvalSql: String = {
+    val prefix = minhashSql.substring(0, minhashSql.lastIndexOf("SELECT id_a"))
+      .trim.stripSuffix(",").trim
+    s"""
+       |      $prefix,
+       |      cand AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5),
+       |      sh2 AS (
+       |        SELECT DISTINCT doc_id, toks[u.i] || ' ' || toks[u.i+1] || ' ' || toks[u.i+2] AS sh
+       |        FROM toks3, unnest(range(1, len(toks) - 1)) u(i)),
+       |      cnt2 AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY 1),
+       |      hot2 AS (SELECT sh FROM sh2 GROUP BY sh HAVING count(*) > 100),
+       |      cold2 AS (SELECT * FROM sh2 ANTI JOIN hot2 USING (sh)),
+       |      ip AS (
+       |        SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+       |        FROM cold2 x JOIN cold2 y USING (sh)
+       |        WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+       |      truth AS (
+       |        SELECT id_a, id_b FROM ip
+       |        JOIN cnt2 a ON a.doc_id = ip.id_a
+       |        JOIN cnt2 b ON b.doc_id = ip.id_b
+       |        WHERE cast(inter as double) / cast(a.n_sh + b.n_sh - inter as double) >= 0.5),
+       |      agg AS (
+       |        SELECT (SELECT count(*) FROM cand) AS n_candidates,
+       |               (SELECT count(*) FROM truth) AS n_truth,
+       |               (SELECT count(*) FROM cand SEMI JOIN truth USING (id_a, id_b)) AS n_hits)
+       |      SELECT cast(n_candidates as bigint) AS n_candidates,
+       |             cast(n_truth as bigint) AS n_truth,
+       |             cast(n_hits as bigint) AS n_hits,
+       |             cast(n_hits * 10000 // greatest(n_candidates, 1) as bigint) AS precision_bp,
+       |             cast(n_hits * 10000 // greatest(n_truth, 1) as bigint) AS recall_bp
+       |      FROM agg""".stripMargin
+  }
 }
