@@ -391,7 +391,40 @@ object CurationPipeline {
       .orderBy("source", "epoch")
   }
 
+  /** Deterministic TRAIN/VAL/TEST split — assignment by content hash
+   *  (md5 of the doc id, two hex chars = 256 buckets: <0xcc train ~80%,
+   *  <0xe6 val ~10%, rest test), the reproducible form of dataset
+   *  splitting: no RNG state, no seed drift, stable under any
+   *  partitioning, re-running on a grown corpus never reassigns an
+   *  existing document. Reports the per-(source, split) document and
+   *  token counts a mixture spec is validated against.
+   *
+   *  Scale shape: the split is a map-side expression over the scan; the
+   *  only shuffle is the final small rollup. */
+  def trainValTestSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        tokenCount(col("text")).cast("long").as("ntok"),
+        substring(md5(col("doc_id").cast("string")), 1, 2).as("h"))
+      .withColumn("split",
+        when(col("h") < "cc", "train").when(col("h") < "e6", "val").otherwise("test"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tokens"))
+      .orderBy("source", "split")
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("pipeline_split", trainValTestSplit, Some("""
+      WITH t AS (
+        SELECT source,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS ntok,
+               substr(md5(cast(doc_id as varchar)), 1, 2) AS h
+        FROM documents)
+      SELECT source,
+             CASE WHEN h < 'cc' THEN 'train' WHEN h < 'e6' THEN 'val' ELSE 'test' END AS split,
+             count(*) AS n_docs,
+             cast(sum(ntok) as bigint) AS tokens
+      FROM t GROUP BY 1, 2 ORDER BY source, split""")),
     QueryDef("pipeline_token_budget", tokenBudget, Some(s"""
       WITH t AS (
         SELECT doc_id, source, text,
