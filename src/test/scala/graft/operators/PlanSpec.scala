@@ -38,6 +38,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q5_region_revenue").contains("BroadcastHashJoin"))
   }
 
+  test("q60/q61: star-join filters reach the scans, dims broadcast, no cartesian") {
+    for (q <- Seq("q60_market_share", "q61_profit_by_nation")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q must broadcast the small dims")
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+    // the part-side filters are scan-level predicates, not post-join
+    assert(plan("q60_market_share").contains("PushedFilters: [IsNotNull(p_type), EqualTo(p_type,PROMO)"))
+    assert(plan("q61_profit_by_nation").contains("StringContains(p_name,widget)"))
+  }
+
   test("no accidental cartesian products outside the ANN broadcast NLJs") {
     for (q <- Seq("q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
                   "q15_sessionize", "dedup_minhash_lsh", "q26_left_outer")) {
