@@ -792,6 +792,35 @@ object Media {
       .orderBy("doc_id")
   }
 
+  /** AUDIO FINGERPRINT — the acoustic analogue of the image hashes: a
+   *  63-bit signature of the energy-envelope SHAPE (bit i = window i+1
+   *  is louder than window i, over the first 63 window transitions).
+   *  Volume-invariant the same way dHash is brightness-invariant: global
+   *  gain scales every window energy by one factor and preserves every
+   *  comparison, so re-levelled copies of one recording collide — the
+   *  dedup key a speech corpus needs before training. Bits stop at 62 so
+   *  the packed sum stays in signed-long range. Same per-partition PCM
+   *  walk as the loudness/VAD queries; exact integer energies, so the
+   *  ASCII-replay oracle reproduces every bit. */
+  def audioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val win = mediaContainers(spark, dir)
+      .filter(_.format == "wav")
+      .flatMap(r => Codec.windowEnergies(r.media, win = 100)
+        .map { case (widx, e, _) => (r.doc_id, widx, e) })
+      .toDF("doc_id", "widx", "energy")
+    val nxt = win.select(col("doc_id"), (col("widx") - 1).as("widx"),
+      col("energy").as("e_next"))
+    win.join(nxt, Seq("doc_id", "widx"))
+      .filter(col("widx") < 63)
+      .groupBy("doc_id")
+      .agg(
+        sum(expr("CASE WHEN e_next > energy THEN shiftleft(cast(1 as bigint), cast(widx as int)) ELSE 0 END")).as("afp"),
+        sum(when(col("e_next") > col("energy"), 1L).otherwise(0L)).as("n_rising"),
+        count(lit(1)).as("n_transitions"))
+      .orderBy("doc_id")
+  }
+
   /** Shared oracle CTE chain: per-image aHash replayed in SQL (BMP
    *  grayscale pixel i = ASCII byte i of the text, zero-padded) —
    *  consumed by the media_image_ahash projection and the
@@ -864,6 +893,25 @@ object Media {
         FROM d GROUP BY 1)"""
 
   val defs: Vector[QueryDef] = Vector(
+    // same PCM energy replay as media_vad; transitions via the widx+1
+    // self-join, bits packed below the sign bit
+    QueryDef("media_audio_fingerprint", audioFingerprint, Some("""
+      WITH s AS (
+        SELECT doc_id, (i - 1) // 100 AS widx,
+               cast((ascii(substring(text, i, 1)) - 128) * 256 as bigint) AS smp
+        FROM documents, unnest(range(1, length(text) + 1)) u(i)
+        WHERE doc_id % 2 = 1),
+      e AS (SELECT doc_id, widx, sum(smp * smp) AS energy FROM s GROUP BY 1, 2),
+      p AS (
+        SELECT a.doc_id, a.widx, a.energy, b.energy AS e_next
+        FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.widx = a.widx + 1
+        WHERE a.widx < 63)
+      SELECT doc_id,
+             cast(sum(CASE WHEN e_next > energy
+                           THEN (1::bigint << cast(widx as int)) ELSE 0 END) as bigint) AS afp,
+             cast(sum(CASE WHEN e_next > energy THEN 1 ELSE 0 END) as bigint) AS n_rising,
+             count(*) AS n_transitions
+      FROM p GROUP BY doc_id ORDER BY doc_id""")),
     // gradient-sign hash replay: same pixel-is-ASCII-byte geometry, 8x9
     // cells, neighbor comparison; HUGEINT bit sum wrapped to signed
     QueryDef("media_image_dhash", imageDhash, Some(s"""

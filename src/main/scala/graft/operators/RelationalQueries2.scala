@@ -523,7 +523,48 @@ object RelationalQueries2 {
       .orderBy("user_id", "hr")
   }
 
+  /** NEW vs RETURNING users per day — the incremental-distinct report:
+   *  a user counts as NEW on their first active day, RETURNING after;
+   *  `cum_users` is the running distinct-user total, computed WITHOUT a
+   *  distinct-over-window (which Spark lacks and which would be
+   *  quadratic anyway): first-seen day per user is one aggregate, and
+   *  the cumulative count is a prefix sum over the per-day NEW counts.
+   *
+   *  Scale shape: the (user, day) distinct and the two groupBys are
+   *  hash-partitioned on high-cardinality keys; the only unpartitioned
+   *  window runs over the PER-DAY aggregate — rows bounded by the
+   *  calendar, not the corpus. */
+  def q63FirstSeen(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day")).distinct()
+    val active = days.groupBy("day").agg(count(lit(1)).as("n_active"))
+    val news = days.groupBy("user_id").agg(min(col("day")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    active.join(news, Seq("day"), "left")
+      .select(col("day"), col("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+      .withColumn("cum_users", sum(col("n_new")).over(w))
+      .orderBy("day")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("q63_first_seen", q63FirstSeen, Some("""
+      WITH days AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      active AS (SELECT day, count(*) AS n_active FROM days GROUP BY day),
+      firsts AS (SELECT user_id, min(day) AS day FROM days GROUP BY user_id),
+      news AS (SELECT day, count(*) AS n_new FROM firsts GROUP BY day)
+      SELECT a.day, a.n_active,
+             coalesce(n.n_new, 0) AS n_new,
+             a.n_active - coalesce(n.n_new, 0) AS n_returning,
+             cast(sum(coalesce(n.n_new, 0)) OVER (ORDER BY a.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum_users
+      FROM active a LEFT JOIN news n ON a.day = n.day
+      ORDER BY a.day""")),
     QueryDef("q58_gapfill", q58Gapfill, Some("""
       WITH hourly AS (
         SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
