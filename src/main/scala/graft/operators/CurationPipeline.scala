@@ -412,7 +412,48 @@ object CurationPipeline {
       .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tokens"))
       .orderBy("source", "split")
 
+  /** QUALITY × DUPLICATION calibration — the cross-signal report that
+   *  decides whether the quality score can substitute for (or must
+   *  compose with) dedup: per 1000-bp quality band, what fraction of
+   *  documents are exact duplicates. One content-hash aggregate feeds a
+   *  copies-count join back onto the scored docs; the rollup key is the
+   *  bounded band, so output is ≤ 10 rows at any corpus size. */
+  def qualityVsDup(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        qualityBp(col("text")).as("qbp"))
+    val copies = scored.groupBy("h").agg(count(lit(1)).as("copies"))
+    scored.join(copies, "h")
+      .select(least(lit(9L), expr("qbp div 1000")).as("qband"),
+        (col("copies") > 1).as("is_dup"))
+      .groupBy("qband")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"))
+      .withColumn("dup_bp", expr("n_dups * 10000 div n_docs"))
+      .orderBy("qband")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("pipeline_quality_vs_dup", qualityVsDup, Some(s"""
+      WITH t AS (
+        SELECT doc_id, text, md5(text) AS h,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS ntok
+        FROM documents),
+      f AS (
+        SELECT doc_id, h, ntok,
+               ${graft.Tables.QbpParts}
+        FROM t),
+      s AS (SELECT doc_id, h, ${graft.Tables.QbpExpr} AS qbp FROM f),
+      c AS (SELECT h, count(*) AS copies FROM s GROUP BY h),
+      j AS (
+        SELECT least(9, s.qbp // 1000) AS qband, c.copies > 1 AS is_dup
+        FROM s JOIN c ON s.h = c.h)
+      SELECT cast(qband as bigint) AS qband,
+             count(*) AS n_docs,
+             cast(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) as bigint) AS n_dups,
+             cast(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 10000 // count(*) as bigint) AS dup_bp
+      FROM j GROUP BY qband ORDER BY qband""")),
     QueryDef("pipeline_split", trainValTestSplit, Some("""
       WITH t AS (
         SELECT source,
