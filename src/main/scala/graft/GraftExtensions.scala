@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayCosine, ArrayDot, CharDistinctExpr, CharSumSqExpr, HyperplaneSigExpr, LangIdExpr, MinHashSigExpr, ShingleHashesExpr, SimHash64Expr}
+import graft.functions.{AlphaSpaceCountExpr, ArrayCosine, ArrayDot, CharDistinctExpr, CharSumSqExpr, HyperplaneSigExpr, LangIdExpr, MinHashSigExpr, ShingleHashesExpr, SimHash64Expr}
 import graft.schemer.{HiveWitnessAgg, WitnessColumnsAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -70,6 +70,8 @@ object GraftExtensions {
     ("char_sum_sq", info("char_sum_sq", classOf[CharSumSqExpr]),
       (es: Seq[Expression]) => CharSumSqExpr(es.head)),
     ("char_distinct", info("char_distinct", classOf[CharDistinctExpr]),
-      (es: Seq[Expression]) => CharDistinctExpr(es.head))
+      (es: Seq[Expression]) => CharDistinctExpr(es.head)),
+    ("alpha_space_count", info("alpha_space_count", classOf[AlphaSpaceCountExpr]),
+      (es: Seq[Expression]) => AlphaSpaceCountExpr(es.head))
   )
 }

@@ -418,20 +418,21 @@ object CurationPipeline {
    *  documents are exact duplicates. One content-hash aggregate feeds a
    *  copies-count join back onto the scored docs; the rollup key is the
    *  bounded band, so output is ≤ 10 rows at any corpus size. */
-  def qualityVsDup(spark: SparkSession, dir: String): DataFrame = {
-    val scored = Tables.documents(spark, dir)
-      .select(col("doc_id"), md5(col("text")).as("h"),
-        qualityBp(col("text")).as("qbp"))
-    val copies = scored.groupBy("h").agg(count(lit(1)).as("copies"))
-    scored.join(copies, "h")
-      .select(least(lit(9L), expr("qbp div 1000")).as("qband"),
-        (col("copies") > 1).as("is_dup"))
+  def qualityVsDup(spark: SparkSession, dir: String): DataFrame =
+    // exact duplicates share the text, hence the score, hence the band —
+    // so no join back onto the docs is needed: one shuffle on the content
+    // hash (quality riding along via min, identical within the group),
+    // then the bounded band rollup. Single corpus scan.
+    Tables.documents(spark, dir)
+      .select(md5(col("text")).as("h"), qualityBp(col("text")).as("qbp"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("copies"), min(col("qbp")).as("qbp"))
+      .select(least(lit(9L), expr("qbp div 1000")).as("qband"), col("copies"))
       .groupBy("qband")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"))
+      .agg(sum(col("copies")).as("n_docs"),
+        sum(when(col("copies") > 1, col("copies")).otherwise(0L)).as("n_dups"))
       .withColumn("dup_bp", expr("n_dups * 10000 div n_docs"))
       .orderBy("qband")
-  }
 
   val defs: Vector[QueryDef] = Vector(
     QueryDef("pipeline_quality_vs_dup", qualityVsDup, Some(s"""

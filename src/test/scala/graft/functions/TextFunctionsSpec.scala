@@ -36,6 +36,21 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(one[Long](meanTokenLenX100(col("t")).cast("long"), "") == 0L)
   }
 
+  test("alphaSpaceCount equals the regexp it replaced, unicode included (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val alphabet = "abzAZ .,!?0çé漢🙂\n\té"
+    val samples = ("" +: "héllo wörld" +: (1 to 200).map(_ =>
+      (1 to rnd.nextInt(80)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString))
+    val got = samples.toDF("t")
+      .select(
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          AlphaSpaceCountExpr(org.apache.spark.sql.graft.ColumnBridge.expression(col("t")))).as("fast"),
+        length(regexp_replace(col("t"), "[^a-zA-Z ]", "")).cast("long").as("slow"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("qualityScore is in [0,1] and favors clean text") {
     val clean = one[Double](qualityScore(col("t")),
       "the quick brown fox jumps over the lazy dog and keeps on running far")
