@@ -36,13 +36,15 @@ class BenchFormatSpec extends AnyFunSuite {
     val omitted = node.path("omitted").asInt(0)
     assert(omitted + node.get("queries").size == names.size)
     // capacity bound: the stdout line is a fallback (bench_result.json
-    // always carries the full map); the fixed 1900-char tail physically
-    // holds ~82 one-decimal entries no matter how large the inventory
-    // grows, so a proportional omitted-ceiling is the wrong invariant.
-    // What the renderer guarantees is that it packs the line to capacity —
-    // at least 80 entries render and only the fastest are dropped.
-    assert(node.get("queries").size >= 80,
-      s"line under-packed: ${node.get("queries").size} of ${names.size}")
+    // always carries the full map); the fixed 1900-char tail holds
+    // however many one-decimal entries the inventory's NAME LENGTHS
+    // allow, so an absolute entry floor rots as names grow. The real
+    // invariant is that the renderer packs to capacity: either nothing
+    // was omitted, or the line sits within one max-size entry of the
+    // budget (nothing more could have fit).
+    val maxEntry = names.map(_.length).max + 12 // "name":12.3, + quotes/comma
+    assert(omitted == 0 || line.length > BenchFormat.Budget - maxEntry,
+      s"line under-packed: ${line.length} of ${BenchFormat.Budget} with $omitted omitted")
     // omission drops the FASTEST entries: every slow query must survive
     val included = qs.filter { case (n, _) => node.get("queries").has(n) }
     val cutoff = included.map(_._2).min
