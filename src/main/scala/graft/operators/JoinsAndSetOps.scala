@@ -252,7 +252,58 @@ object JoinsAndSetOps {
         col("last_ts"), col("n_changes"))
       .orderBy("user_id", "event_type")
 
+  /** ASSOCIATION RULES over order baskets — support / confidence / lift
+   *  for part pairs bought together (the market-basket classic, exact
+   *  integers until the one lift division both engines agree on).
+   *  Directed rules a→b, minimum pair support 5 applied BEFORE the
+   *  dimension joins (a-priori pruning — candidate pairs above threshold
+   *  are vanishingly few, so the rule table is small at any scale).
+   *
+   *  Scale shape: pair generation is the order-key inverted-index
+   *  self-join (O(Σ basket²), baskets are small by construction — the
+   *  same discipline as the co-purchase edge build, never a part-level
+   *  cartesian); counts partial-aggregate map-side; the 1-row order
+   *  count broadcasts. Top-20 by confidence via TakeOrdered. */
+  def q64AssocRules(spark: SparkSession, dir: String): DataFrame = {
+    val op = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val nOrders = op.agg(countDistinct(col("ok")).as("n_orders"))
+    val cnt = op.groupBy("pk").agg(count(lit(1)).as("cnt"))
+    val pairs = op.as("x").join(op.as("y"), "ok")
+      .filter(col("x.pk") =!= col("y.pk"))
+      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+      .agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= 5)
+    pairs
+      .join(cnt.select(col("pk").as("a"), col("cnt").as("cnt_a")), "a")
+      .join(cnt.select(col("pk").as("b"), col("cnt").as("cnt_b")), "b")
+      .crossJoin(broadcast(nOrders)) // 1-row broadcast: no real cross
+      .select(col("a"), col("b"), col("pair_n"),
+        expr("pair_n * 10000 div n_orders").as("support_bp"),
+        expr("pair_n * 10000 div cnt_a").as("confidence_bp"),
+        ((col("pair_n") * col("n_orders")).cast("double") /
+          (col("cnt_a") * col("cnt_b")).cast("double")).as("lift"))
+      .orderBy(col("confidence_bp").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("q64_assoc_rules", q64AssocRules, Some("""
+      WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      n AS (SELECT count(DISTINCT ok) AS n_orders FROM op),
+      cnt AS (SELECT pk, count(*) AS c FROM op GROUP BY pk),
+      pairs AS (
+        SELECT x.pk AS a, y.pk AS b, count(*) AS pair_n
+        FROM op x JOIN op y ON x.ok = y.ok AND x.pk <> y.pk
+        GROUP BY 1, 2 HAVING count(*) >= 5)
+      SELECT a, b, pair_n,
+             cast(pair_n * 10000 // n.n_orders as bigint) AS support_bp,
+             cast(pair_n * 10000 // ca.c as bigint) AS confidence_bp,
+             cast(pair_n * n.n_orders as double) / cast(ca.c * cb.c as double) AS lift
+      FROM pairs
+      JOIN cnt ca ON ca.pk = a
+      JOIN cnt cb ON cb.pk = b, n
+      ORDER BY confidence_bp DESC, a, b LIMIT 20""")),
     QueryDef("q62_log_compact", q62LogCompact, Some("""
       WITH r AS (
         SELECT user_id, event_type, event_id, value,

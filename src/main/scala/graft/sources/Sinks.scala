@@ -256,7 +256,41 @@ object Sinks {
       s"${spark.sparkContext.applicationId}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
   }
 
+  /** SCHEMA EVOLUTION ON READ — the lake-table lifecycle a long-lived
+   *  dataset goes through: an early batch written WITHOUT a column, a
+   *  later batch WITH it, both read back through one partitioned scan
+   *  with `mergeSchema=true`. Spark unions the footers into the superset
+   *  schema and nulls the missing column for pre-evolution files — the
+   *  contract this query pins by aggregating over the coalesced label.
+   *  (The schemer module infers schemas from content; this is the
+   *  complementary capability — evolving PHYSICAL schemas merged by
+   *  footer metadata.) */
+  def schemaMergeRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_evolve_" +
+      s"${spark.sparkContext.applicationId}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    if (written.add(root)) {
+      val o = Tables.orders(spark, dir)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$root/batch=1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$root/batch=2")
+    }
+    spark.read.option("mergeSchema", "true").parquet(root)
+      .groupBy(coalesce(col("o_orderpriority"), lit("pre_evolution")).as("priority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total"))
+      .orderBy("priority")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("sink_schema_merge", schemaMergeRead, Some("""
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'pre_evolution'
+                  ELSE o_orderpriority END AS priority,
+             count(*) AS n,
+             cast(sum(cast(o_totalprice as decimal(12,2))) as double) AS total
+      FROM orders GROUP BY 1 ORDER BY priority""")),
     QueryDef("sink_compact_small_files", compactSmallFiles, Some("""
       SELECT event_type, count(*) AS n,
              cast(sum(cast(value as decimal(12,2))) as double) AS sum_value,
