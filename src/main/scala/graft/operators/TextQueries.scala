@@ -336,7 +336,55 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** CONTENT NOVELTY per source — what fraction of a domain's 3-gram
+   *  mass is FIRST SEEN there (ingestion order = doc_id): the
+   *  data-valuation signal that separates sources adding new content
+   *  from sources re-serving what the corpus already has. A shingle's
+   *  first owner is one `min` over the shared shingle index; novelty is
+   *  the share of a doc's shingles it owns, rolled up per source in
+   *  exact basis points.
+   *
+   *  Scale shape: two aggregates over the per-corpus shingle snapshot
+   *  (groupBy shingle for first-owner, groupBy doc for the roll-up) and
+   *  a broadcast-size source join — no new corpus scan, no new index. */
+  def noveltyBySource(spark: SparkSession, dir: String): DataFrame = {
+    val sh = graft.dedup.Dedup.shingleIndex(spark, dir).select("doc_id", "sh")
+    val first = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = sh.join(first, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L)).as("n_novel"))
+    perDoc.join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_sh")).as("shingles"),
+        sum(col("n_novel")).as("novel"))
+      .withColumn("novel_bp", expr("novel * 10000 div shingles"))
+      .orderBy("source")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("text_novelty", noveltyBySource, Some("""
+      WITH toks AS (
+        SELECT doc_id, source,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3),
+      f AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh),
+      pd AS (
+        SELECT sh.doc_id, count(*) AS n_sh,
+               sum(CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END) AS n_novel
+        FROM sh JOIN f USING (sh) GROUP BY 1)
+      SELECT d.source, count(*) AS n_docs,
+             cast(sum(pd.n_sh) as bigint) AS shingles,
+             cast(sum(pd.n_novel) as bigint) AS novel,
+             cast(sum(pd.n_novel) * 10000 // sum(pd.n_sh) as bigint) AS novel_bp
+      FROM pd JOIN documents d ON d.doc_id = pd.doc_id
+      GROUP BY d.source ORDER BY d.source""")),
     QueryDef("text_hapax_rate", hapaxRate, Some("""
       WITH dt AS (
         SELECT source, unnest(
