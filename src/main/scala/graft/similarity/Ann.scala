@@ -524,7 +524,74 @@ object Ann {
       .orderBy("dim")
   }
 
+  /** EMBEDDING OUTLIER detection per label — vectors whose squared
+   *  distance to their class centroid exceeds 3× the class RMS distance
+   *  (the "mislabeled or corrupted vector" screen an embedding pipeline
+   *  runs before training a classifier). The cut is 5% above the class
+   *  RMS distance² — in high dimension squared distances CONCENTRATE
+   *  (relative spread O(1/√d) ≈ 12% at d=64; the classic 3σ cut flags
+   *  nothing), so the threshold is calibrated to the concentration
+   *  regime. Float-free by cross-multiplying the centroid away: with
+   *  S_d = Σx_d and n per label,
+   *  ‖x − S/n‖² > 1.05·mean(‖·‖²)  ⟺  20·n·d2_i > 21·Σd2  where
+   *  d2_i = Σ_d (n·x_d − S_d)² — exact DECIMAL(38)/hugeint integers on
+   *  the 1e-7 grid end to end (max term ~10²⁷, headroom to 10³⁸), so the
+   *  cut decides identically on any partitioning and in both engines.
+   *
+   *  Scale shape: one stats pass (label × 64 sums, broadcast back), one
+   *  distance pass, one rollup — three aggregates, no joins wider than
+   *  the label-stats broadcast. */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    def xq(d: Int) =
+      expr(s"cast(cast(element_at(embedding, ${d + 1}) as double) * 1e7 as long)")
+    val stats = Tables.embeddings(spark, dir)
+      .groupBy(col("label").cast("bigint").as("label"))
+      .agg(count(lit(1)).as("n"), (0 until dim).map(d => sum(xq(d)).as(s"s$d")): _*)
+    val nDec = col("n").cast("decimal(38,0)")
+    val d2 = (0 until dim).map { d =>
+      val diff = (nDec * xq(d).cast("decimal(38,0)") -
+        col(s"s$d").cast("decimal(38,0)")).cast("decimal(38,0)")
+      (diff * diff).cast("decimal(38,0)")
+    }.reduce((a, b) => (a + b).cast("decimal(38,0)"))
+    val perVec = Tables.embeddings(spark, dir)
+      .withColumn("label", col("label").cast("bigint"))
+      .join(broadcast(stats), "label")
+      .select(col("label"), col("n"), d2.as("d2"))
+    val rollup = perVec.groupBy("label")
+      .agg(sum(col("d2")).cast("decimal(38,0)").as("tot"))
+    perVec.join(broadcast(rollup), "label")
+      .select(col("label"), col("n"),
+        (col("n").cast("decimal(38,0)") * col("d2") * 20 >
+          col("tot") * 21).cast("long").as("is_out"))
+      .groupBy("label", "n")
+      .agg(sum(col("is_out")).as("n_outliers"))
+      .select(col("label"), col("n"), col("n_outliers"),
+        expr("n_outliers * 10000 div n").as("outlier_bp"))
+      .orderBy("label")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("embed_outliers", embedOutliers, Some("""
+      WITH x AS (
+        SELECT vec_id, label, i,
+               cast(trunc(cast(embedding[i] as double) * 1e7) as hugeint) AS v
+        FROM embeddings, unnest(range(1, 65)) u(i)),
+      st AS (SELECT label, i, sum(v) AS s, count(*) AS n FROM x GROUP BY label, i),
+      d AS (
+        SELECT x.vec_id, x.label,
+               sum((st.n * x.v - st.s) * (st.n * x.v - st.s)) AS d2
+        FROM x JOIN st ON st.label = x.label AND st.i = x.i
+        GROUP BY 1, 2),
+      r AS (SELECT label, sum(d2) AS tot, count(*) AS n FROM d GROUP BY label)
+      SELECT cast(d.label as bigint) AS label,
+             cast(r.n as bigint) AS n,
+             cast(sum(CASE WHEN 20 * r.n * d.d2 > 21 * r.tot THEN 1 ELSE 0 END) as bigint)
+               AS n_outliers,
+             cast(sum(CASE WHEN 20 * r.n * d.d2 > 21 * r.tot THEN 1 ELSE 0 END) * 10000
+                  // r.n as bigint) AS outlier_bp
+      FROM d JOIN r ON r.label = d.label
+      GROUP BY d.label, r.n ORDER BY label""")),
     QueryDef("ann_recall_report", recallReport, Some(KmeansOracle.recallSql)),
     QueryDef("embed_power_iteration", powerIteration, Some("""
       WITH g AS (
