@@ -287,7 +287,58 @@ object JoinsAndSetOps {
       .limit(20)
   }
 
+  /** EXCEPT ALL — bag (multiset) difference, the multiplicity-preserving
+   *  set-op q28's distinct EXCEPT can't express: a customer with 5
+   *  orders before the cutoff and 2 after keeps 3 rows. Rolled up to
+   *  (custkey, surplus) so the multiplicities themselves are the
+   *  verified output. Spark plans exceptAll as an aggregate of signed
+   *  counts + generator replication — no sort, no distinct. */
+  def q65ExceptAll(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val cutoff = to_timestamp_ntz(lit("1998-01-01 00:00:00"))
+    ord.filter(col("o_orderdate") < cutoff).select(col("o_custkey").as("custkey"))
+      .exceptAll(ord.filter(col("o_orderdate") >= cutoff).select(col("o_custkey").as("custkey")))
+      .groupBy("custkey").agg(count(lit(1)).as("surplus"))
+      .orderBy("custkey")
+  }
+
+  /** UNPIVOT (melt) — the wide→long reshape that feeds generic
+   *  metric-store sinks: per return flag, the three revenue measures
+   *  unpivoted to (flag, measure, value) rows via `stack`, the inverse
+   *  of q16's pivot. The stack generator is a narrow projection — the
+   *  only shuffle is the small upstream aggregate. */
+  def q66Unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("qty"),
+        sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("price"),
+        sum((col("l_extendedprice").cast("decimal(12,2)") *
+          col("l_discount").cast("decimal(12,2)"))).cast("double").as("disc"))
+      .selectExpr("l_returnflag",
+        "stack(3, 'qty', qty, 'price', price, 'disc', disc) as (measure, value)")
+      .orderBy("l_returnflag", "measure")
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("q65_except_all", q65ExceptAll, Some("""
+      SELECT custkey, count(*) AS surplus FROM (
+        SELECT o_custkey AS custkey FROM orders
+        WHERE o_orderdate < timestamp '1998-01-01 00:00:00'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= timestamp '1998-01-01 00:00:00') t
+      GROUP BY custkey ORDER BY custkey""")),
+    QueryDef("q66_unpivot", q66Unpivot, Some("""
+      WITH w AS (
+        SELECT l_returnflag,
+               cast(sum(cast(l_quantity as decimal(12,2))) as double) AS qty,
+               cast(sum(cast(l_extendedprice as decimal(12,2))) as double) AS price,
+               cast(sum(cast(l_extendedprice as decimal(12,2))
+                        * cast(l_discount as decimal(12,2))) as double) AS disc
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, measure, value
+      FROM w UNPIVOT (value FOR measure IN (qty, price, disc))
+      ORDER BY l_returnflag, measure""")),
     QueryDef("q64_assoc_rules", q64AssocRules, Some("""
       WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
       n AS (SELECT count(DISTINCT ok) AS n_orders FROM op),
