@@ -255,7 +255,7 @@ object JoinsAndSetOps {
   /** ASSOCIATION RULES over order baskets — support / confidence / lift
    *  for part pairs bought together (the market-basket classic, exact
    *  integers until the one lift division both engines agree on).
-   *  Directed rules a→b, minimum pair support 5 applied BEFORE the
+   *  Directed rules a→b, minimum pair support 3 applied BEFORE the
    *  dimension joins (a-priori pruning — candidate pairs above threshold
    *  are vanishingly few, so the rule table is small at any scale).
    *
@@ -269,11 +269,16 @@ object JoinsAndSetOps {
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
     val nOrders = op.agg(countDistinct(col("ok")).as("n_orders"))
     val cnt = op.groupBy("pk").agg(count(lit(1)).as("cnt"))
-    val pairs = op.as("x").join(op.as("y"), "ok")
-      .filter(col("x.pk") =!= col("y.pk"))
-      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+    // pair counts are symmetric: count each unordered pair ONCE (halves
+    // the generated pair stream and the aggregate's key space), then
+    // emit both rule directions from the counted row
+    val undirected = op.as("x").join(op.as("y"), "ok")
+      .filter(col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("u"), col("y.pk").as("v"))
       .agg(count(lit(1)).as("pair_n"))
-      .filter(col("pair_n") >= 5)
+      .filter(col("pair_n") >= 3)
+    val pairs = undirected.select(col("u").as("a"), col("v").as("b"), col("pair_n"))
+      .unionAll(undirected.select(col("v").as("a"), col("u").as("b"), col("pair_n")))
     pairs
       .join(cnt.select(col("pk").as("a"), col("cnt").as("cnt_a")), "a")
       .join(cnt.select(col("pk").as("b"), col("cnt").as("cnt_b")), "b")
@@ -346,7 +351,7 @@ object JoinsAndSetOps {
       pairs AS (
         SELECT x.pk AS a, y.pk AS b, count(*) AS pair_n
         FROM op x JOIN op y ON x.ok = y.ok AND x.pk <> y.pk
-        GROUP BY 1, 2 HAVING count(*) >= 5)
+        GROUP BY 1, 2 HAVING count(*) >= 3)
       SELECT a, b, pair_n,
              cast(pair_n * 10000 // n.n_orders as bigint) AS support_bp,
              cast(pair_n * 10000 // ca.c as bigint) AS confidence_bp,
