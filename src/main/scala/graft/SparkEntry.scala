@@ -18,6 +18,7 @@ object SparkEntry {
     graft.operators.AsofAndSketch.defs ++
     graft.operators.JoinsAndSetOps.defs ++
     graft.operators.SessionAndSkew.defs ++
+    graft.operators.SweepSkyline.defs ++
     graft.operators.GraphOps.defs ++
     graft.sources.Sinks.defs ++
     graft.operators.SchemerQueries.defs ++

@@ -123,8 +123,11 @@ object ScalableRank {
       .groupBy(r => groupCols.indices.map(i => r.get(1 + i))) // row layout: __pid, groups…, __psum
       .valuesIterator.flatMap { rs =>
         val sorted = rs.sortBy(_.getInt(0))
+        // emit every non-zero carry — NEGATIVE carries are real (e.g. a
+        // sweep-line boundary stream whose −1 lands in the slice before
+        // its +1); only the no-op zero carry may be left to the coalesce
         sorted.zip(sorted.scanLeft(0L)((acc, r) => acc + r.getLong(r.length - 1)).init)
-          .collect { case (r, off) if off > 0 => Row.fromSeq(r.toSeq.init :+ off) }
+          .collect { case (r, off) if off != 0 => Row.fromSeq(r.toSeq.init :+ off) }
       }.toSeq
     val offSchema = StructType(totals.schema.fields.init :+ StructField("__goff", LongType, nullable = false))
     val offsetDf = broadcast(spark.createDataFrame(spark.sparkContext.parallelize(offRows, 1), offSchema))
@@ -134,6 +137,54 @@ object ScalableRank {
       .join(offsetDf, "__pid" +: groupCols, "left")
       .withColumn(outCol, (col("__lsum") + coalesce(col("__goff"), lit(0L))).cast("long"))
       .drop("__pid", "__lsum", "__goff")
+  }
+
+  /** Adds `outCol` = exact EXCLUSIVE running MAX of `valueCol` (a
+   *  long-castable, non-null column) within each `groupCols` group ordered
+   *  by `sortCols` — NULL for a group's first row, where the prefix is
+   *  empty. The prefix-max twin of [[withGroupedPrefixSum]], same two-phase
+   *  shape: range-partition by (group ++ sort), window-max locally inside
+   *  each (slice, group), carry in per-slice maxima (≤ 2·#partitions rows,
+   *  broadcast back). Running max is what a 2-D SKYLINE reduces to after
+   *  sorting on the other dimension, so this is the distributed Pareto
+   *  frontier primitive — a plain no-partition window would funnel the
+   *  whole candidate set through one task. */
+  def withGroupedPrefixMax(df: DataFrame, groupCols: Seq[String], sortCols: Seq[String],
+                           valueCol: String, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df.repartitionByRange(parts, (groupCols ++ sortCols).map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist() // scanned twice: once for slice maxima, once for the local windows
+    val pidGroup = ("__pid" +: groupCols).map(col)
+    val totals = ranged.groupBy(pidGroup: _*).agg(max(col(valueCol)).cast("long").as("__pmax"))
+    val spanning = totals.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).drop("__n")
+    // re-select the explicit layout — the using-column semi join fronts the
+    // join columns (the withGroupedPrefixSum lesson, kept here on purpose)
+    val spanRows = totals.join(spanning, groupCols, "left_semi")
+      .select(("__pid" +: groupCols :+ "__pmax").map(col): _*)
+      .collect() // ≤ 2·#partitions rows
+    val offRows = spanRows
+      .groupBy(r => groupCols.indices.map(i => r.get(1 + i)))
+      .valuesIterator.flatMap { rs =>
+        val sorted = rs.sortBy(_.getInt(0))
+        sorted.zip(sorted.scanLeft(Long.MinValue)((acc, r) => math.max(acc, r.getLong(r.length - 1))).init)
+          .collect { case (r, m) if m != Long.MinValue => Row.fromSeq(r.toSeq.init :+ m) }
+      }.toSeq
+    val offSchema = StructType(totals.schema.fields.init :+ StructField("__gmax", LongType, nullable = false))
+    val offsetDf = broadcast(spark.createDataFrame(spark.sparkContext.parallelize(offRows, 1), offSchema))
+    // exclusive frame: the row's own value must NOT see itself
+    val localW = Window.partitionBy(pidGroup: _*).orderBy(sortCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .withColumn("__lmax", max(col(valueCol)).over(localW).cast("long"))
+      .join(offsetDf, "__pid" +: groupCols, "left")
+      // greatest() skips NULLs: local-only, carry-only, both, or neither
+      .withColumn(outCol, greatest(col("__lmax"), col("__gmax")))
+      .drop("__pid", "__lmax", "__gmax")
   }
 
   /** Adds `outCol` = exact `ntile(n)` bucket (1-based BIGINT) under

@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.Tables
+import graft.Tables.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Two classic order-dependent analytics rebuilt on the range-partitioned
+ * prefix machinery ([[ScalableRank]]) so neither ever funnels the corpus
+ * through a single task:
+ *
+ *  - `q67_concurrency` — SWEEP LINE: peak concurrent sessions per hour.
+ *    The interval-overlap counting shape (how many sessions are open at
+ *    once — capacity planning, ad-slot pricing, connection-pool sizing).
+ *    Naively this is `sum(delta) OVER (ORDER BY time)` — a global-order
+ *    window that Spark executes in ONE task. Here the boundary stream
+ *    (+1 at session start, −1 at end) goes through
+ *    [[ScalableRank.withGroupedPrefixSum]]: range-partitioned by time,
+ *    windowed locally per slice, per-slice carries broadcast back.
+ *
+ *  - `q68_skyline` — 2-D PARETO FRONTIER: orders nobody should prefer
+ *    another order to (lower price AND later date). After aggregating to
+ *    the best (latest) date per price point, a point is ON the frontier
+ *    iff its date beats the running max date over all strictly cheaper
+ *    points — i.e. a 2-D skyline reduces to one sort + one prefix max,
+ *    which [[ScalableRank.withGroupedPrefixMax]] distributes the same
+ *    way. No dominance self-join (the textbook O(n²) formulation the
+ *    oracle uses implicitly via its window), no single-task sort.
+ *
+ * Both oracles replay the same arithmetic as plain windows in DuckDB;
+ * every output column is exact-integer (micros, cents, counts).
+ */
+object SweepSkyline {
+
+  /** Peak concurrent sessions per hour. Sessions are the q15/q30 gap
+   *  sessions (30-min inactivity, per user); each session contributes a
+   *  +1/−1 boundary pair at its min/max event time. The sweep order
+   *  (us, delta, user_id) is a TOTAL order — simultaneous boundaries
+   *  order ends (−1) before starts (+1), so a session ending exactly
+   *  when another starts never inflates the peak — and both engines
+   *  replay the identical sequence, so per-hour maxima match exactly.
+   *  Hours with no boundary events carry a constant concurrency and are
+   *  not reported (the report is about where the sweep CHANGES). */
+  def q67Concurrency(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val sess = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+      .withColumn("new_sess",
+        when(col("ts_us") - lag("ts_us", 1).over(byUser) >= 1800000000L, 1).otherwise(0))
+      .withColumn("sess_id",
+        sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_id")
+      .agg(min("ts_us").as("s_us"), max("ts_us").as("e_us"))
+    val bounds = sess.select(col("s_us").as("us"), lit(1).as("delta"), col("user_id"))
+      .unionAll(sess.select(col("e_us").as("us"), lit(-1).as("delta"), col("user_id")))
+      .withColumn("g", lit(1)) // one sweep line; range partitioning is by time
+    ScalableRank
+      .withGroupedPrefixSum(bounds, Seq("g"), Seq("us", "delta", "user_id"), "delta", "prev")
+      .withColumn("conc", (col("prev") + col("delta")).cast("long"))
+      .groupBy(expr("us div 3600000000").as("hour_id"))
+      .agg(max("conc").as("peak"),
+        sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_starts"),
+        sum(when(col("delta") === -1, 1L).otherwise(0L)).as("n_ends"))
+      .orderBy("hour_id")
+  }
+
+  /** Pareto frontier of orders on (price ↓ better, order date ↑ better).
+   *  Candidates first collapse to one row per exact price point (max
+   *  date + order count — same-price dominance resolved by the
+   *  aggregate), then the prefix-max filter keeps exactly the
+   *  non-dominated points. Price is exact cents via the suite's
+   *  decimal(12,2) canonicalization; dates are epoch micros. */
+  def q68Skyline(spark: SparkSession, dir: String): DataFrame = {
+    val cand = Tables.orders(spark, dir)
+      .select(
+        expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as decimal(38,0))")
+          .cast("long").as("price_cents"),
+        // o_orderdate arrives TIMESTAMP_NTZ; the UTC session pin makes the
+        // NTZ→TZ cast the same wall-clock micros DuckDB's epoch_us yields
+        unix_micros(col("o_orderdate").cast("timestamp")).as("d_us"))
+      .groupBy("price_cents")
+      .agg(max("d_us").as("latest_us"), count(lit(1)).as("n_orders"))
+      .withColumn("g", lit(1)) // one frontier; range partitioning is by price
+    ScalableRank
+      .withGroupedPrefixMax(cand, Seq("g"), Seq("price_cents"), "latest_us", "prev_best")
+      .filter(col("prev_best").isNull || col("latest_us") > col("prev_best"))
+      .select(col("price_cents"), col("latest_us"), col("n_orders"))
+      .orderBy("price_cents")
+  }
+
+  val defs: Vector[QueryDef] = Vector(
+    QueryDef("q67_concurrency", q67Concurrency, Some("""
+      WITH g AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                    >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+        FROM events),
+      s AS (
+        SELECT user_id, ts_us,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM g),
+      sess AS (
+        SELECT user_id, sess_id, min(ts_us) AS s_us, max(ts_us) AS e_us
+        FROM s GROUP BY 1, 2),
+      b AS (
+        SELECT s_us AS us, 1 AS delta, user_id FROM sess
+        UNION ALL
+        SELECT e_us AS us, -1 AS delta, user_id FROM sess),
+      r AS (
+        SELECT us, delta,
+               sum(delta) OVER (ORDER BY us, delta, user_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        FROM b)
+      SELECT us // 3600000000 AS hour_id,
+             cast(max(conc) as bigint) AS peak,
+             cast(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) as bigint) AS n_starts,
+             cast(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) as bigint) AS n_ends
+      FROM r GROUP BY 1 ORDER BY 1""")),
+    QueryDef("q68_skyline", q68Skyline, Some("""
+      WITH cand AS (
+        SELECT cast(cast(cast(o_totalprice as decimal(12,2)) * 100 as hugeint) as bigint) AS price_cents,
+               max(epoch_us(o_orderdate)) AS latest_us,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1),
+      r AS (
+        SELECT price_cents, latest_us, n_orders,
+               max(latest_us) OVER (ORDER BY price_cents
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+        FROM cand)
+      SELECT price_cents, latest_us, cast(n_orders as bigint) AS n_orders
+      FROM r WHERE prev IS NULL OR latest_us > prev
+      ORDER BY price_cents"""))
+  )
+}

@@ -47,6 +47,41 @@ class ScalableRankSpec extends AnyFunSuite {
     assert(joined.filter(col("prior") =!= col("prior2")).count() == 0)
   }
 
+  test("grouped prefix sum carries NEGATIVE totals across slice boundaries") {
+    // r7 regression: the carry filter dropped carries ≤ 0, so a sweep-line
+    // boundary stream (±1 deltas) whose running sum dips negative at a
+    // slice boundary read a 0 carry-in. ±1 alternating with more −1s early
+    // keeps many prefixes negative across the 32 range slices.
+    val df = (1 to 4000).map { i =>
+      ("sweep", i.toLong, if (i % 3 == 0) 1L else -1L)
+    }.toDF("source", "seq", "delta").repartition(11)
+    val got = ScalableRank.withGroupedPrefixSum(df, Seq("source"), Seq("seq"), "delta", "prior")
+    val want = df.withColumn("prior2",
+      (sum(col("delta")).over(
+        Window.partitionBy("source").orderBy("seq")) - col("delta")).cast("bigint"))
+    val joined = got.join(want, Seq("source", "seq", "delta"))
+    assert(joined.count() == 4000)
+    assert(joined.filter(col("prior") =!= col("prior2")).count() == 0)
+    assert(got.filter(col("prior") < 0).count() > 0, "test data must produce negative prefixes")
+  }
+
+  test("grouped prefix max equals the exclusive window max, nulls on group-first rows") {
+    // values oscillate so the running max changes throughout; two groups,
+    // each spanning many of the 32 range slices, exercise the carry path;
+    // negative values pin the Long.MinValue identity handling
+    val df = (1 to 4000).map { i =>
+      (if (i % 2 == 0) "a" else "b", i.toLong, ((i * 7919) % 997).toLong - 500L)
+    }.toDF("grp", "seq", "v").repartition(11)
+    val got = ScalableRank.withGroupedPrefixMax(df, Seq("grp"), Seq("seq"), "v", "pmax")
+    val want = df.withColumn("pmax2",
+      max(col("v")).over(Window.partitionBy("grp").orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, -1)).cast("bigint"))
+    val joined = got.join(want, Seq("grp", "seq", "v"))
+    assert(joined.count() == 4000)
+    assert(joined.filter(not(col("pmax") <=> col("pmax2"))).count() == 0)
+    assert(got.filter(col("pmax").isNull).count() == 2, "exactly one null per group")
+  }
+
   test("rowsAtGlobalRanks returns exactly the window-ranked rows at each target") {
     val df = sample(1000)
     val (hit, total) = ScalableRank.rowsAtGlobalRanks(
