@@ -181,7 +181,66 @@ object GraphOps {
       .limit(20)
   }
 
+  /** COMMON-NEIGHBORS LINK PREDICTION over the shared co-purchase graph:
+   *  the 20 strongest NOT-yet-connected part pairs, scored by how many
+   *  neighbors they share (and neighbor-set Jaccard in half-up basis
+   *  points) — the classic "customers who bought these also bought"
+   *  candidate generator, and the simplest principled link predictor
+   *  (Liben-Nowell & Kleinberg 2003).
+   *
+   *  Scale shape: pairs sharing a neighbor enumerate as wedges through
+   *  the shared node — one self-equi-join of the adjacency list on the
+   *  wedge center with `a < b` as residual, the same inverted-index
+   *  discipline as [[triangles]]; work is Σ deg(center)², bounded by the
+   *  thresholded edge base (at larger scale: threshold harder or cap
+   *  per-center neighbor lists — the candidate set IS the output, so the
+   *  join's size is the answer's size, not an intermediate blowup).
+   *  Non-adjacency is one anti join against the canonical (x<y) edge
+   *  set; degrees attach via two broadcast-friendly joins of the tiny
+   *  degree table. All arithmetic integer-exact. */
+  def commonNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val und = bulkCoPurchaseEdges(spark, dir)
+    val edges = und.select(col("x").as("src"), col("y").as("dst"))
+      .unionAll(und.select(col("y").as("src"), col("x").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val pairs = edges.select(col("src").as("n"), col("dst").as("a"))
+      .join(edges.select(col("src").as("n"), col("dst").as("b")), "n")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+    pairs
+      .join(und.select(col("x").as("a"), col("y").as("b")), Seq("a", "b"), "left_anti")
+      .join(deg.select(col("src").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("src").as("b"), col("d").as("db")), "b")
+      .select(col("a").as("part_a"), col("b").as("part_b"), col("cn").as("n_common"),
+        // Jaccard of neighbor sets = cn / (da + db − cn), half-up bp
+        expr("(2 * cn * 10000 + (da + db - cn)) div (2 * (da + db - cn))").as("jaccard_bp"))
+      .orderBy(col("n_common").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: same canonical edges, same wedge enumeration, the anti
+    // join spelled as NOT EXISTS, identical half-up integer Jaccard
+    QueryDef("graph_common_neighbors", commonNeighbors, Some("""
+      WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem WHERE l_quantity >= 40),
+      und AS MATERIALIZED (
+        SELECT DISTINCT a.pk AS x, b.pk AS y
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+      edges AS MATERIALIZED (
+        SELECT x AS src, y AS dst FROM und UNION ALL SELECT y, x FROM und),
+      deg AS (SELECT src, cast(count(*) as bigint) AS d FROM edges GROUP BY 1),
+      pairs AS (
+        SELECT p.dst AS a, q.dst AS b, cast(count(*) as bigint) AS cn
+        FROM edges p JOIN edges q ON p.src = q.src AND p.dst < q.dst
+        GROUP BY 1, 2),
+      na AS (
+        SELECT * FROM pairs
+        WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.x = pairs.a AND und.y = pairs.b))
+      SELECT na.a AS part_a, na.b AS part_b, cn AS n_common,
+             (2 * cn * 10000 + (da.d + db.d - cn)) // (2 * (da.d + db.d - cn)) AS jaccard_bp
+      FROM na JOIN deg da ON na.a = da.src JOIN deg db ON na.b = db.src
+      ORDER BY n_common DESC, part_a, part_b LIMIT 20""")),
     // exact twin: same symmetric edges, 3 unrolled rounds of the packed
     // integer argmax recurrence — no floats, no arbitrary tie order
     QueryDef("graph_label_prop", labelPropagation, Some("""

@@ -571,7 +571,79 @@ object Ann {
       .orderBy("label")
   }
 
+  /** ALL-VECTOR kNN GRAPH — every corpus vector gets its top-3 cosine
+   *  neighbors, searched WITHIN its IVF cell (the same deterministic
+   *  16-seed assignment as [[ivfTopK]]). This is the batch index-build
+   *  behind SemDeDup, embedding clustering, and graph-ANN methods: cell
+   *  blocking turns the n² all-pairs search into Σ|cell|² in-cell work,
+   *  the same partition-then-pair discipline as the dedup module's LSH
+   *  buckets. Each edge also carries a MUTUAL flag (1 iff both endpoints
+   *  list each other) — mutual-kNN is the standard robust-edge filter
+   *  before clustering on the graph.
+   *
+   *  Scale shape: one broadcast-argmax assignment pass over the corpus,
+   *  one equi-join on the cell id (candidate pairs only — never a
+   *  cartesian), per-vector top-3 via the bounded [[TopKAgg]] (no
+   *  per-query window funnel), and the mutual flag is a self equi-join
+   *  of the O(3n) edge list on the reversed pair. */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = broadcast(
+      emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb")))
+    val assigned = emb.crossJoin(centroids)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        dot(col("embedding"), col("c_emb")).as("dot"))
+      .groupBy("vec_id")
+      .agg(
+        first(col("embedding")).as("embedding"),
+        max_by(col("centroid_id"), struct(col("dot"), (-col("centroid_id")).as("nid"))).as("cell"))
+      .persist() // both sides of the in-cell pair join read the assignment
+    val grouped = assigned
+      .join(assigned.select(col("cell"),
+        col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")), "cell")
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine(col("embedding"), col("n_emb")).as("cos"))
+      .groupBy("vec_id")
+      .agg(topK(3)(col("cos"), col("neighbor_id")).as("top"))
+    val knn = explodeRanks(grouped, "vec_id", "neighbor_id")
+    val rev = knn.select(col("neighbor_id").as("vec_id"), col("vec_id").as("neighbor_id"))
+      .withColumn("m", lit(1))
+    knn.join(rev, Seq("vec_id", "neighbor_id"), "left")
+      .select(col("vec_id"), col("neighbor_id"), col("rank"),
+        coalesce(col("m"), lit(0)).cast("bigint").as("mutual"))
+      .orderBy("vec_id", "rank")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: same 16-seed assignment and in-cell ranking as the
+    // ann_ivf_topk oracle, run for EVERY vector, mutual via reversed-pair
+    // self join
+    QueryDef("ann_knn_graph", knnGraph, Some("""
+      WITH assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+          SELECT e.vec_id, e.embedding, c.vec_id AS cell,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                            c.vec_id) AS rn
+          FROM embeddings e JOIN embeddings c ON c.vec_id < 16) t
+        WHERE rn = 1),
+      knn AS (
+        SELECT vec_id, neighbor_id, rank FROM (
+          SELECT l.vec_id, r.vec_id AS neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY l.vec_id
+                   ORDER BY list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) DESC,
+                            r.vec_id) AS rank
+          FROM assigned l JOIN assigned r ON l.cell = r.cell AND l.vec_id <> r.vec_id) t
+        WHERE rank <= 3)
+      SELECT k.vec_id, k.neighbor_id, k.rank,
+             cast(CASE WHEN m.vec_id IS NOT NULL THEN 1 ELSE 0 END as bigint) AS mutual
+      FROM knn k LEFT JOIN knn m
+        ON m.vec_id = k.neighbor_id AND m.neighbor_id = k.vec_id
+      ORDER BY k.vec_id, k.rank""")),
     QueryDef("embed_outliers", embedOutliers, Some("""
       WITH x AS (
         SELECT vec_id, label, i,
