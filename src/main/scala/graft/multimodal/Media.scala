@@ -365,6 +365,86 @@ object Media {
       Some((hash, nBits))
     }
 
+    /** Fixed-point DCT-II basis, `round(cos((2r+1)·u·π/16) · 2^14)` for
+     *  the 4 lowest frequencies u over 8 sample positions r — the integer
+     *  cos table both the codec and the SQL oracle share (hard-coded so
+     *  the hash never depends on a platform's libm). */
+    val DctC: Array[Array[Long]] = Array(
+      Array(16384L, 16384L, 16384L, 16384L, 16384L, 16384L, 16384L, 16384L),
+      Array(16069L, 13623L, 9102L, 3196L, -3196L, -9102L, -13623L, -16069L),
+      Array(15137L, 6270L, -6270L, -15137L, -15137L, -6270L, 6270L, 15137L),
+      Array(13623L, -3196L, -16069L, -9102L, 9102L, 16069L, 3196L, -13623L))
+
+    /** Perceptual DCT hash (pHash, 15 bits) of a 24-bit BMP: box-average
+     *  the luma into the same 8×8 grid as [[ahash64]], apply the
+     *  fixed-point 8×8 DCT-II (standard pHash pipeline — Zauner 2010 —
+     *  but in EXACT integers via [[DctC]]), keep the 4×4 low-frequency
+     *  block minus DC, and set bit u·4+v when the coefficient strictly
+     *  exceeds the 15-coefficient mean. The compare is cross-multiplied
+     *  (`f·15 > Σf`) because signed integer division FLOORS in DuckDB but
+     *  TRUNCATES in Spark/JVM — with negative DCT coefficients the two
+     *  means would disagree. Headroom: |f| ≤ 64·255·2^28 < 2^43.
+     *  None below the 8×8 grid. One O(pixels) pass + an O(1) transform. */
+    def phash16(b: Array[Byte]): Option[(Long, Int)] = {
+      val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      val offset = buf.getInt(10)
+      val w = buf.getInt(18)
+      val hRaw = buf.getInt(22)
+      val h = math.abs(hRaw)
+      require(buf.getShort(28) == 24, "unsupported BMP bpp")
+      if (w < 8 || h < 8) return None
+      val rowBytes = (w * 3 + 3) & ~3
+      val sums = new Array[Long](64)
+      val counts = new Array[Long](64)
+      var r = 0
+      while (r < h) {
+        val fileRow = if (hRaw > 0) h - 1 - r else r
+        val base = offset + fileRow * rowBytes
+        val cr = r * 8 / h
+        var c = 0
+        while (c < w) {
+          val p = base + c * 3
+          val bl = b(p) & 0xFF; val g = b(p + 1) & 0xFF; val rr = b(p + 2) & 0xFF
+          val cell = cr * 8 + c * 8 / w
+          sums(cell) += (299 * rr + 587 * g + 114 * bl) / 1000
+          counts(cell) += 1
+          c += 1
+        }
+        r += 1
+      }
+      val avgs = Array.tabulate(64)(k => sums(k) / counts(k))
+      val fs = new Array[Long](16) // fs(0) = DC slot stays 0 (excluded)
+      var u = 0
+      while (u < 4) {
+        var v = 0
+        while (v < 4) {
+          if (u != 0 || v != 0) {
+            var f = 0L
+            var rr = 0
+            while (rr < 8) {
+              var cc = 0
+              while (cc < 8) { f += avgs(rr * 8 + cc) * DctC(u)(rr) * DctC(v)(cc); cc += 1 }
+              rr += 1
+            }
+            fs(u * 4 + v) = f
+          }
+          v += 1
+        }
+        u += 1
+      }
+      var tot = 0L
+      var k = 1
+      while (k < 16) { tot += fs(k); k += 1 }
+      var hash = 0L
+      var nBits = 0
+      k = 1
+      while (k < 16) {
+        if (fs(k) * 15 > tot) { hash |= 1L << k; nBits += 1 }
+        k += 1
+      }
+      Some((hash, nBits))
+    }
+
     /** Difference-hash (dHash) of a 24-bit BMP: box-average the luma
      *  matrix into an 8×9 grid (one extra column), bit r·8+c = 1 when
      *  cell (r, c+1) is strictly brighter than cell (r, c) — a horizontal
@@ -615,6 +695,24 @@ object Media {
       .orderBy("doc_id")
   }
 
+  /** Frequency-domain perceptual hash (pHash) per image — the third and
+   *  strongest member of the perceptual-hash family: the DCT concentrates
+   *  the percept into low-frequency coefficients, so the hash survives
+   *  blur/resize/noise that flips spatial-domain aHash/dHash bits. All
+   *  integer ([[Codec.phash16]]'s fixed-point cos table), so the SQL
+   *  oracle replays the full 2-D transform through a cos-table join.
+   *  Same typed per-partition decode stream as the other image ops. */
+  def imagePhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaContainers(spark, dir)
+      .filter(col("format") === "bmp").as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        Codec.phash16(r.media).map { case (h, n) => (r.doc_id, h, n.toLong) }
+      })
+      .toDF("doc_id", "phash", "n_bits")
+      .orderBy("doc_id")
+  }
+
   /** NEAR-DUPLICATE IMAGE DETECTION — the media-side dedup tier every
    *  multimodal training pipeline runs (resized/re-encoded copies of one
    *  image must collapse before training): perceptual aHash per image,
@@ -825,7 +923,10 @@ object Media {
    *  grayscale pixel i = ASCII byte i of the text, zero-padded) —
    *  consumed by the media_image_ahash projection and the
    *  media_dedup_ahash pair join. Final CTE: `bits(doc_id, hv, nb)`. */
-  private val AhashCtes: String = """base AS (
+  /** Shared oracle prefix: synthetic-BMP geometry + 8×8 luma cell
+   *  averages (`cells(doc_id, cr, cc, a)`) — the common input of the
+   *  aHash threshold chain and the pHash DCT chain. */
+  private val CellCtes: String = """base AS (
         SELECT doc_id, text, octet_length(encode(text)) AS n0
         FROM documents WHERE doc_id % 2 = 0),
       geo AS (
@@ -844,7 +945,36 @@ object Media {
         FROM ok, unnest(range(0, w * h)) u(i)),
       cells AS (
         SELECT doc_id, cr, cc, sum(v) // count(*) AS a
-        FROM px GROUP BY 1, 2, 3),
+        FROM px GROUP BY 1, 2, 3)"""
+
+  /** Oracle CTE chain for [[imagePhash]]: the shared cell grid, the
+   *  fixed-point DCT as a cos-table JOIN (two ctab probes — one per
+   *  spatial axis), and the cross-multiplied mean threshold. Final CTE:
+   *  `pbits(doc_id, hv, nb)`. The cos table renders from [[Codec.DctC]]
+   *  so codec and oracle can never drift. */
+  private lazy val PhashCtes: String = {
+    val ctabRows = (for (u <- 0 until 4; r <- 0 until 8)
+      yield s"($u, $r, ${Codec.DctC(u)(r)})").mkString(", ")
+    s"""$CellCtes,
+      ctab AS (SELECT * FROM (VALUES $ctabRows) t(u, r, cv)),
+      coef AS (
+        SELECT c.doc_id, cu.u AS u, cw.u AS v, sum(c.a * cu.cv * cw.cv) AS f
+        FROM cells c
+        JOIN ctab cu ON cu.r = c.cr
+        JOIN ctab cw ON cw.r = c.cc
+        WHERE NOT (cu.u = 0 AND cw.u = 0)
+        GROUP BY 1, 2, 3),
+      tot AS (SELECT doc_id, sum(f) AS s FROM coef GROUP BY 1),
+      pbits AS (
+        SELECT coef.doc_id,
+               sum(CASE WHEN coef.f * 15 > tot.s
+                        THEN (1::HUGEINT << cast(coef.u * 4 + coef.v as int))
+                        ELSE 0::HUGEINT END) AS hv,
+               sum(CASE WHEN coef.f * 15 > tot.s THEN 1 ELSE 0 END) AS nb
+        FROM coef JOIN tot USING (doc_id) GROUP BY 1)"""
+  }
+
+  private val AhashCtes: String = s"""$CellCtes,
       m AS (SELECT doc_id, sum(a) // 64 AS mean FROM cells GROUP BY 1),
       bits AS (
         SELECT c.doc_id,
@@ -921,6 +1051,13 @@ object Media {
                        ELSE hv END as bigint) AS dhash,
              cast(nb as bigint) AS n_bits
       FROM bits ORDER BY doc_id""")),
+    // exact twin: the shared cell grid + the SAME fixed-point cos table
+    // (rendered from Codec.DctC — single source of truth) as a join, the
+    // mean threshold cross-multiplied exactly like the codec
+    QueryDef("media_image_phash", imagePhash, Some(s"""
+      WITH $PhashCtes
+      SELECT doc_id, cast(hv as bigint) AS phash, cast(nb as bigint) AS n_bits
+      FROM pbits ORDER BY doc_id""")),
     // same PCM reconstruction as media_audio_loudness; islands via
     // widx − row_number per doc, all arithmetic integer
     QueryDef("media_vad", audioVad, Some("""

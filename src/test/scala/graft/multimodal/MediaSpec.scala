@@ -159,6 +159,28 @@ class MediaSpec extends AnyFunSuite {
     assert(Codec.dhash64(Containers.bmp(Array.fill(64)(1.toByte))).isEmpty)
   }
 
+  test("pHash: exactly invariant to brightness shift; zero on flat fields") {
+    val rnd = new scala.util.Random(13)
+    val payload = Array.fill(400)((rnd.nextInt(160) + 40).toByte)
+    val Some((p0, n0)) = Codec.phash16(Containers.bmp(payload))
+    assert(n0 > 0 && n0 < 15, "DCT mean threshold must split the 15 AC bits")
+    // +20 on every pixel moves every cell average by exactly +20 (20·count
+    // divides evenly), and each DCT basis row u≥1 sums to zero — so every
+    // AC coefficient, and therefore the hash, is EXACTLY unchanged (the
+    // shift lands entirely in the discarded DC term)
+    val brighter = payload.map(b => ((b & 0xFF) + 20).toByte)
+    assert(Codec.phash16(Containers.bmp(brighter)).contains((p0, n0)),
+      "pHash must be bit-identical under a non-clipping brightness shift")
+    // structurally different content lands far away
+    val other = Array.tabulate(400)(i => (255 - (i * 255 / 400)).toByte)
+    val Some((p2, _)) = Codec.phash16(Containers.bmp(other))
+    assert(java.lang.Long.bitCount(p0 ^ p2) > 3, "unrelated images must not collide")
+    // constant image: all AC coefficients zero → no bits set
+    assert(Codec.phash16(Containers.bmp(Array.fill[Byte](100)(77))).contains((0L, 0)))
+    // below the 8x8 grid there is no percept
+    assert(Codec.phash16(Containers.bmp(Array.fill(20)(1.toByte))).isEmpty)
+  }
+
   test("edgeStats: Sobel counts a known step edge and nothing on flat fields") {
     // flat image: zero gradient everywhere
     val flat = Containers.bmp(Array.fill[Byte](100)(77)) // 10x10
