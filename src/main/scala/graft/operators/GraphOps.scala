@@ -218,7 +218,70 @@ object GraphOps {
       .limit(20)
   }
 
+  /** FRONTIER BFS — 3-hop reachability census from the graph's hub (the
+   *  max-degree node, ties to the smallest id): how many parts sit at
+   *  each distance, the neighborhood-growth probe behind "within-k-hops"
+   *  recommendations and blast-radius queries. The canonical distributed
+   *  BFS discipline: each round expands ONLY the previous frontier (one
+   *  equi-join of the edge list on the frontier), dedups the new
+   *  frontier, and anti-joins the visited set so no node is expanded
+   *  twice — per-round shuffle volume is O(frontier edges), never
+   *  O(visited × degree). The visited set accumulates as a union of
+   *  per-hop frames (3 unions of (long, long) rows). */
+  def bfsReach(spark: SparkSession, dir: String): DataFrame = {
+    val und = bulkCoPurchaseEdges(spark, dir)
+    val edges = und.select(col("x").as("src"), col("y").as("dst"))
+      .unionAll(und.select(col("y").as("src"), col("x").as("dst")))
+    val seed = edges.groupBy("src").agg(count(lit(1)).as("d"))
+      .orderBy(col("d").desc, col("src")).limit(1)
+      .select(col("src").as("node"), lit(0L).as("dist"))
+    var visited = seed
+    for (h <- 1 to 3) {
+      val frontier = visited.filter(col("dist") === (h - 1).toLong)
+        .select(col("node").as("src"))
+      val next = edges.join(frontier, "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .select(col("node"), lit(h.toLong).as("dist"))
+      visited = visited.unionAll(next)
+    }
+    visited.groupBy("dist")
+      .agg(count(lit(1)).as("n_nodes"), min("node").as("min_node"))
+      .orderBy("dist")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: same seed rule, 3 unrolled frontier expansions with the
+    // same dedup-then-anti-join structure
+    QueryDef("graph_bfs_reach", bfsReach, Some("""
+      WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem WHERE l_quantity >= 40),
+      und AS MATERIALIZED (
+        SELECT DISTINCT a.pk AS x, b.pk AS y
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+      edges AS MATERIALIZED (
+        SELECT x AS src, y AS dst FROM und UNION ALL SELECT y, x FROM und),
+      seed AS (
+        SELECT src AS node FROM (SELECT src, count(*) AS d FROM edges GROUP BY 1)
+        ORDER BY d DESC, src LIMIT 1),
+      v0 AS (SELECT node, 0 AS dist FROM seed),
+      f1 AS (SELECT DISTINCT e.dst AS node
+             FROM edges e JOIN v0 ON v0.node = e.src
+             WHERE e.dst NOT IN (SELECT node FROM v0)),
+      v1 AS MATERIALIZED (
+        SELECT * FROM v0 UNION ALL SELECT node, 1 FROM f1),
+      f2 AS (SELECT DISTINCT e.dst AS node
+             FROM edges e JOIN v1 ON v1.node = e.src AND v1.dist = 1
+             WHERE e.dst NOT IN (SELECT node FROM v1)),
+      v2 AS MATERIALIZED (
+        SELECT * FROM v1 UNION ALL SELECT node, 2 FROM f2),
+      f3 AS (SELECT DISTINCT e.dst AS node
+             FROM edges e JOIN v2 ON v2.node = e.src AND v2.dist = 2
+             WHERE e.dst NOT IN (SELECT node FROM v2)),
+      v3 AS (SELECT * FROM v2 UNION ALL SELECT node, 3 FROM f3)
+      SELECT cast(dist as bigint) AS dist, count(*) AS n_nodes,
+             cast(min(node) as bigint) AS min_node
+      FROM v3 GROUP BY 1 ORDER BY 1""")),
     // exact twin: same canonical edges, same wedge enumeration, the anti
     // join spelled as NOT EXISTS, identical half-up integer Jaccard
     QueryDef("graph_common_neighbors", commonNeighbors, Some("""

@@ -90,7 +90,41 @@ object SweepSkyline {
       .orderBy("price_cents")
   }
 
+  /** EQUI-HEIGHT HISTOGRAM boundaries — the 10 decile fences of the
+   *  lineitem price distribution, each an ACTUAL data row (rank
+   *  ⌊i·n/10⌋ under the total order (cents, orderkey, linenumber)).
+   *  Optimizer statistics, shard splitting and drift monitors all want
+   *  exactly this. Uses [[ScalableRank.rowsAtGlobalRanks]]: count per
+   *  range slice, locate the 10 target ranks, sort ONLY the hit slices —
+   *  never a global sort, never a global window. */
+  def q69Equiheight(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      expr("cast(cast(l_extendedprice as decimal(12,2)) * 100 as decimal(38,0))")
+        .cast("long").as("cents"),
+      col("l_orderkey"), col("l_linenumber"))
+    val (hits, _) = ScalableRank.rowsAtGlobalRanks(
+      li, Seq(col("cents"), col("l_orderkey"), col("l_linenumber")),
+      total => (1 to 10).map(i => i * total / 10L), "boundary_rank")
+    hits.select(col("boundary_rank"), col("cents")).orderBy("boundary_rank")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("q69_equiheight", q69Equiheight, Some("""
+      WITH t AS (
+        SELECT cast(cast(cast(l_extendedprice as decimal(12,2)) * 100 as hugeint) as bigint) AS cents,
+               l_orderkey, l_linenumber
+        FROM lineitem),
+      r AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, l_orderkey, l_linenumber) AS rn
+        FROM t),
+      n AS (SELECT count(*) AS total FROM t),
+      picks AS (
+        SELECT DISTINCT (i * total) // 10 AS rn
+        FROM n, unnest(range(1, 11)) u(i))
+      SELECT r.rn AS boundary_rank, r.cents
+      FROM r JOIN picks USING (rn)
+      ORDER BY boundary_rank""")),
     QueryDef("q67_concurrency", q67Concurrency, Some("""
       WITH g AS (
         SELECT user_id, event_id, epoch_us(ts) AS ts_us,
