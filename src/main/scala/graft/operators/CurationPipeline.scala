@@ -434,7 +434,50 @@ object CurationPipeline {
       .withColumn("dup_bp", expr("n_dups * 10000 div n_docs"))
       .orderBy("qband")
 
+  /** CURRICULUM STAGING — split the corpus into 4 equal-population stages
+   *  by quality (stage 1 = best quarter), the ordering curriculum
+   *  learning consumes (clean data first, tail later) and the mixture
+   *  planner's per-stage token ledger. The global quality ranking runs
+   *  through [[ScalableRank.withNtile]] (range-partitioned rank + tiny
+   *  offset table), because `ntile() OVER (ORDER BY …)` — a
+   *  no-partition window — would pull the whole corpus through ONE task;
+   *  the SQL-standard remainder distribution matches the oracle's ntile
+   *  exactly. Per-stage ledger: docs, tokens, quality span. */
+  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        qualityBp(col("text")).as("qbp"),
+        tokenCount(col("text")).cast("long").as("ntok"))
+    ScalableRank.withNtile(docs, Seq(col("qbp").desc, col("doc_id")), 4, "stage")
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"),
+        min("qbp").as("min_qbp"), max("qbp").as("max_qbp"))
+      .orderBy("stage")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("pipeline_curriculum", curriculum, Some(s"""
+      WITH t AS (
+        SELECT doc_id, text,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS ntok
+        FROM documents),
+      f AS (
+        SELECT doc_id, ntok,
+               ${graft.Tables.QbpParts}
+        FROM t),
+      s AS (
+        SELECT doc_id, ntok, ${graft.Tables.QbpExpr} AS qbp
+        FROM f),
+      st AS (
+        SELECT ntok, qbp,
+               ntile(4) OVER (ORDER BY qbp DESC, doc_id) AS stage
+        FROM s)
+      SELECT cast(stage as bigint) AS stage, count(*) AS n_docs,
+             cast(sum(ntok) as bigint) AS n_tokens,
+             cast(min(qbp) as bigint) AS min_qbp,
+             cast(max(qbp) as bigint) AS max_qbp
+      FROM st GROUP BY 1 ORDER BY 1""")),
     QueryDef("pipeline_quality_vs_dup", qualityVsDup, Some(s"""
       WITH t AS (
         SELECT doc_id, text, md5(text) AS h,

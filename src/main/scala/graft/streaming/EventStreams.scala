@@ -97,6 +97,59 @@ object EventStreams {
     }
   }
 
+  final case class CepState(views: List[Long], clicks: List[Long])
+  final case class CepMatch(user_id: Long, purchase_id: Long, purchase_us: Long, view_us: Long)
+
+  /** CEP PATTERN MATCHING — detect `view → purchase within 30 min with NO
+   *  intervening click` per user. The negation ("no click between") is
+   *  what makes this complex-event processing rather than a stream-stream
+   *  join: an interval join can express "purchase after view" (see
+   *  [[streaming]] stream_join) but not "…and nothing of type C in
+   *  between". State per user is the 30-minute context horizon: the view
+   *  and click timestamps still inside the window any FUTURE purchase
+   *  could reference — evicted past the horizon each batch and removed
+   *  wholesale on event-time timeout, so state is O(events per user per
+   *  horizon), never per-user history.
+   *
+   *  Match rule (pure event-TIME logic, so batch arrival order inside a
+   *  micro-batch cannot change the answer): a purchase at t matches the
+   *  LATEST view v with t−30min ≤ v ≤ t, provided no click lands strictly
+   *  inside (v, t). Matches emit on purchase arrival from data seen so
+   *  far; the bounded one-batch replay therefore equals the batch SQL
+   *  (join + NOT EXISTS), which is the oracle. */
+  def cepMatches(events: Dataset[Event]): Dataset[CepMatch] = {
+    import events.sparkSession.implicits._
+    val typed = withEventTime(events.toDF())
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("event_time"))
+      .withWatermark("event_time", "30 minutes")
+      .as[(Long, String, Long, Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1).flatMapGroupsWithState[CepState, CepMatch](
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      case (user, rows, state: GroupState[CepState]) =>
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          val evs = rows.map(r => (r._3, r._2, r._4)).toVector // (us, type, id)
+          val st = state.getOption.getOrElse(CepState(Nil, Nil))
+          val views = (st.views ++ evs.collect { case (us, "view", _) => us }).sorted
+          val clicks = (st.clicks ++ evs.collect { case (us, "click", _) => us }).sorted
+          val out = evs.collect { case (pUs, "purchase", pid) =>
+            views.takeWhile(_ <= pUs).lastOption
+              .filter(_ >= pUs - SessionGapUs)
+              .collect { case vUs if !clicks.exists(c => c > vUs && c < pUs) =>
+                CepMatch(user, pid, pUs, vUs)
+              }
+          }.flatten
+          val hi = (views ++ clicks ++ evs.map(_._1)).foldLeft(0L)(math.max)
+          val keepFrom = hi - SessionGapUs
+          state.update(CepState(views.filter(_ >= keepFrom), clicks.filter(_ >= keepFrom)))
+          state.setTimeoutTimestamp(hi / 1000 + SessionGapUs / 1000 + 60000)
+          out.iterator
+        }
+    }
+  }
+
   // ---- harness entries: replay parquet through the streaming plans --------
 
   /** Replay scratch dir with a JVM-exit cleanup hook: replay sources and
@@ -199,7 +252,7 @@ object EventStreams {
       hourly: DataFrame, sessions: DataFrame, schema: DataFrame, dedup: DataFrame,
       enriched: DataFrame, sliding: DataFrame, typeUserCounts: DataFrame,
       attributed: DataFrame, fileSink: DataFrame, sessionWin: DataFrame,
-      dedupWm: DataFrame, leftJoin: DataFrame)
+      dedupWm: DataFrame, leftJoin: DataFrame, cep: DataFrame)
   private val replays = scala.collection.concurrent.TrieMap.empty[String, Replay]
 
   /** One shared AvailableNow replay per sf directory: the four streaming
@@ -379,6 +432,15 @@ object EventStreams {
             (unix_micros(col("purchase_time")) - unix_micros(col("view_time"))).as("lag_us"))
           .writeStream.format("memory").queryName(leftJoinName)
           .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+        // CEP pattern matcher — see [[cepMatches]]; reads the plain source
+        // (emission happens on purchase arrival, no sentinel needed)
+        val cepName = s"stream_cep_$tag"
+        val cepEvents = eventsStream(spark, dir)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+          .as[Event]
+        val qCep = cepMatches(cepEvents)
+          .writeStream.format("memory").queryName(cepName)
+          .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
         // FILE SINK — the production persistence path (memory sinks are
         // harness-only): append the enriched event stream to partitioned
         // parquet with a checkpoint. The sink's _spark_metadata commit log
@@ -393,7 +455,7 @@ object EventStreams {
           .partitionBy("event_type")
           .trigger(Trigger.AvailableNow()).start()
         Seq(qHourly, qSchema, qSess, qDedup, qEnriched, qSliding, qTopk, qJoin,
-            qFile, qSessWin, qDedupWm, qLeftJoin)
+            qFile, qSessWin, qDedupWm, qLeftJoin, qCep)
           .foreach(_.awaitTermination())
         // read the sink back THROUGH the commit log (partition-pruned scan)
         // and roll it up — equals the batch aggregate over the source
@@ -421,7 +483,8 @@ object EventStreams {
           dedupWm = spark.table(dedupWmName).orderBy("user_id", "event_type"),
           leftJoin = spark.table(leftJoinName)
             .filter(col("purchase_us") < sentinelUs)
-            .orderBy("user_id", "purchase_id", "view_id"))
+            .orderBy("user_id", "purchase_id", "view_id"),
+          cep = spark.table(cepName).orderBy("user_id", "purchase_id"))
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     })
 
@@ -429,6 +492,11 @@ object EventStreams {
    *  batch plan, so it carries a real oracle. */
   def streamHourlyCounts(spark: SparkSession, dir: String): DataFrame =
     replay(spark, dir).hourly
+
+  /** CEP pattern detections (view→purchase, no intervening click) from
+   *  the shared replay — see [[cepMatches]]. */
+  def streamCep(spark: SparkSession, dir: String): DataFrame =
+    replay(spark, dir).cep
 
   /** Streaming sessionization replayed over the parquet with per-user
    *  sentinel close (see object doc): emits exactly the batch 30-min-gap
@@ -626,6 +694,26 @@ object EventStreams {
     QueryDef("stream_foreach_upsert", streamForeachUpsert(_, _), Some("""
       SELECT user_id, event_type, count(*) AS n_events
       FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""")),
+    // exact twin of the event-time match rule: latest view in the 30-min
+    // window per purchase, killed by any strictly-between click
+    QueryDef("stream_cep", streamCep, Some("""
+      WITH e AS (
+        SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events),
+      p AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'purchase'),
+      v AS (SELECT user_id, us FROM e WHERE event_type = 'view'),
+      best AS (
+        SELECT p.user_id, p.event_id AS purchase_id, p.us AS purchase_us,
+               max(v.us) AS view_us
+        FROM p JOIN v ON v.user_id = p.user_id
+             AND v.us <= p.us AND v.us >= p.us - 1800000000
+        GROUP BY 1, 2, 3)
+      SELECT user_id, purchase_id, purchase_us, view_us
+      FROM best b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM e c
+        WHERE c.user_id = b.user_id AND c.event_type = 'click'
+          AND c.us > b.view_us AND c.us < b.purchase_us)
+      ORDER BY user_id, purchase_id""")),
     QueryDef("stream_file_sink", streamFileSink, Some("""
       SELECT event_type, count(*) AS n,
              cast(sum(cast(value as decimal(12,2))) as double) AS sum_value

@@ -15,6 +15,41 @@ class EventStreamsSpec extends AnyFunSuite {
   private def ev(id: Long, tSec: Long, user: Long): Event =
     Event(id, tSec * 1000 * us, user, "click", 1.0) // ts in nanos
 
+  test("cepMatches detects view→purchase with no intervening click, across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def tev(id: Long, tSec: Long, user: Long, typ: String): Event =
+      Event(id, tSec * 1000 * us, user, typ, 1.0)
+    val input = MemoryStream[Event]
+    val q = cepMatches(input.toDS())
+      .writeStream.format("memory").queryName("cep_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: view only — state must carry it into the next batch
+      input.addData(tev(1, 1000, 7, "view"))
+      q.processAllAvailable()
+      assert(spark.table("cep_test").count() == 0)
+      // batch 2: purchase 60 s later → matches the CARRIED view
+      input.addData(tev(2, 1060, 7, "purchase"))
+      q.processAllAvailable()
+      val out = spark.table("cep_test").as[CepMatch].collect().toSeq
+      assert(out == Seq(CepMatch(7, 2, 1060 * us, 1000 * us)))
+      // batch 3: view, then a click BETWEEN view and purchase kills it
+      input.addData(tev(3, 2000, 8, "view"), tev(4, 2030, 8, "click"), tev(5, 2060, 8, "purchase"))
+      q.processAllAvailable()
+      assert(!spark.table("cep_test").as[CepMatch].collect().exists(_.user_id == 8))
+      // batch 4: view older than 30 min does not match
+      input.addData(tev(6, 3000, 9, "view"), tev(7, 3000 + 1801, 9, "purchase"))
+      q.processAllAvailable()
+      assert(!spark.table("cep_test").as[CepMatch].collect().exists(_.user_id == 9))
+      // batch 5: click BEFORE the view is harmless
+      input.addData(tev(8, 9000, 5, "click"), tev(9, 9010, 5, "view"), tev(10, 9020, 5, "purchase"))
+      q.processAllAvailable()
+      assert(spark.table("cep_test").as[CepMatch].collect()
+        .exists(m => m.user_id == 5 && m.purchase_id == 10))
+    } finally q.stop()
+  }
+
   test("sessionize closes a session when the gap exceeds 30 minutes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
