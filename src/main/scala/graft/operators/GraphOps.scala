@@ -250,7 +250,83 @@ object GraphOps {
       .orderBy("dist")
   }
 
+  /** K-CORE PEELING (k = 3, 3 synchronous rounds) — the graph-density
+   *  filter community detection and influence analysis run first: each
+   *  round drops every node with CURRENT degree < k, which lowers
+   *  neighbors' degrees and exposes the next peel layer (Batagelj &
+   *  Zaveršnik 2003, made synchronous/unrolled). Reports the census
+   *  (nodes, edges) after each round — round 3 of the co-purchase graph
+   *  is its (approximate) 3-core, exact once a round strips nothing.
+   *
+   *  Scale shape: each round is one degree aggregate over the edge list
+   *  plus two semi-join filters of edges against the surviving node set
+   *  — all equi-joins on a long key, shuffle volume shrinking with the
+   *  graph. The canonical iterative-CONTRACTION pattern, complementing
+   *  the expansion (BFS), propagation (LPA/PageRank) and enumeration
+   *  (triangles/wedges) families. */
+  def kcore(spark: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    var und = bulkCoPurchaseEdges(spark, dir)
+    val perRound = (1 to 3).map { r =>
+      val deg = und.select(col("x").as("n")).unionAll(und.select(col("y").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("n")
+      und = und
+        .join(keep.select(col("n").as("x")), "x")
+        .join(keep.select(col("n").as("y")), "y")
+        .select("x", "y")
+      und.agg(count(lit(1)).as("n_edges")).crossJoin(
+        und.select(col("x").as("n")).unionAll(und.select(col("y").as("n")))
+          .agg(countDistinct("n").as("n_nodes")))
+        .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
+    }
+    perRound.reduce(_ unionAll _).orderBy("round")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: 3 unrolled peel rounds, survivors via IN-subqueries
+    QueryDef("graph_kcore", kcore, Some("""
+      WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem WHERE l_quantity >= 40),
+      e0 AS MATERIALIZED (
+        SELECT DISTINCT a.pk AS x, b.pk AS y
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+      k1 AS (SELECT n FROM (
+               SELECT n, count(*) AS d
+               FROM (SELECT x AS n FROM e0 UNION ALL SELECT y FROM e0)
+               GROUP BY 1) WHERE d >= 3),
+      e1 AS MATERIALIZED (
+        SELECT x, y FROM e0
+        WHERE x IN (SELECT n FROM k1) AND y IN (SELECT n FROM k1)),
+      k2 AS (SELECT n FROM (
+               SELECT n, count(*) AS d
+               FROM (SELECT x AS n FROM e1 UNION ALL SELECT y FROM e1)
+               GROUP BY 1) WHERE d >= 3),
+      e2 AS MATERIALIZED (
+        SELECT x, y FROM e1
+        WHERE x IN (SELECT n FROM k2) AND y IN (SELECT n FROM k2)),
+      k3 AS (SELECT n FROM (
+               SELECT n, count(*) AS d
+               FROM (SELECT x AS n FROM e2 UNION ALL SELECT y FROM e2)
+               GROUP BY 1) WHERE d >= 3),
+      e3 AS MATERIALIZED (
+        SELECT x, y FROM e2
+        WHERE x IN (SELECT n FROM k3) AND y IN (SELECT n FROM k3)),
+      s AS (
+        SELECT 1 AS round,
+               (SELECT count(DISTINCT n) FROM (SELECT x AS n FROM e1 UNION ALL SELECT y FROM e1)) AS n_nodes,
+               (SELECT count(*) FROM e1) AS n_edges
+        UNION ALL
+        SELECT 2,
+               (SELECT count(DISTINCT n) FROM (SELECT x AS n FROM e2 UNION ALL SELECT y FROM e2)),
+               (SELECT count(*) FROM e2)
+        UNION ALL
+        SELECT 3,
+               (SELECT count(DISTINCT n) FROM (SELECT x AS n FROM e3 UNION ALL SELECT y FROM e3)),
+               (SELECT count(*) FROM e3))
+      SELECT cast(round as bigint) AS round, cast(n_nodes as bigint) AS n_nodes,
+             cast(n_edges as bigint) AS n_edges
+      FROM s ORDER BY round""")),
     // exact twin: same seed rule, 3 unrolled frontier expansions with the
     // same dedup-then-anti-join structure
     QueryDef("graph_bfs_reach", bfsReach, Some("""

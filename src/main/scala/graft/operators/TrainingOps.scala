@@ -144,6 +144,43 @@ object TrainingOps {
       .orderBy(col("n").desc, col("left_tok").asc, col("right_tok").asc)
       .limit(40)
 
+  /** BIGRAM-LM FAMILIARITY — the language-model-lite quality filter (the
+   *  cheap stand-in for a KenLM perplexity gate, cf. CCNet): per doc, the
+   *  share of adjacent token bigrams whose corpus frequency is STRICTLY
+   *  ABOVE the corpus mean bigram frequency, in basis points, rolled up
+   *  per source. Low share = improbable word sequences = likely noise.
+   *  The threshold is self-calibrating (`cnt·types > total` — integer
+   *  cross-multiplication against the corpus mean), so the rule is
+   *  invariant to corpus growth, unlike any absolute count cutoff.
+   *
+   *  Shape: one pass builds the bigram table (hash shuffle on the pair),
+   *  a second scores the pair stream against it (equi-join on the pair
+   *  key; the LM table broadcasts while the vocabulary² fits and degrades
+   *  to a co-partitioned join beyond), then two small aggregates. The
+   *  (types, total) calibration is a 1-row frame, joined broadcast. */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1)," +
+          " (l, r) -> named_struct('l', l, 'r', r))")).as("p"))
+      .select(col("doc_id"), col("source"), col("p.l").as("l"), col("p.r").as("r"))
+      .persist() // scored against its own aggregate — two consumers
+    val lm = pairs.groupBy("l", "r").agg(count(lit(1)).as("cnt"))
+    val cal = broadcast(lm.agg(count(lit(1)).as("types"), sum("cnt").as("tot")))
+    pairs.join(lm, Seq("l", "r")).crossJoin(cal)
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("nbi"),
+        sum(when(col("cnt") * col("types") > col("tot"), 1L).otherwise(0L)).as("fam"))
+      .select(col("source"), expr("fam * 10000 div nbi").as("share_bp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(share_bp) div count(1)").as("avg_familiar_bp"),
+        min("share_bp").as("min_bp"), max("share_bp").as("max_bp"))
+      .orderBy("source")
+  }
+
   // ---- Vocabulary coverage -------------------------------------------------
 
   /** Out-of-vocabulary rate per source against the corpus' own top-100
@@ -419,6 +456,31 @@ object TrainingOps {
       SELECT token, count(*) AS n
       FROM (SELECT unnest(toks) AS token FROM t)
       GROUP BY token ORDER BY n DESC, token LIMIT 50""")),
+    // exact twin: same tokenization/bigram machinery as text_bpe_pairs,
+    // the mean threshold cross-multiplied, all-floor integer shares
+    QueryDef("text_bigram_lm", bigramLm, Some("""
+      WITH t AS (
+        SELECT doc_id, source,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        FROM documents),
+      p AS (
+        SELECT doc_id, source,
+               unnest(toks[1:len(toks)-1]) AS l,
+               unnest(toks[2:len(toks)])   AS r
+        FROM t WHERE len(toks) >= 2),
+      c AS (SELECT l, r, count(*) AS cnt FROM p GROUP BY 1, 2),
+      m AS (SELECT count(*) AS types, sum(cnt) AS tot FROM c),
+      d AS (
+        SELECT p.doc_id, p.source, count(*) AS nbi,
+               sum(CASE WHEN c.cnt * m.types > m.tot THEN 1 ELSE 0 END) AS fam
+        FROM p JOIN c USING (l, r), m GROUP BY 1, 2),
+      s AS (SELECT source, fam * 10000 // nbi AS share_bp FROM d)
+      SELECT source, count(*) AS n_docs,
+             cast(sum(share_bp) // count(*) as bigint) AS avg_familiar_bp,
+             cast(min(share_bp) as bigint) AS min_bp,
+             cast(max(share_bp) as bigint) AS max_bp
+      FROM s GROUP BY 1 ORDER BY 1""")),
     QueryDef("text_bpe_pairs", bpePairs, Some("""
       WITH t AS (
         SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
