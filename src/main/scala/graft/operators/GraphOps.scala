@@ -266,18 +266,25 @@ object GraphOps {
    *  (triangles/wedges) families. */
   def kcore(spark: SparkSession, dir: String): DataFrame = {
     val k = 3
-    var und = bulkCoPurchaseEdges(spark, dir)
-    val perRound = (1 to 3).map { r =>
-      val deg = und.select(col("x").as("n")).unionAll(und.select(col("y").as("n")))
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("x").as("n")).unionAll(e.select(col("y").as("n")))
         .groupBy("n").agg(count(lit(1)).as("d"))
+    var und = bulkCoPurchaseEdges(spark, dir)
+    // deliberately NO intermediate persist: a cached round would hide
+    // runtime stats from AQE and the keep-joins degrade from broadcast
+    // to sort-merge (measured 2-3× slower). The later census branches
+    // re-derive earlier peels, but each round is a handful of
+    // AQE-broadcast joins over the one cached edge snapshot — recompute
+    // is cheaper than losing the broadcasts
+    val perRound = (1 to 3).map { r =>
+      val deg = degrees(und)
       val keep = deg.filter(col("d") >= k).select("n")
       und = und
         .join(keep.select(col("n").as("x")), "x")
         .join(keep.select(col("n").as("y")), "y")
         .select("x", "y")
-      und.agg(count(lit(1)).as("n_edges")).crossJoin(
-        und.select(col("x").as("n")).unionAll(und.select(col("y").as("n")))
-          .agg(countDistinct("n").as("n_nodes")))
+      und.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(degrees(und).agg(count(lit(1)).as("n_nodes")))
         .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
     }
     perRound.reduce(_ unionAll _).orderBy("round")
