@@ -10,6 +10,7 @@ object Catalog {
       "As-of & sketch" -> graft.operators.AsofAndSketch.defs,
       "Joins & set ops" -> graft.operators.JoinsAndSetOps.defs,
       "Sessions & skew" -> graft.operators.SessionAndSkew.defs,
+      "Sweep & skyline" -> graft.operators.SweepSkyline.defs,
       "Graph" -> graft.operators.GraphOps.defs,
       "Sinks" -> graft.sources.Sinks.defs,
       "Schema inference" -> graft.operators.SchemerQueries.defs,

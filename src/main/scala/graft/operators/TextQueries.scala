@@ -363,7 +363,58 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** SOURCE-OVERLAP MATRIX — pairwise content overlap between sources as
+   *  Jaccard over each source's DISTINCT 3-gram shingle set, off the
+   *  shared [[graft.dedup.Dedup.shingleIndex]] snapshot (no re-shingling).
+   *  The crawl-curation report behind "which feeds duplicate each other":
+   *  a high cell means one source is largely a re-crawl of the other and
+   *  the mixture planner should discount it. Only overlapping pairs
+   *  appear (inner join on the shingle).
+   *
+   *  Shape: one distinct to the (source, shingle) level — rows bounded by
+   *  |sources|·|shingle vocab| — then a self equi-join ON THE SHINGLE
+   *  (per-shingle fanout ≤ sources², never docs²) into a pair count; the
+   *  20-row size table joins broadcast. At very large source counts the
+   *  hot-shingle cap of the pair index applies the same way. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ss = graft.dedup.Dedup.shingleIndex(spark, dir)
+      .select(col("source"), col("sh")).distinct()
+      .persist() // three consumers: the size table and both join sides
+    val sizes = ss.groupBy("source").agg(count(lit(1)).as("n"))
+    ss.select(col("source").as("src_a"), col("sh"))
+      .join(ss.select(col("source").as("src_b"), col("sh")), "sh")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("inter"),
+        expr("(2 * inter * 10000 + (na + nb - inter)) div (2 * (na + nb - inter))").as("jaccard_bp"))
+      .orderBy("src_a", "src_b")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: string shingles stand in for the 64-bit hashes (the
+    // text_novelty equivalence — set operations are collision-free at
+    // oracle scale), same half-up integer Jaccard
+    QueryDef("text_source_overlap", sourceOverlap, Some("""
+      WITH toks AS (
+        SELECT doc_id, source,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3),
+      sz AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+      pr AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT src_a, src_b, cast(inter as bigint) AS inter,
+             (2 * inter * 10000 + (za.n + zb.n - inter)) // (2 * (za.n + zb.n - inter)) AS jaccard_bp
+      FROM pr JOIN sz za ON za.source = pr.src_a JOIN sz zb ON zb.source = pr.src_b
+      ORDER BY src_a, src_b""")),
     QueryDef("text_novelty", noveltyBySource, Some("""
       WITH toks AS (
         SELECT doc_id, source,

@@ -571,6 +571,39 @@ object Ann {
       .orderBy("label")
   }
 
+  /** SPLIT-HALF EMBEDDING DRIFT — the distribution-shift monitor an
+   *  embedding pipeline runs between two cohorts (here the deterministic
+   *  vec_id-parity halves standing in for old/new snapshots): the 10
+   *  dimensions whose cohort means diverge most. The divergence is
+   *  ranked by the CROSS-MULTIPLIED quantized sums
+   *  (`se·n_odd − so·n_even` on [[dimStats]]'s exact 1e-7 grid), so the
+   *  ordering involves no float subtraction of near-equal means — exact
+   *  integers end to end, with the human-readable means reconstructed by
+   *  one final division per emitted row.
+   *
+   *  Shape: ONE hash-aggregate pass computing all 128 per-dimension
+   *  conditional sums (no posexplode Expand — the [[dimStats]] / Lloyd
+   *  discipline), then a 64-row stack, sort and limit on the driver-side
+   *  sized result. */
+  def embedDrift(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    def q(d: Int) = expr(s"cast(cast(element_at(embedding, ${d + 1}) as double) * 1e7 as long)")
+    val aggs = (0 until dim).flatMap(d => Seq(
+      sum(when(col("vec_id") % 2 === 0, q(d))).as(s"se$d"),
+      sum(when(col("vec_id") % 2 === 1, q(d))).as(s"so$d")))
+    val row1 = Tables.embeddings(spark, dir).agg(
+      sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_even"),
+      (sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_odd") +: aggs): _*)
+    val stackArgs = (0 until dim).map(d => s"${d + 1}L, se$d, so$d").mkString(", ")
+    row1.selectExpr("n_even", "n_odd", s"stack($dim, $stackArgs) as (dim, se, so)")
+      .select(col("dim"),
+        expr("cast(se as double) / n_even / 1e7").as("mean_even"),
+        expr("cast(so as double) / n_odd / 1e7").as("mean_odd"),
+        expr("se * n_odd - so * n_even").as("drift_cross"))
+      .orderBy(abs(col("drift_cross")).desc, col("dim"))
+      .limit(10)
+  }
+
   /** ALL-VECTOR kNN GRAPH — every corpus vector gets its top-3 cosine
    *  neighbors, searched WITHIN its IVF cell (the same deterministic
    *  16-seed assignment as [[ivfTopK]]). This is the batch index-build
@@ -617,6 +650,26 @@ object Ann {
   }
 
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: same 1e-7 trunc grid as embed_dim_stats, the drift
+    // ranked on the integer cross product — no near-equal float subtract
+    QueryDef("embed_drift", embedDrift, Some("""
+      WITH x AS (
+        SELECT vec_id % 2 AS half, i AS dim,
+               cast(trunc(cast(embedding[i] as double) * 1e7) as bigint) AS q
+        FROM embeddings, unnest(range(1, 65)) u(i)),
+      s AS (
+        SELECT dim,
+               sum(CASE WHEN half = 0 THEN q END) AS se,
+               sum(CASE WHEN half = 1 THEN q END) AS so,
+               sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS ne,
+               sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS nodd
+        FROM x GROUP BY 1)
+      SELECT cast(dim as bigint) AS dim,
+             cast(se as double) / ne / 1e7 AS mean_even,
+             cast(so as double) / nodd / 1e7 AS mean_odd,
+             cast(se * nodd - so * ne as bigint) AS drift_cross
+      FROM s
+      ORDER BY abs(se * nodd - so * ne) DESC, dim LIMIT 10""")),
     // exact twin: same 16-seed assignment and in-cell ranking as the
     // ann_ivf_topk oracle, run for EVERY vector, mutual via reversed-pair
     // self join
