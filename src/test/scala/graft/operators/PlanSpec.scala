@@ -49,6 +49,42 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q61_profit_by_nation").contains("StringContains(p_name,widget)"))
   }
 
+  test("q67/q68/q69: prefix passes range-partition; no no-partition window survives") {
+    // the sweep line, the skyline and the decile fences all ride the
+    // ScalableRank primitives — the plan must carry a RangePartitioning
+    // exchange (parallel by sort key) and every Window must be keyed by
+    // the slice id (__pid), never an empty partitionBy
+    // an EMPTY partitionBy prints its windowspecdefinition with a sort
+    // order as the FIRST argument — that's the single-task shape to ban;
+    // per-user / per-slice windows (partition cols first) are fine
+    val globalWindow = """windowspecdefinition\([^,)]+ (ASC|DESC)""".r
+    for (q <- Seq("q67_concurrency", "q68_skyline", "q69_equiheight")) {
+      val p = plan(q)
+      assert(p.toLowerCase.contains("rangepartitioning"),
+        s"$q must range-partition by the sort key")
+      assert(globalWindow.findFirstIn(p).isEmpty,
+        s"$q has a no-partition (single-task) window")
+    }
+  }
+
+  test("graph wave: equi-joins only — no cartesian in wedge/BFS/peel/kNN plans") {
+    for (q <- Seq("graph_common_neighbors", "graph_bfs_reach", "graph_kcore")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+    // ann_knn_graph's only NLJ is the 16-row broadcast centroid cross join
+    val p = plan("ann_knn_graph")
+    assert(!p.contains("CartesianProduct"), "knn graph must never cartesian the corpus")
+  }
+
+  test("pipeline_curriculum: the ntile rides the range exchange, not a global window") {
+    val p = plan("pipeline_curriculum")
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      "curriculum must range-partition by the quality sort key")
+    assert("""windowspecdefinition\([^,)]+ (ASC|DESC)""".r.findFirstIn(p).isEmpty,
+      "curriculum has a no-partition (single-task) window")
+  }
+
   test("no accidental cartesian products outside the ANN broadcast NLJs") {
     for (q <- Seq("q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
                   "q15_sessionize", "dedup_minhash_lsh", "q26_left_outer")) {
