@@ -604,6 +604,33 @@ object Ann {
       .limit(10)
   }
 
+  /** IVF INDEX-BALANCE report — the index-health metric an ANN deployment
+   *  watches: per-cell population and corpus share for the 16-seed
+   *  assignment (the same cells [[ivfTopK]] and [[knnGraph]] probe). A
+   *  skewed cell histogram means probe cost is dominated by hot cells
+   *  and the index needs re-training or cell splitting; the
+   *  `over_2x_mean` flag marks exactly those (population·cells > 2·total,
+   *  cross-multiplied — no division). One broadcast-argmax pass + one
+   *  16-group aggregate. */
+  def ivfBalance(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = broadcast(
+      emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb")))
+    val cells = emb.crossJoin(centroids)
+      .select(col("vec_id"), col("centroid_id"),
+        dot(col("embedding"), col("c_emb")).as("dot"))
+      .groupBy("vec_id")
+      .agg(max_by(col("centroid_id"), struct(col("dot"), (-col("centroid_id")).as("nid"))).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    val total = broadcast(cells.agg(sum("n_vecs").as("total"), count(lit(1)).as("n_cells")))
+    cells.crossJoin(total)
+      .select(col("cell"), col("n_vecs"),
+        expr("n_vecs * 10000 div total").as("share_bp"),
+        (col("n_vecs") * col("n_cells") > col("total") * 2).cast("bigint").as("over_2x_mean"))
+      .orderBy("cell")
+  }
+
   /** ALL-VECTOR kNN GRAPH — every corpus vector gets its top-3 cosine
    *  neighbors, searched WITHIN its IVF cell (the same deterministic
    *  16-seed assignment as [[ivfTopK]]). This is the batch index-build
@@ -670,6 +697,24 @@ object Ann {
              cast(se * nodd - so * ne as bigint) AS drift_cross
       FROM s
       ORDER BY abs(se * nodd - so * ne) DESC, dim LIMIT 10""")),
+    // exact twin: the shared 16-seed assignment, integer shares, the 2x
+    // flag cross-multiplied
+    QueryDef("embed_ivf_balance", ivfBalance, Some("""
+      WITH assigned AS (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.vec_id AS cell,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                            c.vec_id) AS rn
+          FROM embeddings e JOIN embeddings c ON c.vec_id < 16) t
+        WHERE rn = 1),
+      cells AS (SELECT cell, count(*) AS n_vecs FROM assigned GROUP BY 1),
+      tot AS (SELECT sum(n_vecs) AS total, count(*) AS n_cells FROM cells)
+      SELECT cell, cast(n_vecs as bigint) AS n_vecs,
+             cast(n_vecs * 10000 // total as bigint) AS share_bp,
+             cast(CASE WHEN n_vecs * n_cells > total * 2 THEN 1 ELSE 0 END as bigint) AS over_2x_mean
+      FROM cells, tot ORDER BY cell""")),
     // exact twin: same 16-seed assignment and in-cell ranking as the
     // ann_ivf_topk oracle, run for EVERY vector, mutual via reversed-pair
     // self join
