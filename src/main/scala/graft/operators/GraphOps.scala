@@ -290,7 +290,53 @@ object GraphOps {
     perRound.reduce(_ unionAll _).orderBy("round")
   }
 
+  /** CONNECTED-COMPONENT CENSUS over the co-purchase graph — the top-10
+   *  components by size, labels = component-minimum part key. The Spark
+   *  side runs the dedup module's large-star/small-star contraction
+   *  (O(log n) rounds with snapshot-per-round state management — the
+   *  100 TB-correct algorithm); the oracle replays HashMin label
+   *  propagation (Kiveris et al. 2014's baseline) for a FIXED budget of
+   *  16 rounds, generated programmatically like the Lloyd/XXH64 oracles.
+   *  Both converge to the same min-id labels; 16 rounds covers the
+   *  measured fixpoint at every oracle scale (9 rounds at sf0.01, 12 at
+   *  sf0.1) with margin, and GraphOpsSpec asserts the budget against a
+   *  sequential union-find so growth in the testdata trips a local spec,
+   *  not the driver gate. */
+  def components(spark: SparkSession, dir: String): DataFrame = {
+    val und = bulkCoPurchaseEdges(spark, dir)
+    graft.dedup.Dedup.connectedComponents(
+        und.select(col("x").as("id_a"), col("y").as("id_b")))
+      .groupBy(col("label").as("component"))
+      .agg(count(lit(1)).as("n_members"), max("node").as("max_member"))
+      .orderBy(col("n_members").desc, col("component"))
+      .limit(10)
+  }
+
+  /** Generated HashMin oracle: `rounds` unrolled min-label iterations. */
+  private[operators] def hashMinCcSql(rounds: Int): String = {
+    val base = """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem WHERE l_quantity >= 40),
+      edges AS MATERIALIZED (
+        SELECT DISTINCT a.pk AS src, b.pk AS dst
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk <> b.pk),
+      l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges)"""
+    val iter = (1 to rounds).map { i =>
+      s""",
+      l$i AS MATERIALIZED (
+        SELECT l.node, least(l.lbl, coalesce(nb.m, l.lbl)) AS lbl
+        FROM l${i - 1} l LEFT JOIN (
+          SELECT e.dst AS node, min(x.lbl) AS m
+          FROM edges e JOIN l${i - 1} x ON x.node = e.src GROUP BY e.dst) nb
+        USING (node))"""
+    }.mkString
+    base + iter + s"""
+      SELECT cast(lbl as bigint) AS component, count(*) AS n_members,
+             cast(max(node) as bigint) AS max_member
+      FROM l$rounds GROUP BY 1 ORDER BY n_members DESC, component LIMIT 10"""
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("graph_components", components, Some(hashMinCcSql(16))),
     // exact twin: 3 unrolled peel rounds, survivors via IN-subqueries
     QueryDef("graph_kcore", kcore, Some("""
       WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

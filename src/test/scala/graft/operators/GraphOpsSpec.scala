@@ -97,4 +97,46 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_triangles") == naiveTri)
     assert(naiveTri > 0, "test premise: the co-purchase graph closes triangles")
   }
+
+  test("graph_components equals sequential union-find; HashMin oracle budget holds") {
+    // sequential union-find ground truth on the collected edge set
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val op = Tables.lineitem(spark, d)
+        .filter(col("l_quantity") >= 40)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val und = op.groupBy(_._1).valuesIterator.flatMap { xs =>
+        for (a <- xs.toSeq; b <- xs.toSeq if a._2 < b._2) yield (a._2, b._2)
+      }.toSet
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      und.foreach { case (x, y) =>
+        val (rx, ry) = (find(x), find(y))
+        if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+      }
+      val nodes = und.flatMap(e => Seq(e._1, e._2))
+      val truth = nodes.groupBy(find).map { case (_, ns) => (ns.min, ns.size.toLong) }
+      val expected = truth.toSeq.sortBy { case (c, n) => (-n, c) }.take(10)
+      val got = GraphOps.components(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSeq == expected, s"component census diverged at $d")
+      // the oracle's fixed HashMin budget: labels must reach fixpoint
+      // within 16 rounds, or the generated SQL silently under-converges
+      var lbl = nodes.iterator.map(n => n -> n).toMap
+      var rounds = 0
+      var changed = true
+      while (changed && rounds <= 20) {
+        rounds += 1
+        val nbMin = (und.iterator.flatMap { case (x, y) => Seq(x -> lbl(y), y -> lbl(x)) })
+          .toSeq.groupBy(_._1).map { case (n, ls) => n -> ls.map(_._2).min }
+        val next = lbl.map { case (n, l) => n -> math.min(l, nbMin.getOrElse(n, l)) }
+        changed = next != lbl
+        lbl = next
+      }
+      assert(rounds <= 16, s"HashMin needs $rounds rounds at $d — raise the oracle budget")
+    }
+  }
 }
