@@ -512,6 +512,66 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  /** SURVIVORSHIP (golden record) — the MDM step past canonical-row
+   *  selection: instead of keeping ONE member row, assemble the best
+   *  value PER FIELD across each near-dup cluster (mode language, mode
+   *  source — ties to the smallest value — and max length). Field-level
+   *  merge is what a master-data pipeline ships downstream when no
+   *  single copy is uniformly best. Each mode is one (cluster, value)
+   *  count + a packed `min_by` argmin over (−count, value) — no
+   *  per-cluster window, two shuffles per field on the cluster id.
+   *  Consumes the SHARED label snapshot like the other cluster readers. */
+  def dedupSurvivorship(spark: SparkSession, dir: String): DataFrame = {
+    val labels = ngramClusterLabels(spark, dir)
+    val j = labels.join(
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+      col("node") === col("doc_id"))
+    def mode(c: String) =
+      j.groupBy(col("label"), col(c)).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("label").as("cluster_id"))
+        .agg(min_by(col(c), struct((-col("cnt")).as("nc"), col(c))).as(s"${c}_mode"))
+    j.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), max("n_chars").as("max_chars"))
+      .join(mode("lang"), "cluster_id")
+      .join(mode("source"), "cluster_id")
+      .select(col("cluster_id"), col("n_members"), col("lang_mode"),
+        col("source_mode"), col("max_chars"))
+      .orderBy("cluster_id")
+  }
+
+  /** Shared oracle prefix: near-dup cluster labels via the recursive
+   *  reachability closure (clusters are small, so the closure is cheap at
+   *  oracle scale). Final CTE: `labels(node, cluster_id)`. */
+  private val ClusterCtes: String = """toks AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3),
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 100),
+      cold AS (SELECT * FROM sh ANTI JOIN hot USING (sh)),
+      pc AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+        FROM cold x JOIN cold y USING (sh)
+        WHERE x.doc_id < y.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id_a, id_b FROM pc
+        JOIN counts a ON a.doc_id = id_a
+        JOIN counts b ON b.doc_id = id_b
+        WHERE cast(inter as double) / cast(a.n_sh + b.n_sh - inter as double) >= 0.5),
+      und AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT a, b FROM (SELECT a, b FROM und UNION SELECT a, a FROM und)
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+      labels AS (SELECT a AS node, min(b) AS cluster_id FROM reach GROUP BY a)"""
+
   /** Fingerprint dedup: normalized-token-stream fingerprint groupBy —
    *  catches whitespace-only variants that md5(raw text) misses. Uses the
    *  cross-engine md5 form so the whitespace-collapse semantics carry an
@@ -777,6 +837,31 @@ object Dedup {
       ORDER BY cluster_size""")),
     // cluster CTEs as in dedup_clusters; quality CTEs as in the
     // pipeline_clean_corpus oracle; argmax via row_number (oracle scale)
+    // exact twin: the shared cluster closure, each mode via a
+    // (count DESC, value) row_number — the min_by(-cnt, value) pack
+    QueryDef("dedup_survivorship", dedupSurvivorship, Some(s"""
+      WITH RECURSIVE $ClusterCtes,
+      j AS (
+        SELECT l.cluster_id, d.lang, d.source, d.n_chars
+        FROM labels l JOIN documents d ON d.doc_id = l.node),
+      lm AS (
+        SELECT cluster_id, lang AS lang_mode FROM (
+          SELECT cluster_id, lang,
+                 row_number() OVER (PARTITION BY cluster_id
+                   ORDER BY count(*) DESC, lang) AS rn
+          FROM j GROUP BY cluster_id, lang) WHERE rn = 1),
+      sm AS (
+        SELECT cluster_id, source AS source_mode FROM (
+          SELECT cluster_id, source,
+                 row_number() OVER (PARTITION BY cluster_id
+                   ORDER BY count(*) DESC, source) AS rn
+          FROM j GROUP BY cluster_id, source) WHERE rn = 1),
+      b AS (
+        SELECT cluster_id, count(*) AS n_members, max(n_chars) AS max_chars
+        FROM j GROUP BY 1)
+      SELECT b.cluster_id, b.n_members, lm.lang_mode, sm.source_mode, b.max_chars
+      FROM b JOIN lm USING (cluster_id) JOIN sm USING (cluster_id)
+      ORDER BY cluster_id""")),
     QueryDef("dedup_canonical", dedupCanonical, Some(s"""
       WITH RECURSIVE toks AS (
         SELECT doc_id,
