@@ -645,11 +645,22 @@ object Ann {
    *  one equi-join on the cell id (candidate pairs only — never a
    *  cartesian), per-vector top-3 via the bounded [[TopKAgg]] (no
    *  per-query window funnel), and the mutual flag is a self equi-join
-   *  of the O(3n) edge list on the reversed pair. */
+   *  of the O(3n) edge list on the reversed pair.
+   *
+   *  The cell count GROWS WITH THE CORPUS: k = max(16, ⌈√n⌉), the
+   *  all-queries analogue of [[sigBits]]'s population rule. A fixed k
+   *  is fine when only a few queries probe ([[ivfTopK]]) but fatal
+   *  here — with EVERY vector a query the pair join does Σ|cell|² ≈
+   *  k·(n/k)² work, unbounded in n at fixed k (measured: the 16-cell
+   *  variant did not finish a 200k-vector sf10 spot-run; √n cells make
+   *  it n^1.5 total, balanced n^0.5 assignment vs in-cell work). Both
+   *  engines derive k from the same ⌈√count⌉ — IEEE sqrt is correctly
+   *  rounded, so the ceil agrees. */
   def knnGraph(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+    val k = math.max(16L, math.ceil(math.sqrt(emb.count().toDouble)).toLong)
     val centroids = broadcast(
-      emb.filter(col("vec_id") < 16)
+      emb.filter(col("vec_id") < k)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb")))
     val assigned = emb.crossJoin(centroids)
       .select(col("vec_id"), col("embedding"), col("centroid_id"),
@@ -719,14 +730,17 @@ object Ann {
     // ann_ivf_topk oracle, run for EVERY vector, mutual via reversed-pair
     // self join
     QueryDef("ann_knn_graph", knnGraph, Some("""
-      WITH assigned AS (
+      WITH kk AS (
+        SELECT greatest(16, cast(ceil(sqrt(cast(count(*) as double))) as bigint)) AS k
+        FROM embeddings),
+      assigned AS (
         SELECT vec_id, embedding, cell FROM (
           SELECT e.vec_id, e.embedding, c.vec_id AS cell,
                  row_number() OVER (
                    PARTITION BY e.vec_id
                    ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
                             c.vec_id) AS rn
-          FROM embeddings e JOIN embeddings c ON c.vec_id < 16) t
+          FROM embeddings e JOIN embeddings c ON c.vec_id < (SELECT k FROM kk)) t
         WHERE rn = 1),
       knn AS (
         SELECT vec_id, neighbor_id, rank FROM (
