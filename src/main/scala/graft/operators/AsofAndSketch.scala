@@ -57,6 +57,34 @@ object AsofAndSketch {
       .orderBy("user_id", "click_id")
   }
 
+  /** NEAREST as-of join — the third direction: for every purchase, the
+   *  click of the same user CLOSEST in time, either side (sensor/event
+   *  alignment semantics; ties go backward, matching the attribution
+   *  convention). One shuffle on the user key, one per-key sort, BOTH
+   *  frames read off the same sorted pass (max-click-behind,
+   *  min-click-ahead) — still never an interval cross-product. */
+  def q70AsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+      .filter(col("event_type").isin("click", "purchase"))
+    val ord = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ev
+      .withColumn("back_us", max(when(col("event_type") === "click", col("ts_us"))).over(wb))
+      .withColumn("fwd_us", min(when(col("event_type") === "click", col("ts_us"))).over(wf))
+      .filter(col("event_type") === "purchase")
+      .withColumn("near_click_us",
+        when(col("fwd_us").isNull, col("back_us"))
+          .when(col("back_us").isNull, col("fwd_us"))
+          .when(col("ts_us") - col("back_us") <= col("fwd_us") - col("ts_us"), col("back_us"))
+          .otherwise(col("fwd_us")))
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("purchase_us"), col("near_click_us"),
+        abs(col("ts_us") - col("near_click_us")).as("abs_gap_us"))
+      .orderBy("user_id", "purchase_id")
+  }
+
   /** Streaming dedup: watermarked dropDuplicates on (user_id, event_type),
    *  run inside [[graft.streaming.EventStreams]]'s shared AvailableNow
    *  replay (one pass for all four stream_* entries). */
@@ -125,6 +153,30 @@ object AsofAndSketch {
   }
 
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: same two frames off one sorted pass, same backward tie
+    QueryDef("q70_asof_nearest", q70AsofNearest, Some("""
+      WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type IN ('click', 'purchase')),
+      w AS (
+        SELECT user_id, event_id, event_type, ts_us,
+               max(CASE WHEN event_type = 'click' THEN ts_us END)
+                 OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_us,
+               min(CASE WHEN event_type = 'click' THEN ts_us END)
+                 OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_us
+        FROM e),
+      p AS (
+        SELECT user_id, event_id AS purchase_id, ts_us AS purchase_us,
+               CASE WHEN fwd_us IS NULL THEN back_us
+                    WHEN back_us IS NULL THEN fwd_us
+                    WHEN ts_us - back_us <= fwd_us - ts_us THEN back_us
+                    ELSE fwd_us END AS near_click_us
+        FROM w WHERE event_type = 'purchase')
+      SELECT user_id, purchase_id, purchase_us, near_click_us,
+             abs(purchase_us - near_click_us) AS abs_gap_us
+      FROM p ORDER BY user_id, purchase_id""")),
     // the sketch only PRUNES candidates; emitted counts are the exact
     // second pass, so plain SQL with the same support threshold agrees
     QueryDef("q54_heavy_hitters", q54HeavyHitters, Some("""
