@@ -542,7 +542,7 @@ object Dedup {
   /** Shared oracle prefix: near-dup cluster labels via the recursive
    *  reachability closure (clusters are small, so the closure is cheap at
    *  oracle scale). Final CTE: `labels(node, cluster_id)`. */
-  private val ClusterCtes: String = """toks AS (
+  private[graft] val ClusterCtes: String = """toks AS (
         SELECT doc_id,
                CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
                     ELSE regexp_split_to_array(trim(text), '\s+') END AS t

@@ -455,7 +455,56 @@ object CurationPipeline {
       .orderBy("stage")
   }
 
+  /** DATASET CARD — the one-row release summary every training-data drop
+   *  publishes: corpus size, token count, language/source breadth, the
+   *  near-dup exposure (share of docs sitting in some near-dup cluster)
+   *  and mean quality — composed entirely from artifacts the engine
+   *  already maintains (the shared cluster-label snapshot; map-side
+   *  token/quality expressions). One corpus scan + one O(cluster-nodes)
+   *  count; every figure integer-exact. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).agg(
+      count(lit(1)).as("n_docs"),
+      sum(tokenCount(col("text")).cast("long")).as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(qualityBp(col("text"))).as("sq"))
+    val clustered = graft.dedup.Dedup.ngramClusterLabels(spark, dir)
+      .agg(count(lit(1)).as("n_in_clusters"))
+    base.crossJoin(clustered)
+      .select(col("n_docs"), col("n_tokens"), col("n_langs"), col("n_sources"),
+        expr("n_in_clusters * 10000 div n_docs").as("dup_doc_bp"),
+        expr("sq div n_docs").as("mean_quality_bp"))
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: the shared cluster closure for the dup share, the
+    // quality chain for the mean — all-floor integer arithmetic
+    QueryDef("pipeline_dataset_card", datasetCard, Some(s"""
+      WITH RECURSIVE ${graft.dedup.Dedup.ClusterCtes},
+      t AS (
+        SELECT doc_id, lang, source, text,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS ntok
+        FROM documents),
+      f AS (
+        SELECT doc_id, lang, source, ntok,
+               ${graft.Tables.QbpParts}
+        FROM t),
+      s AS (
+        SELECT doc_id, lang, source, ntok, ${graft.Tables.QbpExpr} AS qbp
+        FROM f),
+      b AS (
+        SELECT count(*) AS n_docs, sum(ntok) AS n_tokens,
+               count(DISTINCT lang) AS n_langs, count(DISTINCT source) AS n_sources,
+               sum(qbp) AS sq
+        FROM s),
+      c AS (SELECT count(*) AS n_in FROM labels)
+      SELECT cast(n_docs as bigint) AS n_docs, cast(n_tokens as bigint) AS n_tokens,
+             cast(n_langs as bigint) AS n_langs, cast(n_sources as bigint) AS n_sources,
+             cast(n_in * 10000 // n_docs as bigint) AS dup_doc_bp,
+             cast(sq // n_docs as bigint) AS mean_quality_bp
+      FROM b, c""")),
     QueryDef("pipeline_curriculum", curriculum, Some(s"""
       WITH t AS (
         SELECT doc_id, text,
