@@ -108,7 +108,50 @@ object SweepSkyline {
     hits.select(col("boundary_rank"), col("cents")).orderBy("boundary_rank")
   }
 
+  /** CUSUM CHANGE DETECTION over daily event volume — the monitoring
+   *  op behind "did traffic shift": sᵢ = max(0, sᵢ₋₁ + nᵢ − μ − k)
+   *  (Page 1954), slack k = μ/20, alarm at s > μ/2, all integer. The
+   *  recurrence is NONLINEAR (the max-clamp), so unlike the sweep's
+   *  prefix sum it does not decompose into per-slice windows + carries —
+   *  but its input is the per-DAY aggregate, rows bounded by the
+   *  calendar, not the corpus (the q63 discipline). The distributed part
+   *  is the daily rollup; the fold runs on the collected day table —
+   *  driver-side bookkeeping the size of a month, like the ScalableRank
+   *  offset passes. */
+  def q71Cusum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val mu = daily.map(_._2).sum / daily.length
+    val k = mu / 20
+    val h = mu / 2
+    val out = daily.scanLeft((0L, 0L, 0L)) { case ((_, _, s), (day, n)) =>
+      (day, n, math.max(0L, s + n - mu - k))
+    }.drop(1).map { case (day, n, s) => (day, n, s, if (s > h) 1L else 0L) }
+    import spark.implicits._
+    out.toSeq.toDF("day", "n_events", "cusum", "flagged").orderBy("day")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: the recurrence replayed by an ordinal recursive CTE
+    QueryDef("q71_cusum", q71Cusum, Some("""
+      WITH RECURSIVE d AS (
+        SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n
+        FROM events GROUP BY 1),
+      m AS (SELECT sum(n) // count(*) AS mu FROM d),
+      o AS (SELECT day, n, row_number() OVER (ORDER BY day) AS i FROM d),
+      r AS (
+        SELECT o.i, o.day, o.n,
+               greatest(0, o.n - m.mu - m.mu // 20) AS s
+        FROM o, m WHERE o.i = 1
+        UNION ALL
+        SELECT o.i, o.day, o.n,
+               greatest(0, r.s + o.n - m.mu - m.mu // 20)
+        FROM r JOIN o ON o.i = r.i + 1, m)
+      SELECT day, cast(n as bigint) AS n_events, cast(s as bigint) AS cusum,
+             cast(CASE WHEN s > (SELECT mu // 2 FROM m) THEN 1 ELSE 0 END as bigint) AS flagged
+      FROM r ORDER BY day""")),
     QueryDef("q69_equiheight", q69Equiheight, Some("""
       WITH t AS (
         SELECT cast(cast(cast(l_extendedprice as decimal(12,2)) * 100 as hugeint) as bigint) AS cents,
