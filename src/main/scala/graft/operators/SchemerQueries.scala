@@ -403,6 +403,50 @@ object SchemerQueries {
              min(event_id) AS min_event_id, max(event_id) AS max_event_id,
              cast(sum(user_id) as bigint) AS sum_user_id,
              max(cast(json_extract(props, '$.k') as bigint)) AS max_k
-      FROM events GROUP BY 1 ORDER BY event_type"""))
+      FROM events GROUP BY 1 ORDER BY event_type""")),
+    // exact twin: the same deterministic truncation; "corrupt" =
+    // unparseable. from_json(struct) returns NULL exactly when the text
+    // is not valid JSON here (every corrupted value is a strict PREFIX of
+    // an object — never a valid scalar — so Spark's null-on-unparseable
+    // and DuckDB's json_valid coincide on this corpus by construction)
+    QueryDef("schema_corrupt_audit", schemaCorruptAudit, Some("""
+      WITH r AS (
+        SELECT event_type, event_id,
+               CASE WHEN event_id % 37 = 0
+                    THEN substr(props, 1, cast(greatest(1, length(props) // 2) as int))
+                    ELSE props END AS raw
+        FROM events)
+      SELECT event_type, count(*) AS n_rows,
+             cast(sum(CASE WHEN json_valid(raw) THEN 0 ELSE 1 END) as bigint) AS n_corrupt,
+             max(CASE WHEN json_valid(raw) THEN cast(json_extract(raw, '$.k') as bigint) END) AS max_k
+      FROM r GROUP BY 1 ORDER BY event_type"""))
   )
+
+  /** PERMISSIVE-mode parse audit — the production complement of the
+   *  reference's fail-fast O2 (`Schemer.scala:13` aborts the whole run on
+   *  one malformed line; a 100 TB ingest cannot). Every 37th row's JSON
+   *  is deterministically truncated to simulate upstream corruption,
+   *  then the stream is parsed permissively: corrupt rows count into a
+   *  per-type audit instead of failing the job, valid rows still yield
+   *  their typed field. Map-side `from_json` + one aggregate — no
+   *  shuffle beyond the rollup. */
+  def schemaCorruptAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructType}
+    import scala.jdk.CollectionConverters._
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("event_id"),
+      when(col("event_id") % 37 === 0,
+        expr("substring(props, 1, greatest(1, length(props) div 2))"))
+        .otherwise(col("props")).as("raw"))
+    // PERMISSIVE mode yields an all-null struct for malformed input, so
+    // detection rides the dedicated corrupt-record column — the actual
+    // production quarantine pattern
+    val schema = new StructType().add("k", IntegerType).add("_corrupt_record", StringType)
+    ev.withColumn("j", from_json(col("raw"), schema,
+        Map("columnNameOfCorruptRecord" -> "_corrupt_record").asJava))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("j._corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+        max(col("j.k")).cast("bigint").as("max_k"))
+      .orderBy("event_type")
+  }
 }
