@@ -477,7 +477,39 @@ object CurationPipeline {
         expr("sq div n_docs").as("mean_quality_bp"))
   }
 
+  /** K-ANONYMITY AUDIT — the privacy gate a dataset release runs before
+   *  shipping: group the corpus by its quasi-identifier tuple (language,
+   *  source, length decile bucket) and report the release's k-anonymity
+   *  (the SMALLEST group size — any group below k=5 makes its members
+   *  re-identifiable), plus how many groups and rows sit below the bar.
+   *  One groupBy on the QI tuple + one summary aggregate; the QI space
+   *  is bounded (langs × sources × 10), so the second aggregate is
+   *  driver-trivial at any corpus size. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"),
+        expr("least(9, n_chars div 60)").cast("long").as("len_bucket"))
+      .agg(count(lit(1)).as("sz"))
+      .agg(
+        min("sz").as("k_anonymity"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("sz") < 5, 1L).otherwise(0L)).as("n_small_groups"),
+        sum(when(col("sz") < 5, col("sz")).otherwise(0L)).as("rows_at_risk"),
+        expr("sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) * 10000 div sum(sz)").as("at_risk_bp"))
+
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: same QI bucketing (integer division), same k=5 bar
+    QueryDef("pipeline_k_anonymity", kAnonymity, Some("""
+      WITH g AS (
+        SELECT lang, source, least(9, n_chars // 60) AS len_bucket,
+               count(*) AS sz
+        FROM documents GROUP BY 1, 2, 3)
+      SELECT cast(min(sz) as bigint) AS k_anonymity,
+             count(*) AS n_groups,
+             cast(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) as bigint) AS n_small_groups,
+             cast(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) as bigint) AS rows_at_risk,
+             cast(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) * 10000 // sum(sz) as bigint) AS at_risk_bp
+      FROM g""")),
     // exact twin: the shared cluster closure for the dup share, the
     // quality chain for the mean — all-floor integer arithmetic
     QueryDef("pipeline_dataset_card", datasetCard, Some(s"""

@@ -181,6 +181,32 @@ object TrainingOps {
       .orderBy("source")
   }
 
+  /** FEATURE-LABEL ASSOCIATION — the exact first step of training a
+   *  linear label classifier (and the classic feature-selection screen):
+   *  for each token, how unbalanced its document frequency is between
+   *  English and non-English docs. The score is the cross-multiplied
+   *  rate difference `n_pos·N_neg − n_neg·N_pos` (sign = direction) —
+   *  exactly proportional to the first logistic-regression gradient from
+   *  zero weights over binary presence features (σ(0) = ½ makes step one
+   *  LINEAR — no exp, so the distributed gradient aggregate is
+   *  integer-exact). One distinct-presence explode + one hash aggregate
+   *  + TakeOrdered; the (N_pos, N_neg) calibration is a broadcast row. */
+  def labelAssoc(spark: SparkSession, dir: String): DataFrame = {
+    val dt = Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("lang") === "en").cast("long").as("y"),
+        explode(array_distinct(tokens(col("text")))).as("token"))
+    val tot = broadcast(Tables.documents(spark, dir)
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("np"),
+        sum(when(col("lang") === "en", 0L).otherwise(1L)).as("nn")))
+    dt.groupBy("token")
+      .agg(sum("y").as("n_pos"), sum(expr("1 - y")).as("n_neg"))
+      .crossJoin(tot)
+      .select(col("token"), col("n_pos"), col("n_neg"),
+        expr("n_pos * nn - n_neg * np").as("assoc"))
+      .orderBy(abs(col("assoc")).desc, col("token"))
+      .limit(20)
+  }
+
   // ---- Vocabulary coverage -------------------------------------------------
 
   /** Out-of-vocabulary rate per source against the corpus' own top-100
@@ -456,6 +482,28 @@ object TrainingOps {
       SELECT token, count(*) AS n
       FROM (SELECT unnest(toks) AS token FROM t)
       GROUP BY token ORDER BY n DESC, token LIMIT 50""")),
+    // exact twin: distinct token presence, the same cross-multiplied
+    // gradient, abs-ranked with the token tiebreak
+    QueryDef("text_label_assoc", labelAssoc, Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        FROM documents),
+      dt AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               unnest(toks) AS token
+        FROM t),
+      tot AS (
+        SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np,
+               sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS nn
+        FROM documents),
+      c AS (SELECT token, sum(y) AS n_pos, sum(1 - y) AS n_neg FROM dt GROUP BY 1)
+      SELECT token, cast(n_pos as bigint) AS n_pos, cast(n_neg as bigint) AS n_neg,
+             cast(n_pos * nn - n_neg * np as bigint) AS assoc
+      FROM c, tot
+      ORDER BY abs(n_pos * nn - n_neg * np) DESC, token LIMIT 20""")),
     // exact twin: same tokenization/bigram machinery as text_bpe_pairs,
     // the mean threshold cross-multiplied, all-floor integer shares
     QueryDef("text_bigram_lm", bigramLm, Some("""
