@@ -497,7 +497,35 @@ object CurationPipeline {
         sum(when(col("sz") < 5, col("sz")).otherwise(0L)).as("rows_at_risk"),
         expr("sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) * 10000 div sum(sz)").as("at_risk_bp"))
 
+  /** L-DIVERSITY AUDIT — [[kAnonymity]]'s sibling: k-anonymity alone
+   *  still leaks when a small group is homogeneous in the SENSITIVE
+   *  attribute (everyone in the group shares it, so membership reveals
+   *  it). Here language is the sensitive attribute and (source, length
+   *  bucket) the quasi-identifiers: report the release's l-diversity
+   *  (minimum distinct sensitive values per group) and the exposure
+   *  below l=3. Same bounded-QI shape as the k-audit. */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"), expr("least(9, n_chars div 60)").cast("long").as("len_bucket"))
+      .agg(countDistinct(col("lang")).as("l"), count(lit(1)).as("sz"))
+      .agg(
+        min("l").as("l_diversity"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("l") < 3, 1L).otherwise(0L)).as("n_low_groups"),
+        sum(when(col("l") < 3, col("sz")).otherwise(0L)).as("rows_at_risk"))
+
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: same QI bucketing, same l=3 bar
+    QueryDef("pipeline_l_diversity", lDiversity, Some("""
+      WITH g AS (
+        SELECT source, least(9, n_chars // 60) AS len_bucket,
+               count(DISTINCT lang) AS l, count(*) AS sz
+        FROM documents GROUP BY 1, 2)
+      SELECT cast(min(l) as bigint) AS l_diversity,
+             count(*) AS n_groups,
+             cast(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) as bigint) AS n_low_groups,
+             cast(sum(CASE WHEN l < 3 THEN sz ELSE 0 END) as bigint) AS rows_at_risk
+      FROM g""")),
     // exact twin: same QI bucketing (integer division), same k=5 bar
     QueryDef("pipeline_k_anonymity", kAnonymity, Some("""
       WITH g AS (
