@@ -392,7 +392,71 @@ object TextQueries {
       .orderBy("src_a", "src_b")
   }
 
+  /** SOURCE-DISTRIBUTION DIVERGENCE — pairwise L1 distance between the
+   *  token FREQUENCY distributions of each source pair, in half-up basis
+   *  points of the maximum (2). The distributional complement of
+   *  [[sourceOverlap]]'s set-based Jaccard: two sources can share most
+   *  of a vocabulary yet use it at very different rates — this is what a
+   *  mixture planner reads to know whether two feeds are interchangeable.
+   *  Exact integers throughout: Σ|pₐ−p_b| cross-multiplies to
+   *  Σ|cₐ·T_b − c_b·Tₐ|, and the tokens present in only one source
+   *  contribute (Tₐ−Σshared cₐ)·T_b + (T_b−Σshared c_b)·Tₐ — recovered
+   *  from the shared-token join alone, so ONE equi-join on the token
+   *  (per-token fanout ≤ sources², the sourceOverlap discipline) covers
+   *  the whole sum with no full-outer expansion. */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+      .persist() // three consumers: totals and both join sides
+    val t = c.groupBy("source").agg(sum("cnt").as("tt"))
+    c.select(col("source").as("src_a"), col("token"), col("cnt").as("ca"))
+      .join(c.select(col("source").as("src_b"), col("token"), col("cnt").as("cb")), "token")
+      .filter(col("src_a") < col("src_b"))
+      .join(t.select(col("source").as("src_a"), col("tt").as("ta")), "src_a")
+      .join(t.select(col("source").as("src_b"), col("tt").as("tb")), "src_b")
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"),
+        // per-row |ca·tb − cb·ta| fits a long (≤ ~1e13 at sf10) but the
+        // SUM over a big shared vocabulary does not — accumulate decimal
+        sum(abs(col("ca") * col("tb") - col("cb") * col("ta")).cast("decimal(38,0)")).as("s_abs"),
+        sum("ca").as("sca"), sum("cb").as("scb"),
+        first("ta").as("ta"), first("tb").as("tb"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        expr("""cast((2 * (s_abs + (ta - sca) * cast(tb as decimal(38,0))
+                           + (tb - scb) * cast(ta as decimal(38,0))) * 10000
+               + 2 * cast(ta as decimal(38,0)) * tb)
+               div (2 * 2 * cast(ta as decimal(38,0)) * tb) as bigint)""").as("l1_bp"))
+      .orderBy("src_a", "src_b")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: one shared-token join, the one-sided mass recovered
+    // from the totals, identical half-up integer normalization
+    QueryDef("text_source_divergence", sourceDivergence, Some("""
+      WITH dt AS (
+        SELECT source, unnest(
+          CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+               ELSE regexp_split_to_array(trim(text), '\s+') END) AS token
+        FROM documents),
+      c AS (SELECT source, token, count(*) AS cnt FROM dt GROUP BY 1, 2),
+      t AS (SELECT source, sum(cnt) AS tt FROM c GROUP BY 1),
+      sh AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               count(*) AS n_shared,
+               sum(abs(a.cnt * tb.tt - b.cnt * ta.tt)) AS s_abs,
+               sum(a.cnt) AS sca, sum(b.cnt) AS scb
+        FROM c a JOIN c b ON a.token = b.token AND a.source < b.source
+        JOIN t ta ON ta.source = a.source
+        JOIN t tb ON tb.source = b.source
+        GROUP BY 1, 2)
+      SELECT src_a, src_b, cast(n_shared as bigint) AS n_shared,
+             cast((2 * (s_abs + (ta.tt - sca) * tb.tt + (tb.tt - scb) * ta.tt) * 10000
+                   + 2 * ta.tt * tb.tt) // (2 * 2 * ta.tt * tb.tt) as bigint) AS l1_bp
+      FROM sh
+      JOIN t ta ON ta.source = sh.src_a
+      JOIN t tb ON tb.source = sh.src_b
+      ORDER BY src_a, src_b""")),
     // exact twin: string shingles stand in for the 64-bit hashes (the
     // text_novelty equivalence — set operations are collision-free at
     // oracle scale), same half-up integer Jaccard
