@@ -335,7 +335,68 @@ object GraphOps {
       FROM l$rounds GROUP BY 1 ORDER BY n_members DESC, component LIMIT 10"""
   }
 
+  /** EDGE CHURN — the dynamic-graph monitoring report: build the
+   *  co-purchase graph from orders BEFORE vs AFTER a calendar cutoff and
+   *  classify every edge as stable / gained / lost, with churn in basis
+   *  points of the union. The "did the relationship structure shift"
+   *  probe a recommender retrain decision reads. Each snapshot is the
+   *  usual order-key inverted-index edge build (date filter pushed into
+   *  the orders scan, semi-joined to lineitem); the diff is ONE
+   *  full-outer join on the edge pair rolled straight into a single
+   *  aggregate — no anti-join passes, no edge set materialized twice. */
+  def edgeChurn(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = to_timestamp_ntz(lit("1998-04-01 00:00:00"))
+    def snapshot(cond: org.apache.spark.sql.Column): DataFrame = {
+      val op = Tables.lineitem(spark, dir)
+        .filter(col("l_quantity") >= 40)
+        .join(Tables.orders(spark, dir).filter(cond).select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      op.as("a").join(op.as("b"), "ok")
+        .filter(col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("x"), col("b.pk").as("y"))
+        .distinct()
+    }
+    snapshot(col("o_orderdate") < cutoff).withColumn("b", lit(1L))
+      .join(snapshot(col("o_orderdate") >= cutoff).withColumn("a", lit(1L)),
+        Seq("x", "y"), "full_outer")
+      .select(coalesce(col("b"), lit(0L)).as("b"), coalesce(col("a"), lit(0L)).as("a"))
+      .agg(sum("b").as("n_before"), sum("a").as("n_after"),
+        sum(col("b") * col("a")).as("n_stable"),
+        sum(col("a") * (lit(1L) - col("b"))).as("n_gained"),
+        sum(col("b") * (lit(1L) - col("a"))).as("n_lost"))
+      .select(col("n_before"), col("n_after"), col("n_stable"), col("n_gained"), col("n_lost"),
+        expr("(n_gained + n_lost) * 10000 div (n_stable + n_gained + n_lost)").as("churn_bp"))
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: two date-filtered snapshots, one full-outer flag diff
+    QueryDef("graph_edge_churn", edgeChurn, Some("""
+      WITH opb AS (
+        SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_quantity >= 40 AND o.o_orderdate < timestamp '1998-04-01 00:00:00'),
+      eb AS MATERIALIZED (
+        SELECT DISTINCT a.pk AS x, b.pk AS y
+        FROM opb a JOIN opb b ON a.ok = b.ok AND a.pk < b.pk),
+      opa AS (
+        SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_quantity >= 40 AND o.o_orderdate >= timestamp '1998-04-01 00:00:00'),
+      ea AS MATERIALIZED (
+        SELECT DISTINCT a.pk AS x, b.pk AS y
+        FROM opa a JOIN opa b ON a.ok = b.ok AND a.pk < b.pk),
+      m AS (
+        SELECT CASE WHEN eb.x IS NOT NULL THEN 1 ELSE 0 END AS b,
+               CASE WHEN ea.x IS NOT NULL THEN 1 ELSE 0 END AS a
+        FROM eb FULL OUTER JOIN ea ON eb.x = ea.x AND eb.y = ea.y)
+      SELECT cast(sum(b) as bigint) AS n_before, cast(sum(a) as bigint) AS n_after,
+             cast(sum(b * a) as bigint) AS n_stable,
+             cast(sum(a * (1 - b)) as bigint) AS n_gained,
+             cast(sum(b * (1 - a)) as bigint) AS n_lost,
+             cast((sum(a * (1 - b)) + sum(b * (1 - a))) * 10000
+                  // (sum(b * a) + sum(a * (1 - b)) + sum(b * (1 - a))) as bigint) AS churn_bp
+      FROM m""")),
     QueryDef("graph_components", components, Some(hashMinCcSql(16))),
     // exact twin: 3 unrolled peel rounds, survivors via IN-subqueries
     QueryDef("graph_kcore", kcore, Some("""
