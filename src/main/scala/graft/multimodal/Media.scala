@@ -570,6 +570,34 @@ object Media {
       })
   }
 
+  /** CORRUPT-CONTAINER AUDIT — the decode tier's quarantine path (the
+   *  media twin of schema_corrupt_audit): every 41st container is
+   *  deterministically truncated to half its bytes, each record is
+   *  decoded AS ITS DECLARED FORMAT inside a per-row Try, and failures
+   *  roll into a per-format audit instead of killing the task — the
+   *  error-tolerance a real ingest of scraped media cannot ship without.
+   *  Oracle-exact because the failure set is fully determined: a valid
+   *  container never throws, and a half-truncated one always does (the
+   *  pixel/sample walk or the header read overruns the buffer — there is
+   *  no length at which half a container still parses). */
+  def mediaCorruptAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaContainers(spark, dir)
+      .mapPartitions(_.map { r =>
+        val m = if (r.doc_id % 41 == 0) r.media.take(r.media.length / 2) else r.media
+        val ok = scala.util.Try {
+          if (r.format == "bmp") Codec.decodeBmp(m) else Codec.decodeWav(m)
+        }.isSuccess
+        (r.doc_id, r.format, ok)
+      })
+      .toDF("doc_id", "format", "ok")
+      .groupBy("format")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(not(col("ok")), 1L).otherwise(0L)).as("n_bad"),
+        max(when(col("ok"), col("doc_id"))).as("max_good_doc"))
+      .orderBy("format")
+  }
+
   /** Decode + feature-extract: typed `mapPartitions` — each task streams
    *  its partition through the codec, no collect, no per-row UDF boxing. */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
@@ -1186,6 +1214,15 @@ object Media {
              cast(max(energy) as bigint) AS max_energy,
              cast(sum(energy) as bigint) AS total_energy
       FROM e GROUP BY doc_id ORDER BY doc_id""")),
+    // exact twin: the failure set is the deterministic truncation rule
+    // (valid containers never throw; half-truncated ones always do)
+    QueryDef("media_corrupt_audit", mediaCorruptAudit, Some("""
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+             count(*) AS n_files,
+             cast(sum(CASE WHEN doc_id % 41 = 0 THEN 1 ELSE 0 END) as bigint) AS n_bad,
+             cast(max(CASE WHEN doc_id % 41 <> 0 THEN doc_id END) as bigint) AS max_good_doc
+      FROM documents
+      GROUP BY 1 ORDER BY 1""")),
     QueryDef("media_meta", mediaMeta, Some("""
       SELECT doc_id,
              CASE WHEN substr(md5(text),1,1) <= '3' THEN 'jpeg'
