@@ -133,7 +133,49 @@ object SweepSkyline {
     out.toSeq.toDF("day", "n_events", "cusum", "flagged").orderBy("day")
   }
 
+  /** DECILE MOBILITY — the cohort-movement matrix: each customer's spend
+   *  decile before vs after a calendar cutoff, counted into the 10×10
+   *  transition matrix (who moved up, who churned down — the
+   *  customer-lifetime analytics a retention team reads). BOTH rankings
+   *  run through the distributed ntile ([[ScalableRank.withNtile]] —
+   *  range-partitioned rank, never a global window), each over its full
+   *  period population; the matrix join is per-customer. */
+  def q72DecileMobility(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = to_timestamp_ntz(lit("1998-04-01 00:00:00"))
+    def spend(cond: org.apache.spark.sql.Column) =
+      Tables.orders(spark, dir).filter(cond)
+        .groupBy(col("o_custkey"))
+        .agg(expr("cast(sum(cast(cast(o_totalprice as decimal(12,2)) * 100 as decimal(38,0))) as long)").as("s"))
+    val p1 = ScalableRank.withNtile(
+      spend(col("o_orderdate") < cutoff), Seq(col("s"), col("o_custkey")), 10, "d1")
+      .select(col("o_custkey"), col("d1"))
+    val p2 = ScalableRank.withNtile(
+      spend(col("o_orderdate") >= cutoff), Seq(col("s"), col("o_custkey")), 10, "d2")
+      .select(col("o_custkey"), col("d2"))
+    p1.join(p2, "o_custkey")
+      .groupBy("d1", "d2").agg(count(lit(1)).as("n_customers"))
+      .orderBy("d1", "d2")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: two window ntiles over the same per-period spend
+    QueryDef("q72_decile_mobility", q72DecileMobility, Some("""
+      WITH s1 AS (
+        SELECT o_custkey,
+               cast(sum(cast(cast(o_totalprice as decimal(12,2)) * 100 as hugeint)) as bigint) AS s
+        FROM orders WHERE o_orderdate < timestamp '1998-04-01 00:00:00'
+        GROUP BY 1),
+      s2 AS (
+        SELECT o_custkey,
+               cast(sum(cast(cast(o_totalprice as decimal(12,2)) * 100 as hugeint)) as bigint) AS s
+        FROM orders WHERE o_orderdate >= timestamp '1998-04-01 00:00:00'
+        GROUP BY 1),
+      p1 AS (SELECT o_custkey, ntile(10) OVER (ORDER BY s, o_custkey) AS d1 FROM s1),
+      p2 AS (SELECT o_custkey, ntile(10) OVER (ORDER BY s, o_custkey) AS d2 FROM s2)
+      SELECT cast(d1 as bigint) AS d1, cast(d2 as bigint) AS d2,
+             count(*) AS n_customers
+      FROM p1 JOIN p2 USING (o_custkey)
+      GROUP BY 1, 2 ORDER BY d1, d2""")),
     // exact twin: the recurrence replayed by an ordinal recursive CTE
     QueryDef("q71_cusum", q71Cusum, Some("""
       WITH RECURSIVE d AS (
