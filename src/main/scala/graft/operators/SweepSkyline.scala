@@ -157,7 +157,54 @@ object SweepSkyline {
       .orderBy("d1", "d2")
   }
 
+  /** LAG-1 AUTOCORRELATION of daily event volume — the "is traffic
+   *  momentum real" statistic a forecaster checks before fitting
+   *  anything: Pearson correlation between consecutive days' counts.
+   *  All moments are exact integer sums over the (day, next-day) pairs
+   *  — num = n·Σxy − Σx·Σy, den² = (n·Σx² − (Σx)²)·(n·Σy² − (Σy)²) —
+   *  with ONE IEEE sqrt+division at the output boundary (the q57_trend
+   *  convention: both engines agree on a single float op over identical
+   *  integers). The pairing lag runs over the per-day aggregate —
+   *  calendar-bounded rows, the q63 discipline. */
+  def q73Autocorr(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Window.orderBy("day")
+    val pairs = Tables.events(spark, dir)
+      .groupBy(expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("y", lead("x", 1).over(byDay))
+      .filter(col("y").isNotNull)
+    pairs.agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n"),
+        expr("n * sxy - sx * sy").as("num"),
+        expr("n * sxx - sx * sx").as("den_x"),
+        expr("n * syy - sy * sy").as("den_y"),
+        expr("cast(n * sxy - sx * sy as double) / sqrt(cast(n * sxx - sx * sx as double) * cast(n * syy - sy * sy as double))").as("r"))
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: same integer moments, one float sqrt/division at the end
+    QueryDef("q73_autocorr", q73Autocorr, Some("""
+      WITH d AS (
+        SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS x
+        FROM events GROUP BY 1),
+      p AS (
+        SELECT x, lead(x) OVER (ORDER BY day) AS y FROM d),
+      q AS (SELECT x, y FROM p WHERE y IS NOT NULL),
+      m AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        FROM q)
+      SELECT cast(n as bigint) AS n,
+             cast(n * sxy - sx * sy as bigint) AS num,
+             cast(n * sxx - sx * sx as bigint) AS den_x,
+             cast(n * syy - sy * sy as bigint) AS den_y,
+             cast(n * sxy - sx * sy as double)
+               / sqrt(cast(n * sxx - sx * sx as double) * cast(n * syy - sy * sy as double)) AS r
+      FROM m""")),
     // exact twin: two window ntiles over the same per-period spend
     QueryDef("q72_decile_mobility", q72DecileMobility, Some("""
       WITH s1 AS (
