@@ -369,7 +369,57 @@ object GraphOps {
         expr("(n_gained + n_lost) * 10000 div (n_stable + n_gained + n_lost)").as("churn_bp"))
   }
 
+  /** DEGREE ASSORTATIVITY (Newman 2002) — does the co-purchase graph
+   *  wire hubs to hubs (assortative, r > 0) or hubs to leaves
+   *  (disassortative, r < 0)? The one-number wiring diagnostic read
+   *  before trusting degree-based sampling or epidemic-style reach
+   *  estimates. Pearson correlation of endpoint degrees over every
+   *  DIRECTED edge: all moments are integer sums (accumulated in
+   *  decimal(38) — degree products × edge counts overflow long at
+   *  sf10-class graphs), one IEEE sqrt/division at the boundary. Two
+   *  degree-table joins on the shared snapshot, one aggregate. */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val und = bulkCoPurchaseEdges(spark, dir)
+    val edges = und.select(col("x").as("src"), col("y").as("dst"))
+      .unionAll(und.select(col("y").as("src"), col("x").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    edges
+      .join(deg.select(col("src"), col("d").as("dx")), "src")
+      .join(deg.select(col("src").as("dst"), col("d").as("dy")), "dst")
+      .agg(count(lit(1)).as("n"),
+        sum(col("dx").cast("decimal(38,0)")).as("sx"),
+        sum(col("dy").cast("decimal(38,0)")).as("sy"),
+        sum((col("dx") * col("dx")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("dy") * col("dy")).cast("decimal(38,0)")).as("syy"),
+        sum((col("dx") * col("dy")).cast("decimal(38,0)")).as("sxy"))
+      .select(col("n"),
+        expr("""cast(n * sxy - sx * sy as double)
+               / sqrt(cast(n * sxx - sx * sx as double) * cast(n * syy - sy * sy as double))""").as("r"))
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: same symmetric edge-degree pairs, hugeint moments, one
+    // float sqrt/division at the end
+    QueryDef("graph_assortativity", assortativity, Some("""
+      WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem WHERE l_quantity >= 40),
+      und AS MATERIALIZED (
+        SELECT DISTINCT a.pk AS x, b.pk AS y
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+      edges AS MATERIALIZED (
+        SELECT x AS src, y AS dst FROM und UNION ALL SELECT y, x FROM und),
+      deg AS (SELECT src, cast(count(*) as hugeint) AS d FROM edges GROUP BY 1),
+      p AS (
+        SELECT da.d AS dx, db.d AS dy
+        FROM edges e JOIN deg da ON da.src = e.src JOIN deg db ON db.src = e.dst),
+      m AS (
+        SELECT cast(count(*) as hugeint) AS n, sum(dx) AS sx, sum(dy) AS sy,
+               sum(dx * dx) AS sxx, sum(dy * dy) AS syy, sum(dx * dy) AS sxy
+        FROM p)
+      SELECT cast(n as bigint) AS n,
+             cast(n * sxy - sx * sy as double)
+               / sqrt(cast(n * sxx - sx * sx as double) * cast(n * syy - sy * sy as double)) AS r
+      FROM m""")),
     // exact twin: two date-filtered snapshots, one full-outer flag diff
     QueryDef("graph_edge_churn", edgeChurn, Some("""
       WITH opb AS (

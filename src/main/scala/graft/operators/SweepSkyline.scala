@@ -185,7 +185,62 @@ object SweepSkyline {
         expr("cast(n * sxy - sx * sy as double) / sqrt(cast(n * sxx - sx * sx as double) * cast(n * syy - sy * sy as double))").as("r"))
   }
 
+  /** ABC / PARETO REVENUE CLASSES — the inventory-analytics classic:
+   *  rank parts by revenue, classify into A (first 80% of cumulative
+   *  revenue), B (to 95%), C (tail), report each class's size and share.
+   *  The running revenue share is a GLOBAL prefix sum in rank order —
+   *  exactly [[ScalableRank.withGroupedPrefixSum]] over the negated-
+   *  revenue sort key (the primitive takes ascending keys), so the
+   *  classification never funnels the part table through one window
+   *  task. Class boundaries are cross-multiplied integer compares on
+   *  the INCLUSIVE cumulative cents. */
+  def q74Abc(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(expr("cast(sum(cast(cast(l_extendedprice as decimal(12,2)) * 100 as decimal(38,0))) as long)").as("r"))
+      .withColumn("nr", -col("r"))
+      .withColumn("g", lit(1))
+    val total = broadcast(rev.agg(sum("r").as("t")))
+    ScalableRank
+      .withGroupedPrefixSum(rev, Seq("g"), Seq("nr", "l_partkey"), "r", "prev")
+      .withColumn("cum", col("prev") + col("r"))
+      .crossJoin(total)
+      .withColumn("cls",
+        when(col("cum") * 100 <= col("t") * 80, "A")
+          .when(col("cum") * 100 <= col("t") * 95, "B")
+          .otherwise("C"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_parts"), sum("r").as("class_cents"))
+      .crossJoin(total)
+      .select(col("cls"), col("n_parts"), col("class_cents"),
+        expr("(2 * class_cents * 10000 + t) div (2 * t)").as("share_bp"))
+      .orderBy("cls")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: the rank-order running sum as a window, same
+    // cross-multiplied class boundaries and half-up shares
+    QueryDef("q74_abc", q74Abc, Some("""
+      WITH rev AS (
+        SELECT l_partkey,
+               cast(sum(cast(cast(l_extendedprice as decimal(12,2)) * 100 as hugeint)) as bigint) AS r
+        FROM lineitem GROUP BY 1),
+      tot AS (SELECT sum(r) AS t FROM rev),
+      c AS (
+        SELECT l_partkey, r,
+               sum(r) OVER (ORDER BY r DESC, l_partkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM rev),
+      k AS (
+        SELECT r, CASE WHEN cum * 100 <= t * 80 THEN 'A'
+                       WHEN cum * 100 <= t * 95 THEN 'B'
+                       ELSE 'C' END AS cls
+        FROM c, tot)
+      SELECT cls, count(*) AS n_parts,
+             cast(sum(r) as bigint) AS class_cents,
+             cast((2 * sum(r) * 10000 + t) // (2 * t) as bigint) AS share_bp
+      FROM k, tot
+      GROUP BY cls, t ORDER BY cls""")),
     // exact twin: same integer moments, one float sqrt/division at the end
     QueryDef("q73_autocorr", q73Autocorr, Some("""
       WITH d AS (
