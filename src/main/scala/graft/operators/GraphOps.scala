@@ -397,7 +397,42 @@ object GraphOps {
                / sqrt(cast(n * sxx - sx * sx as double) * cast(n * syy - sy * sy as double))""").as("r"))
   }
 
+  /** Power-of-two CASE ladder shared verbatim by both engines — the
+   *  pipeline_length_buckets discipline: no floating log2 at integer
+   *  boundaries. */
+  private val degreeLadder: String = {
+    val cases = (20 to 0 by -1).map(k => s"WHEN d >= ${1L << k} THEN ${1L << k}").mkString(" ")
+    s"CASE $cases ELSE 0 END"
+  }
+
+  /** DEGREE DISTRIBUTION — the first chart anyone draws of a graph:
+   *  node counts per power-of-two degree bucket (the log-log histogram
+   *  that reveals heavy tails). One degree aggregate over the shared
+   *  edge snapshot + one ~20-row rollup; bucketing via the integer CASE
+   *  ladder, no float log. */
+  def degreeHist(spark: SparkSession, dir: String): DataFrame = {
+    val und = bulkCoPurchaseEdges(spark, dir)
+    und.select(col("x").as("n")).unionAll(und.select(col("y").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .groupBy(expr(degreeLadder).as("degree_bucket"))
+      .agg(count(lit(1)).as("n_nodes"), sum("d").as("sum_degree"))
+      .orderBy("degree_bucket")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    QueryDef("graph_degree_hist", degreeHist, Some(s"""
+      WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem WHERE l_quantity >= 40),
+      und AS MATERIALIZED (
+        SELECT DISTINCT a.pk AS x, b.pk AS y
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+      deg AS (
+        SELECT n, cast(count(*) as bigint) AS d
+        FROM (SELECT x AS n FROM und UNION ALL SELECT y FROM und)
+        GROUP BY n)
+      SELECT $degreeLadder AS degree_bucket,
+             count(*) AS n_nodes, cast(sum(d) as bigint) AS sum_degree
+      FROM deg GROUP BY 1 ORDER BY degree_bucket""")),
     // exact twin: same symmetric edge-degree pairs, hugeint moments, one
     // float sqrt/division at the end
     QueryDef("graph_assortativity", assortativity, Some("""

@@ -217,7 +217,43 @@ object SweepSkyline {
       .orderBy("cls")
   }
 
+  /** GINI COEFFICIENT of revenue concentration across parts — the
+   *  inequality statistic behind "how head-heavy is this catalog"
+   *  (and, on a corpus, "how skewed is the source mix"). Closed form on
+   *  ascending-ranked values: G = (2·Σ i·rᵢ − (n+1)·Σr) / (n·Σr). The
+   *  global rank comes from [[ScalableRank.withGlobalRowNumber]] (range
+   *  partition + offsets — no single-task sort); the moments are exact
+   *  integer sums in decimal(38) (rank·revenue products overflow long);
+   *  one final division at the output boundary. */
+  def q75Gini(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(expr("cast(sum(cast(cast(l_extendedprice as decimal(12,2)) * 100 as decimal(38,0))) as long)").as("r"))
+    val (ranked, n) = ScalableRank.withGlobalRowNumber(
+      rev, Seq(col("r"), col("l_partkey")), "i")
+    ranked.agg(
+        sum((col("i") * col("r")).cast("decimal(38,0)")).as("sir"),
+        sum(col("r").cast("decimal(38,0)")).as("sr"))
+      .select(lit(n).as("n_parts"),
+        expr(s"cast(2 * sir - ${n + 1} * sr as double) / cast($n * sr as double)").as("gini"))
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: ascending row_number rank, hugeint moments, one division
+    QueryDef("q75_gini", q75Gini, Some("""
+      WITH rev AS (
+        SELECT l_partkey,
+               cast(sum(cast(cast(l_extendedprice as decimal(12,2)) * 100 as hugeint)) as bigint) AS r
+        FROM lineitem GROUP BY 1),
+      rk AS (
+        SELECT r, row_number() OVER (ORDER BY r, l_partkey) AS i FROM rev),
+      m AS (
+        SELECT cast(count(*) as hugeint) AS n,
+               sum(cast(i as hugeint) * r) AS sir, sum(cast(r as hugeint)) AS sr
+        FROM rk)
+      SELECT cast(n as bigint) AS n_parts,
+             cast(2 * sir - (n + 1) * sr as double) / cast(n * sr as double) AS gini
+      FROM m""")),
     // exact twin: the rank-order running sum as a window, same
     // cross-multiplied class boundaries and half-up shares
     QueryDef("q74_abc", q74Abc, Some("""
