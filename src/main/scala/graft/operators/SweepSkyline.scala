@@ -238,7 +238,53 @@ object SweepSkyline {
         expr(s"cast(2 * sir - ${n + 1} * sr as double) / cast($n * sr as double)").as("gini"))
   }
 
+  /** LORENZ CURVE decile points — the plot behind [[q75Gini]]'s number:
+   *  cumulative revenue share at each population decile (poorest 10%,
+   *  20%, …). Deciles come from the distributed ntile over ascending
+   *  revenue; the cumulative pass runs over the TEN per-decile rows
+   *  (bounded, the q63 discipline); shares are half-up integer bp. */
+  def q76Lorenz(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(expr("cast(sum(cast(cast(l_extendedprice as decimal(12,2)) * 100 as decimal(38,0))) as long)").as("r"))
+    val byDecile = ScalableRank
+      .withNtile(rev, Seq(col("r"), col("l_partkey")), 10, "decile")
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_parts"), sum(col("r").cast("decimal(38,0)")).as("dc"))
+    val w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDecile
+      .withColumn("cum", sum("dc").over(w))
+      .crossJoin(broadcast(rev.agg(sum(col("r").cast("decimal(38,0)")).as("t"))))
+      .select(col("decile"), col("n_parts"),
+        col("dc").cast("string").as("decile_cents"),
+        expr("cast((2 * cum * 10000 + t) div (2 * t) as bigint)").as("cum_share_bp"))
+      .orderBy("decile")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: window ntile over the same ascending key, bounded
+    // cumulative pass, identical half-up shares (cents as strings — the
+    // decimal/hugeint totals exceed the double-safe range)
+    QueryDef("q76_lorenz", q76Lorenz, Some("""
+      WITH rev AS (
+        SELECT l_partkey,
+               cast(sum(cast(cast(l_extendedprice as decimal(12,2)) * 100 as hugeint)) as bigint) AS r
+        FROM lineitem GROUP BY 1),
+      d AS (
+        SELECT r, ntile(10) OVER (ORDER BY r, l_partkey) AS decile FROM rev),
+      g AS (
+        SELECT decile, count(*) AS n_parts, sum(cast(r as hugeint)) AS dc
+        FROM d GROUP BY 1),
+      c AS (
+        SELECT decile, n_parts, dc,
+               sum(dc) OVER (ORDER BY decile
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM g),
+      t AS (SELECT sum(cast(r as hugeint)) AS t FROM rev)
+      SELECT cast(decile as bigint) AS decile, n_parts,
+             cast(dc as varchar) AS decile_cents,
+             cast((2 * cum * 10000 + t.t) // (2 * t.t) as bigint) AS cum_share_bp
+      FROM c, t ORDER BY decile""")),
     // exact twin: ascending row_number rank, hugeint moments, one division
     QueryDef("q75_gini", q75Gini, Some("""
       WITH rev AS (
