@@ -419,7 +419,86 @@ object GraphOps {
       .orderBy("degree_bucket")
   }
 
+  /** LOCAL CLUSTERING COEFFICIENT census — Watts–Strogatz "how cliquish
+   *  is each neighborhood", the complement of [[triangles]]' GLOBAL
+   *  transitivity (which a few hubs can dominate): per node with degree
+   *  ≥ 2, cc = 2·t(v)/(d(v)·(d(v)−1)) in half-up bp, then the census —
+   *  how many nodes were evaluated, how many are perfectly closed
+   *  (cc = 10000), the bp sum and its half-up mean. Per-node triangle
+   *  counts reuse the degree-oriented wedge join (each triangle found
+   *  once, then credited to all three corners via one 3-way explode);
+   *  work stays Σ(oriented out-degree)², the Schank–Wagner bound, never
+   *  raw Σdeg². The census aggregate is one row. */
+  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val und = bulkCoPurchaseEdges(spark, dir)
+    val deg = und.select(col("x").as("n"))
+      .unionAll(und.select(col("y").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .select(col("n"), expr("d * 4294967296 + n").as("ord"), col("d"))
+    val keyed = und
+      .join(deg.select(col("n").as("x"), col("ord").as("xo")), "x")
+      .join(deg.select(col("n").as("y"), col("ord").as("yo")), "y")
+    val oriented = keyed.select(
+      when(col("xo") < col("yo"), col("x")).otherwise(col("y")).as("u"),
+      when(col("xo") < col("yo"), col("y")).otherwise(col("x")).as("v"),
+      greatest(col("xo"), col("yo")).as("vord"))
+    // every triangle {a,b,c} appears exactly once as (apex u, p.v, q.v)
+    val tri = oriented.as("p")
+      .join(oriented.as("q"),
+        col("p.u") === col("q.u") && col("p.vord") < col("q.vord"))
+      .select(col("p.u").as("ta"), col("p.v").as("tb"), col("q.v").as("tc"))
+      .join(oriented.select(col("u").as("tb"), col("v").as("tc")), Seq("tb", "tc"))
+    val triPerNode = tri
+      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("t"))
+    deg.filter(col("d") >= 2)
+      .join(triPerNode, Seq("n"), "left")
+      .select(col("n"), col("d"), coalesce(col("t"), lit(0L)).as("t"))
+      .select(expr("(2 * 2 * t * 10000 + d * (d - 1)) div (2 * d * (d - 1))").as("cc_bp"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("cc_bp") === 10000, 1L).otherwise(0L)).as("n_closed"),
+        sum("cc_bp").as("sum_cc_bp"))
+      .select(col("n_eval"), col("n_closed"), col("sum_cc_bp"),
+        expr("(2 * sum_cc_bp + n_eval) div (2 * n_eval)").as("avg_cc_bp"))
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: same oriented wedge enumeration, same 3-corner credit,
+    // same half-up per-node bp before the census
+    QueryDef("graph_clustering", clusteringCoeff, Some("""
+      WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem WHERE l_quantity >= 40),
+      und AS MATERIALIZED (
+        SELECT DISTINCT a.pk AS x, b.pk AS y
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+      deg AS MATERIALIZED (
+        SELECT n, cast(count(*) as bigint) AS d,
+               cast(count(*) as bigint) * 4294967296 + n AS ord
+        FROM (SELECT x AS n FROM und UNION ALL SELECT y AS n FROM und)
+        GROUP BY n),
+      o AS MATERIALIZED (
+        SELECT CASE WHEN dx.ord < dy.ord THEN und.x ELSE und.y END AS u,
+               CASE WHEN dx.ord < dy.ord THEN und.y ELSE und.x END AS v,
+               greatest(dx.ord, dy.ord) AS vord
+        FROM und JOIN deg dx ON und.x = dx.n JOIN deg dy ON und.y = dy.n),
+      tri AS MATERIALIZED (
+        SELECT p.u AS ta, p.v AS tb, q.v AS tc
+        FROM o p JOIN o q ON p.u = q.u AND p.vord < q.vord
+             JOIN o c ON c.u = p.v AND c.v = q.v),
+      tn AS (
+        SELECT n, cast(count(*) as bigint) AS t
+        FROM (SELECT ta AS n FROM tri UNION ALL SELECT tb FROM tri
+              UNION ALL SELECT tc FROM tri)
+        GROUP BY n),
+      cc AS (
+        SELECT (2 * 2 * coalesce(tn.t, 0) * 10000 + deg.d * (deg.d - 1))
+                 // (2 * deg.d * (deg.d - 1)) AS cc_bp
+        FROM deg LEFT JOIN tn USING (n) WHERE deg.d >= 2)
+      SELECT count(*) AS n_eval,
+             cast(sum(CASE WHEN cc_bp = 10000 THEN 1 ELSE 0 END) as bigint) AS n_closed,
+             cast(sum(cc_bp) as bigint) AS sum_cc_bp,
+             cast((2 * sum(cc_bp) + count(*)) // (2 * count(*)) as bigint) AS avg_cc_bp
+      FROM cc""")),
     QueryDef("graph_degree_hist", degreeHist, Some(s"""
       WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
                   FROM lineitem WHERE l_quantity >= 40),

@@ -261,7 +261,181 @@ object SweepSkyline {
       .orderBy("decile")
   }
 
+  /** ACTIVITY STREAKS — the gaps-and-islands classic: for every user,
+   *  maximal runs of CONSECUTIVE active days, reported as the global
+   *  histogram of streak lengths (how many streaks of each length exist,
+   *  and how many distinct users produced one). Retention teams read
+   *  exactly this curve ("how long do habits last"). The island id is
+   *  the textbook `day − row_number()` trick — constant within a run of
+   *  consecutive days, distinct across gaps. The windows partition by
+   *  USER (thousands of small partitions — distributes evenly; nothing
+   *  here is a global window), and the histogram is a plain two-level
+   *  aggregate. All integers. */
+  def q77Streaks(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("day")
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct()
+    days
+      .withColumn("island", col("day") - row_number().over(byUser))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("len")
+      .agg(count(lit(1)).as("n_streaks"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("len")
+  }
+
+  /** HHI MARKET CONCENTRATION of order revenue across customer nations —
+   *  the antitrust/portfolio statistic ("is this corpus dominated by a
+   *  few sources"): HHI = Σᵢ shareᵢ², here exact-integer as
+   *  ⌊Σrᵢ²·10⁸ / T²⌋ (one floor division over decimal(38) moments — no
+   *  per-term rounding to disagree on), plus the top-1 share and the
+   *  4-firm concentration ratio in half-up bp. The orders→customer join
+   *  shuffles on the customer key (AQE broadcasts the dim side while it
+   *  fits); nation attaches broadcast; the top-4 pass sorts the
+   *  25-row nation aggregate — bounded, the q63 discipline. */
+  def q78Hhi(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(expr("cast(sum(cast(cast(o_totalprice as decimal(12,2)) * 100 as decimal(38,0))) as long)").as("r"))
+    val moments = rev.agg(
+      count(lit(1)).as("n_nations"),
+      sum(col("r").cast("decimal(38,0)")).as("t"),
+      sum((col("r").cast("decimal(38,0)") * col("r")).cast("decimal(38,0)")).as("srr"),
+      max("r").as("rmax"))
+    val top4 = rev.orderBy(col("r").desc, col("n_name")).limit(4)
+      .agg(sum(col("r").cast("decimal(38,0)")).as("t4"))
+    moments.crossJoin(broadcast(top4))
+      .select(col("n_nations"),
+        expr("cast(srr * 100000000 div (t * t) as bigint)").as("hhi_e8"),
+        expr("cast((2 * rmax * 10000 + t) div (2 * t) as bigint)").as("top_share_bp"),
+        expr("cast((2 * t4 * 10000 + t) div (2 * t) as bigint)").as("cr4_bp"))
+  }
+
+  /** BENFORD FIRST-DIGIT AUDIT over order totals (in cents) — the
+   *  fraud/data-quality screen: observed leading-digit shares vs the
+   *  Benford expectation log₁₀(1+1/d), the latter pinned as integer bp
+   *  CONSTANTS (3010, 1761, …) so both engines compare against the
+   *  identical reference with zero float math. One scan, one 9-row
+   *  aggregate; shares half-up bp. */
+  def q79Benford(spark: SparkSession, dir: String): DataFrame = {
+    val benford = "map(1,3010,2,1761,3,1249,4,969,5,792,6,669,7,580,8,512,9,458)"
+    Tables.orders(spark, dir)
+      .select(expr(
+        "cast(substring(cast(cast(cast(o_totalprice as decimal(12,2)) * 100 as decimal(38,0)) as string), 1, 1) as bigint)")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(Tables.orders(spark, dir).agg(count(lit(1)).as("total"))))
+      .select(col("digit"), col("n"),
+        expr("(2 * n * 10000 + total) div (2 * total)").as("share_bp"),
+        expr(s"cast(element_at($benford, cast(digit as int)) as bigint)").as("benford_bp"))
+      .withColumn("delta_bp", col("share_bp") - col("benford_bp"))
+      .orderBy("digit")
+  }
+
+  /** MEDIAN + MAD (median absolute deviation) of order totals — the
+   *  robust dispersion pair behind outlier fences that survive heavy
+   *  tails (unlike mean/stddev, one whale order cannot move them). BOTH
+   *  medians are lower medians at explicit global rank ⌈n/2⌉ under a
+   *  total order (cents, orderkey), located by
+   *  [[ScalableRank.rowsAtGlobalRanks]] — count the range slices, sort
+   *  only the ONE slice holding the rank — twice: once on values, once
+   *  on |value − median| with the 1-row median broadcast. Never a global
+   *  sort; every output integer. */
+  def q80Mad(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.orders(spark, dir).select(
+      expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as decimal(38,0))")
+        .cast("long").as("cents"),
+      col("o_orderkey"))
+    val (medRow, n) = ScalableRank.rowsAtGlobalRanks(
+      cents, Seq(col("cents"), col("o_orderkey")), t => Seq((t + 1) / 2), "rk")
+    val med = broadcast(medRow.select(col("cents").as("med")))
+    val devs = cents.crossJoin(med)
+      .select(abs(col("cents") - col("med")).as("dev"), col("o_orderkey"))
+    val (madRow, _) = ScalableRank.rowsAtGlobalRanks(
+      devs, Seq(col("dev"), col("o_orderkey")), t => Seq((t + 1) / 2), "rk")
+    madRow.select(lit(n).as("n_orders"), col("dev").as("mad_cents"))
+      .crossJoin(med)
+      .select(col("n_orders"), col("med").as("median_cents"), col("mad_cents"))
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: same island trick as a window, same two-level rollup
+    QueryDef("q77_streaks", q77Streaks, Some("""
+      WITH d AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        FROM events),
+      i AS (
+        SELECT user_id,
+               day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+        FROM d),
+      s AS (
+        SELECT user_id, island, count(*) AS len
+        FROM i GROUP BY 1, 2)
+      SELECT len, count(*) AS n_streaks,
+             count(DISTINCT user_id) AS n_users
+      FROM s GROUP BY len ORDER BY len""")),
+    // exact twin: hugeint moments, the same single floor division for the
+    // index and half-up shares for the ratios
+    QueryDef("q78_hhi", q78Hhi, Some("""
+      WITH rev AS (
+        SELECT n_name,
+               cast(sum(cast(cast(o_totalprice as decimal(12,2)) * 100 as hugeint)) as bigint) AS r
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1),
+      m AS (
+        SELECT count(*) AS n_nations, sum(cast(r as hugeint)) AS t,
+               sum(cast(r as hugeint) * r) AS srr, max(r) AS rmax
+        FROM rev),
+      t4 AS (
+        SELECT sum(cast(r as hugeint)) AS t4
+        FROM (SELECT r FROM rev ORDER BY r DESC, n_name LIMIT 4))
+      SELECT n_nations,
+             cast(srr * 100000000 // (t * t) as bigint) AS hhi_e8,
+             cast((2 * rmax * 10000 + t) // (2 * t) as bigint) AS top_share_bp,
+             cast((2 * t4 * 10000 + t) // (2 * t) as bigint) AS cr4_bp
+      FROM m, t4""")),
+    // exact twin: same leading-digit extraction over the exact cents
+    // string, the same pinned integer Benford constants
+    QueryDef("q79_benford", q79Benford, Some("""
+      WITH d AS (
+        SELECT cast(substring(cast(cast(cast(o_totalprice as decimal(12,2)) * 100 as hugeint) as varchar), 1, 1) as bigint) AS digit
+        FROM orders),
+      g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+      t AS (SELECT count(*) AS total FROM orders)
+      SELECT digit, n,
+             (2 * n * 10000 + total) // (2 * total) AS share_bp,
+             cast(CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1761 WHEN 3 THEN 1249
+                             WHEN 4 THEN 969 WHEN 5 THEN 792 WHEN 6 THEN 669
+                             WHEN 7 THEN 580 WHEN 8 THEN 512 ELSE 458 END as bigint) AS benford_bp,
+             (2 * n * 10000 + total) // (2 * total)
+               - CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1761 WHEN 3 THEN 1249
+                            WHEN 4 THEN 969 WHEN 5 THEN 792 WHEN 6 THEN 669
+                            WHEN 7 THEN 580 WHEN 8 THEN 512 ELSE 458 END AS delta_bp
+      FROM g, t ORDER BY digit""")),
+    // exact twin: both lower medians at explicit row_number rank ⌈n/2⌉
+    // under the same total orders
+    QueryDef("q80_mad", q80Mad, Some("""
+      WITH c AS (
+        SELECT cast(cast(cast(o_totalprice as decimal(12,2)) * 100 as hugeint) as bigint) AS cents,
+               o_orderkey
+        FROM orders),
+      n AS (SELECT count(*) AS n FROM c),
+      r AS (
+        SELECT cents, row_number() OVER (ORDER BY cents, o_orderkey) AS rn FROM c),
+      med AS (SELECT cents AS med FROM r, n WHERE rn = (n + 1) // 2),
+      dv AS (
+        SELECT abs(cents - med) AS dev, o_orderkey FROM c, med),
+      dr AS (
+        SELECT dev, row_number() OVER (ORDER BY dev, o_orderkey) AS rn FROM dv),
+      mad AS (SELECT dev AS mad_cents FROM dr, n WHERE rn = (n + 1) // 2)
+      SELECT n.n AS n_orders, med.med AS median_cents, mad.mad_cents
+      FROM n, med, mad""")),
     // exact twin: window ntile over the same ascending key, bounded
     // cumulative pass, identical half-up shares (cents as strings — the
     // decimal/hugeint totals exceed the double-safe range)

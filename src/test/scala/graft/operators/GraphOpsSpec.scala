@@ -98,6 +98,34 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(naiveTri > 0, "test premise: the co-purchase graph closes triangles")
   }
 
+  test("graph_clustering census EQUALS the naive per-node adjacency-set reference") {
+    // naive reference: per-node triangle count via common-neighbor
+    // intersection over the FULL adjacency sets (no orientation trick),
+    // per-node half-up cc in bp, then the same census rollup.
+    val op = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 40)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und = op.groupBy(_._1).valuesIterator.flatMap { xs =>
+      for (a <- xs.toSeq; b <- xs.toSeq if a._2 < b._2) yield (a._2, b._2)
+    }.toSet
+    val adj = und.foldLeft(Map.empty[Long, Set[Long]]) { case (m, (x, y)) =>
+      m.updated(x, m.getOrElse(x, Set.empty) + y).updated(y, m.getOrElse(y, Set.empty) + x)
+    }
+    val ccBp = adj.toSeq.collect { case (n, nb) if nb.size >= 2 =>
+      val t = nb.toSeq.combinations(2).count { case Seq(a, b) => adj(a)(b) }.toLong
+      val d = nb.size.toLong
+      (2 * 2 * t * 10000 + d * (d - 1)) / (2 * d * (d - 1))
+    }
+    val row = GraphOps.clusteringCoeff(spark, dir).collect().head
+    assert(row.getAs[Long]("n_eval") == ccBp.size.toLong)
+    assert(row.getAs[Long]("n_closed") == ccBp.count(_ == 10000L).toLong)
+    assert(row.getAs[Long]("sum_cc_bp") == ccBp.sum)
+    assert(row.getAs[Long]("avg_cc_bp") == (2 * ccBp.sum + ccBp.size) / (2L * ccBp.size))
+    assert(ccBp.exists(_ > 0), "test premise: some neighborhood closes")
+    assert(ccBp.exists(_ < 10000), "test premise: not every neighborhood is a clique")
+  }
+
   test("graph_components equals sequential union-find; HashMin oracle budget holds") {
     // sequential union-find ground truth on the collected edge set
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {

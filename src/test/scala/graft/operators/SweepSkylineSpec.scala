@@ -31,6 +31,48 @@ class SweepSkylineSpec extends AnyFunSuite {
     assert(expected.size > 1, "test premise: a non-trivial frontier")
   }
 
+  test("q77_streaks equals the sequential gaps-and-islands reference") {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    // sequential islands: sort each user's days, split where the gap > 1
+    val streaks = days.groupBy(_._1).toSeq.flatMap { case (u, xs) =>
+      val sorted = xs.map(_._2).sorted
+      val lens = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var len = 1L
+      for ((prev, cur) <- sorted.zip(sorted.tail)) {
+        if (cur == prev + 1) len += 1 else { lens += len; len = 1 }
+      }
+      lens += len
+      lens.map(l => (u, l))
+    }
+    val expected = streaks.groupBy(_._2).toSeq.map { case (len, xs) =>
+      (len, xs.size.toLong, xs.map(_._1).distinct.size.toLong)
+    }.sortBy(_._1)
+    val got = SweepSkyline.q77Streaks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(expected.exists(_._1 > 1), "test premise: some user has a multi-day streak")
+  }
+
+  test("q80_mad equals the sequential lower-median reference") {
+    val cents = Tables.orders(spark, dir)
+      .select(expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as decimal(38,0))")
+        .cast("long").as("c"), col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def lowerMedian(xs: Seq[(Long, Long)]): Long = {
+      val sorted = xs.sortBy(identity).map(_._1)
+      sorted(((xs.size + 1) / 2 - 1).toInt)
+    }
+    val med = lowerMedian(cents.toSeq)
+    val mad = lowerMedian(cents.toSeq.map { case (c, k) => (math.abs(c - med), k) })
+    val row = SweepSkyline.q80Mad(spark, dir).collect().head
+    assert(row.getAs[Long]("n_orders") == cents.length.toLong)
+    assert(row.getAs[Long]("median_cents") == med)
+    assert(row.getAs[Long]("mad_cents") == mad)
+    assert(mad > 0, "test premise: order totals are dispersed")
+  }
+
   test("q67_concurrency equals a sequential sweep over the same sessions") {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
