@@ -156,7 +156,101 @@ object SessionAndSkew {
       .orderBy("cohort_week", "age_weeks")
   }
 
+  /** RFM SEGMENTATION — the classic customer-value grid: per customer,
+   *  Recency (last order day), Frequency (order count) and Monetary
+   *  (lifetime cents) are each quintiled over the WHOLE population, the
+   *  three digits concatenated into a segment code (555 = best), and the
+   *  grid reported as segment → customer count + revenue. All three
+   *  quintiles run through [[ScalableRank.withNtile]] — the
+   *  range-partitioned distributed ntile, never a global window — over
+   *  total orders (value, custkey); the three 1-column rank frames join
+   *  back on the customer key (co-partitioned, AQE-broadcast while they
+   *  fit). All integers. */
+  def q81Rfm(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")).as("last_day"),
+        count(lit(1)).as("freq"),
+        expr("cast(sum(cast(cast(o_totalprice as decimal(12,2)) * 100 as decimal(38,0))) as long)").as("mon"))
+    def q(valueCol: String, out: String) = ScalableRank
+      .withNtile(per, Seq(col(valueCol), col("o_custkey")), 5, out)
+      .select(col("o_custkey"), col(out))
+    per.join(q("last_day", "r"), "o_custkey")
+      .join(q("freq", "f"), "o_custkey")
+      .join(q("mon", "m"), "o_custkey")
+      .groupBy(expr("r * 100 + f * 10 + m").as("segment"))
+      .agg(count(lit(1)).as("n_customers"), sum("mon").as("segment_cents"))
+      .orderBy("segment")
+  }
+
+  /** Power-of-two CASE ladder shared verbatim by both engines (the
+   *  pipeline_length_buckets discipline — no float log2 at bucket
+   *  boundaries). Gaps are in days; 2¹² = 4096 days caps any corpus. */
+  private val gapLadder: String = {
+    val cases = (12 to 0 by -1).map(k => s"WHEN gap >= ${1L << k} THEN ${1L << k}").mkString(" ")
+    s"CASE $cases ELSE 0 END"
+  }
+
+  /** INTER-ORDER GAP HISTOGRAM — time-between-purchases, the
+   *  replenishment-cycle curve behind churn prediction and send-time
+   *  optimization: per customer, the day gaps between consecutive
+   *  orders, rolled into power-of-two day buckets (0 = same day).
+   *  The lag window partitions per CUSTOMER — millions of small
+   *  partitions, distributes evenly — and the histogram is one bounded
+   *  rollup. All integers. */
+  def q82GapHist(spark: SparkSession, dir: String): DataFrame = {
+    val byCust = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"))
+      .withColumn("gap", col("day") - lag("day", 1).over(byCust))
+      .filter(col("gap").isNotNull)
+      .groupBy(expr(gapLadder).as("gap_bucket"))
+      .agg(count(lit(1)).as("n_gaps"),
+        countDistinct("o_custkey").as("n_customers"),
+        min("gap").as("min_gap"), max("gap").as("max_gap"))
+      .orderBy("gap_bucket")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: three window ntiles over the same (value, custkey)
+    // total orders
+    QueryDef("q81_rfm", q81Rfm, Some("""
+      WITH per AS (
+        SELECT o_custkey,
+               max(epoch_us(o_orderdate) // 86400000000) AS last_day,
+               count(*) AS freq,
+               cast(sum(cast(cast(o_totalprice as decimal(12,2)) * 100 as hugeint)) as bigint) AS mon
+        FROM orders GROUP BY 1),
+      k AS (
+        SELECT o_custkey, mon,
+               ntile(5) OVER (ORDER BY last_day, o_custkey) AS r,
+               ntile(5) OVER (ORDER BY freq, o_custkey) AS f,
+               ntile(5) OVER (ORDER BY mon, o_custkey) AS m
+        FROM per)
+      SELECT cast(r * 100 + f * 10 + m as bigint) AS segment,
+             count(*) AS n_customers,
+             cast(sum(mon) as bigint) AS segment_cents
+      FROM k GROUP BY 1 ORDER BY segment""")),
+    // exact twin: same per-customer lag and the same integer CASE ladder
+    QueryDef("q82_gap_hist", q82GapHist, Some(s"""
+      WITH d AS (
+        SELECT o_custkey, o_orderkey,
+               epoch_us(o_orderdate) // 86400000000 AS day
+        FROM orders),
+      g AS (
+        SELECT o_custkey,
+               day - lag(day) OVER (PARTITION BY o_custkey
+                                    ORDER BY day, o_orderkey) AS gap
+        FROM d),
+      f AS (SELECT o_custkey, gap FROM g WHERE gap IS NOT NULL)
+      SELECT $gapLadder AS gap_bucket,
+             count(*) AS n_gaps,
+             count(DISTINCT o_custkey) AS n_customers,
+             min(gap) AS min_gap, max(gap) AS max_gap
+      FROM f GROUP BY 1 ORDER BY gap_bucket""")),
     QueryDef("q50_retention", q50Retention, Some("""
       WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
       c AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1)

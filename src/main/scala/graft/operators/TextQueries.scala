@@ -336,6 +336,27 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** SIMPSON DIVERSITY per source — the collision-probability diversity
+   *  index over the token distribution: D = Σ nᵢ(nᵢ−1) / (N(N−1)), the
+   *  chance two tokens drawn without replacement are the SAME type. The
+   *  exact-arithmetic complement of Shannon entropy (which needs logs):
+   *  repetitive SEO spam scores high D, diverse prose low — reported as
+   *  half-up bp alongside its Gini–Simpson complement. Same two-shuffle
+   *  word-count shape as [[hapaxRate]]; moments in decimal(38) because
+   *  Σnᵢ² crosses 2⁶³ long before a 100 TB source does. */
+  def simpsonDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("n_tok"), count(lit(1)).as("n_types"),
+        sum(expr("cast(c as decimal(38,0)) * (c - 1)")).as("coll"))
+      .select(col("source"), col("n_tok"), col("n_types"),
+        expr("""cast((2 * coll * 10000 + cast(n_tok as decimal(38,0)) * (n_tok - 1))
+                 div (2 * cast(n_tok as decimal(38,0)) * (n_tok - 1)) as bigint)""").as("simpson_bp"))
+      .withColumn("gini_simpson_bp", lit(10000L) - col("simpson_bp"))
+      .orderBy("source")
+
   /** CONTENT NOVELTY per source — what fraction of a domain's 3-gram
    *  mass is FIRST SEEN there (ingestion order = doc_id): the
    *  data-valuation signal that separates sources adding new content
@@ -431,6 +452,26 @@ object TextQueries {
   }
 
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: same tokenization CTE as the other text oracles,
+    // hugeint moments, the same single half-up division
+    QueryDef("text_simpson", simpsonDiversity, Some("""
+      WITH dt AS (
+        SELECT source, unnest(
+          CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+               ELSE regexp_split_to_array(trim(text), '\s+') END) AS tok
+        FROM documents),
+      tc AS (SELECT source, tok, count(*) AS c FROM dt GROUP BY 1, 2),
+      m AS (
+        SELECT source, sum(c) AS n_tok, count(*) AS n_types,
+               sum(cast(c as hugeint) * (c - 1)) AS coll
+        FROM tc GROUP BY 1)
+      SELECT source, cast(n_tok as bigint) AS n_tok,
+             cast(n_types as bigint) AS n_types,
+             cast((2 * coll * 10000 + cast(n_tok as hugeint) * (n_tok - 1))
+                    // (2 * cast(n_tok as hugeint) * (n_tok - 1)) as bigint) AS simpson_bp,
+             10000 - cast((2 * coll * 10000 + cast(n_tok as hugeint) * (n_tok - 1))
+                    // (2 * cast(n_tok as hugeint) * (n_tok - 1)) as bigint) AS gini_simpson_bp
+      FROM m ORDER BY source""")),
     // exact twin: one shared-token join, the one-sided mass recovered
     // from the totals, identical half-up integer normalization
     QueryDef("text_source_divergence", sourceDivergence, Some("""
