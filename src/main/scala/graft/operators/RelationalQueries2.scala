@@ -551,7 +551,103 @@ object RelationalQueries2 {
       .orderBy("day")
   }
 
+  /** DOW × HOUR TRAFFIC HEATMAP — the weekly seasonality matrix every
+   *  capacity plan starts from: event counts per (day-of-week, hour)
+   *  cell with exact share bp. Day-of-week is PURE INTEGER calendar
+   *  arithmetic — `(epoch_day + 3) mod 7`, 0 = Monday (1970-01-01 was a
+   *  Thursday) — because the engines' dayofweek() builtins disagree on
+   *  numbering and both must replay the identical formula. One scan,
+   *  one 168-cell aggregate, total via a broadcast 1-row frame. */
+  def q83DowHour(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      expr("((ts div 86400000000000) + 3) % 7").as("dow"),
+      expr("(ts div 3600000000000) % 24").as("hour"))
+    ev.groupBy("dow", "hour").agg(count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(ev.agg(count(lit(1)).as("total"))))
+      .select(col("dow"), col("hour"), col("n_events"),
+        expr("(2 * n_events * 10000 + total) div (2 * total)").as("share_bp"))
+      .orderBy("dow", "hour")
+  }
+
+  /** INCREMENTAL AGGREGATE MAINTENANCE audit — the delta-merge pattern
+   *  behind every materialized rollup: a per-customer (orders, cents)
+   *  aggregate maintained as base (orders before the cutoff) MERGED with
+   *  a CDC delta (orders after) via one full-outer join + coalesced
+   *  sums, then reconciled cell-by-cell against the from-scratch
+   *  recompute. The output is the audit row a pipeline alerts on:
+   *  key/cell counts and a mismatch count that must be zero. Three
+   *  aggregates over date-pruned scans (the cutoff predicate pushes to
+   *  parquet) and two co-partitioned joins on the customer key. */
+  def q84DeltaAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = "timestamp '1998-01-01 00:00:00'"
+    def agg(pred: String) = Tables.orders(spark, dir)
+      .filter(expr(pred))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        expr("cast(sum(cast(cast(o_totalprice as decimal(12,2)) * 100 as decimal(38,0))) as long)").as("cents"))
+    val base = agg(s"o_orderdate < $cutoff")
+      .select(col("o_custkey"), col("n").as("bn"), col("cents").as("bc"))
+    val delta = agg(s"o_orderdate >= $cutoff")
+      .select(col("o_custkey"), col("n").as("dn"), col("cents").as("dc"))
+    val merged = base.join(delta, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("mn"),
+        (coalesce(col("bc"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("mc"),
+        col("bn").isNull.as("is_new"), col("dn").isNotNull.as("touched"))
+    val full = agg("true")
+    merged.join(full, Seq("o_custkey"), "full_outer")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("touched"), 1L).otherwise(0L)).as("n_touched"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("mn").isNull || col("n").isNull ||
+          col("mn") =!= col("n") || col("mc") =!= col("cents"), 1L).otherwise(0L)).as("n_mismatch"),
+        sum("mc").as("total_cents"))
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: the same pure-integer calendar arithmetic and half-up
+    // shares
+    QueryDef("q83_dow_hour", q83DowHour, Some("""
+      WITH e AS (
+        SELECT ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow,
+               (epoch_us(ts) // 3600000000) % 24 AS hour
+        FROM events),
+      g AS (SELECT dow, hour, count(*) AS n_events FROM e GROUP BY 1, 2),
+      t AS (SELECT count(*) AS total FROM e)
+      SELECT dow, hour, n_events,
+             (2 * n_events * 10000 + total) // (2 * total) AS share_bp
+      FROM g, t ORDER BY dow, hour""")),
+    // exact twin: same base/delta split, same full-outer merge and
+    // reconciliation census
+    QueryDef("q84_delta_agg", q84DeltaAgg, Some("""
+      WITH base AS (
+        SELECT o_custkey, count(*) AS bn,
+               cast(sum(cast(cast(o_totalprice as decimal(12,2)) * 100 as hugeint)) as bigint) AS bc
+        FROM orders WHERE o_orderdate < timestamp '1998-01-01 00:00:00'
+        GROUP BY 1),
+      delta AS (
+        SELECT o_custkey, count(*) AS dn,
+               cast(sum(cast(cast(o_totalprice as decimal(12,2)) * 100 as hugeint)) as bigint) AS dc
+        FROM orders WHERE o_orderdate >= timestamp '1998-01-01 00:00:00'
+        GROUP BY 1),
+      merged AS (
+        SELECT coalesce(base.o_custkey, delta.o_custkey) AS o_custkey,
+               coalesce(bn, 0) + coalesce(dn, 0) AS mn,
+               coalesce(bc, 0) + coalesce(dc, 0) AS mc,
+               base.o_custkey IS NULL AS is_new,
+               delta.o_custkey IS NOT NULL AS touched
+        FROM base FULL OUTER JOIN delta USING (o_custkey)),
+      f AS (
+        SELECT o_custkey, count(*) AS n,
+               cast(sum(cast(cast(o_totalprice as decimal(12,2)) * 100 as hugeint)) as bigint) AS cents
+        FROM orders GROUP BY 1)
+      SELECT count(*) AS n_keys,
+             cast(sum(CASE WHEN touched THEN 1 ELSE 0 END) as bigint) AS n_touched,
+             cast(sum(CASE WHEN is_new THEN 1 ELSE 0 END) as bigint) AS n_new,
+             cast(sum(CASE WHEN mn IS NULL OR n IS NULL
+                           OR mn <> n OR mc <> cents THEN 1 ELSE 0 END) as bigint) AS n_mismatch,
+             cast(sum(mc) as bigint) AS total_cents
+      FROM merged FULL OUTER JOIN f USING (o_custkey)""")),
     QueryDef("q63_first_seen", q63FirstSeen, Some("""
       WITH days AS (
         SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),

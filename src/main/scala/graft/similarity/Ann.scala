@@ -152,6 +152,45 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** RADIUS (range) SEARCH — the other retrieval API besides top-k:
+   *  ALL vectors within a cosine threshold of each query (here τ = 0.30,
+   *  queries vec_id < 8), the shape behind "find every near-duplicate /
+   *  every relevant chunk", where k is unknowable in advance. Run in the
+   *  int8-QUANTIZED domain ([[quantize]]'s exact formula) so the
+   *  threshold test is INTEGER-exact on both engines: cos(a,b) ≥ τ ⟺
+   *  dot > 0 ∧ 10⁴·dot² ≥ (100τ)²·‖a‖²·‖b‖² — cross-multiplied squares,
+   *  no sqrt, no float compare at the knife edge (a float-cosine
+   *  membership test can flip on the 17th digit; an integer one cannot).
+   *  Scale shape: the 8-query set broadcasts against one corpus scan
+   *  (the [[bruteForceTopK]] baseline discipline; the IVF cell route is
+   *  the scale path for big query sets). Headroom: dot ≤ 127²·d ≈ 10⁶ at
+   *  d = 64, so 10⁴·dot² ≈ 10¹⁶ < 2⁶³. */
+  def rangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val TauPct = 30L // cosine threshold τ·100
+    val quant = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))).as("s"),
+        col("embedding"))
+      .select(col("vec_id"),
+        transform(col("embedding"), x =>
+          when(col("s") === 0.0d, lit(0L))
+            .otherwise(floor(lit(127.0d) * x.cast("double") / col("s") + lit(0.5d)))).as("q"))
+      .select(col("vec_id"), col("q"),
+        aggregate(zip_with(col("q"), col("q"), (a, b) => a * b), lit(0L), (acc, x) => acc + x).as("n2"))
+    val queries = broadcast(quant.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2")))
+    quant.crossJoin(queries)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(zip_with(col("q"), col("qq"), (a, b) => a * b), lit(0L), (acc, x) => acc + x).as("dot"),
+        col("n2"), col("qn2"))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * lit(10000L) >= lit(TauPct * TauPct) * col("n2") * col("qn2"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("(2 * dot * dot * 10000 + n2 * qn2) div (2 * n2 * qn2)").as("cos2_bp"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
   /** IVF-style search: 16 deterministic centroids (vec_id < 16), corpus
    *  assigned to nearest centroid by dot product (broadcast argmax — a
    *  partial-aggregated `max_by`, no window), queries (vec_id < 8) search
@@ -865,6 +904,35 @@ object Ann {
                  ORDER BY pq_dist, neighbor_id) AS rank
         FROM adc) t
       WHERE rank <= 3 ORDER BY query_id, rank""")),
+    // exact twin: same int8 quantization CTE as embed_quantize, same
+    // cross-multiplied integer threshold — membership cannot float-flip
+    QueryDef("ann_range_search", rangeSearch, Some("""
+      WITH q0 AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding, x -> abs(cast(x as double)))) AS s,
+               embedding
+        FROM embeddings),
+      qz AS (
+        SELECT vec_id,
+               list_transform(range(1, len(embedding) + 1),
+                 i -> CASE WHEN s = 0 THEN 0
+                      ELSE cast(floor(127.0 * cast(embedding[i] as double) / s + 0.5) as bigint) END) AS q
+        FROM q0),
+      n AS (
+        SELECT vec_id, q,
+               cast(list_sum(list_transform(q, x -> x * x)) as bigint) AS n2
+        FROM qz),
+      p AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               cast(list_sum(list_transform(range(1, len(a.q) + 1),
+                 i -> a.q[i] * b.q[i])) as bigint) AS dot,
+               a.n2 AS qn2, b.n2 AS n2
+        FROM n a JOIN n b ON a.vec_id < 8 AND b.vec_id <> a.vec_id)
+      SELECT query_id, neighbor_id,
+             cast((2 * dot * dot * 10000 + n2 * qn2) // (2 * n2 * qn2) as bigint) AS cos2_bp
+      FROM p
+      WHERE dot > 0 AND dot * dot * 10000 >= 900 * n2 * qn2
+      ORDER BY query_id, neighbor_id""")),
     QueryDef("ann_bruteforce_topk", bruteForceTopK, Some("""
       SELECT query_id, neighbor_id, rank FROM (
         SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

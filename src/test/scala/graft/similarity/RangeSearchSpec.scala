@@ -1,0 +1,48 @@
+package graft.similarity
+
+import graft.{SparkTestSession, Tables}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Radius search against a sequential reimplementation of the identical
+ *  quantized-integer threshold — membership must match EXACTLY (the whole
+ *  point of the integer formulation), and the quantized decision must
+ *  agree with float cosine away from the threshold knife edge. */
+class RangeSearchSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("ann_range_search equals the sequential quantized-integer reference") {
+    val vecs = Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def quant(v: Array[Float]): Array[Long] = {
+      val s = v.map(x => math.abs(x.toDouble)).max
+      if (s == 0.0) v.map(_ => 0L)
+      else v.map(x => math.floor(127.0 * x.toDouble / s + 0.5).toLong)
+    }
+    val q = vecs.map { case (id, v) => (id, quant(v)) }
+    val n2 = q.map { case (id, qq) => id -> qq.map(x => x * x).sum }.toMap
+    val expected = (for {
+      (qid, qv) <- q if qid < 8
+      (nid, nv) <- q if nid != qid
+      dot = qv.zip(nv).map { case (a, b) => a * b }.sum
+      if dot > 0 && dot * dot * 10000L >= 900L * n2(qid) * n2(nid)
+    } yield {
+      val den = n2(qid) * n2(nid)
+      (qid, nid, (2 * dot * dot * 10000L + den) / (2 * den))
+    }).sortBy(t => (t._1, t._2)).toSeq
+    val got = Ann.rangeSearch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(expected.nonEmpty, "test premise: some neighbor clears τ = 0.30")
+    // sanity: every returned pair's FLOAT cosine is near/above τ (the int8
+    // grid can move a true cosine by O(1/127) but not more)
+    val byId = vecs.toMap
+    for ((a, b, _) <- got) {
+      val (va, vb) = (byId(a), byId(b))
+      val dot = va.zip(vb).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val cos = dot / (math.sqrt(va.map(x => x.toDouble * x).sum) * math.sqrt(vb.map(x => x.toDouble * x).sum))
+      assert(cos > 0.27, s"pair ($a,$b) float cosine $cos far below threshold")
+    }
+  }
+}
