@@ -186,11 +186,14 @@ object SessionAndSkew {
 
   /** Power-of-two CASE ladder shared verbatim by both engines (the
    *  pipeline_length_buckets discipline — no float log2 at bucket
-   *  boundaries). Gaps are in days; 2¹² = 4096 days caps any corpus. */
-  private val gapLadder: String = {
-    val cases = (12 to 0 by -1).map(k => s"WHEN gap >= ${1L << k} THEN ${1L << k}").mkString(" ")
+   *  boundaries). Day gaps use 2¹² (11 years); minute lags use 2²⁰
+   *  (~2 years) so nothing top-codes. */
+  private def ladder(topPow: Int): String = {
+    val cases = (topPow to 0 by -1).map(k => s"WHEN gap >= ${1L << k} THEN ${1L << k}").mkString(" ")
     s"CASE $cases ELSE 0 END"
   }
+  private val gapLadder: String = ladder(12)
+  private val minuteLadder: String = ladder(20)
 
   /** INTER-ORDER GAP HISTOGRAM — time-between-purchases, the
    *  replenishment-cycle curve behind churn prediction and send-time
@@ -214,7 +217,39 @@ object SessionAndSkew {
       .orderBy("gap_bucket")
   }
 
+  /** CONVERSION LAG HISTOGRAM — how long from first view to first
+   *  subsequent purchase, the latency curve behind attribution windows
+   *  and remarketing timing: per converting user, the lag in minutes,
+   *  rolled into power-of-two minute buckets. Same staged shape as
+   *  [[q44Funnel]] (per-user min aggregates joined forward — no
+   *  windows, state is one timestamp per user), one bounded rollup. */
+  def q85ConversionLag(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("view_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(v, "user_id").filter(col("us") >= col("view_us"))
+      .groupBy("user_id").agg(min("us").as("purchase_us"), min("view_us").as("view_us2"))
+    p.select(col("user_id"), expr("(purchase_us - view_us2) div 60000000").as("gap"))
+      .groupBy(expr(minuteLadder).as("lag_bucket_min"))
+      .agg(count(lit(1)).as("n_users"), min("gap").as("min_lag"), max("gap").as("max_lag"))
+      .orderBy("lag_bucket_min")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: same staged min-aggregates and the same integer ladder
+    QueryDef("q85_conversion_lag", q85ConversionLag, Some(s"""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      v AS (SELECT user_id, min(us) AS view_us FROM e
+            WHERE event_type = 'view' GROUP BY 1),
+      p AS (SELECT e.user_id, min(us) AS purchase_us, min(view_us) AS view_us2
+            FROM e JOIN v USING (user_id)
+            WHERE event_type = 'purchase' AND us >= view_us GROUP BY 1),
+      g AS (SELECT (purchase_us - view_us2) // 60000000 AS gap FROM p)
+      SELECT $minuteLadder AS lag_bucket_min,
+             count(*) AS n_users, min(gap) AS min_lag, max(gap) AS max_lag
+      FROM g GROUP BY 1 ORDER BY lag_bucket_min""")),
     // exact twin: three window ntiles over the same (value, custkey)
     // total orders
     QueryDef("q81_rfm", q81Rfm, Some("""

@@ -357,6 +357,31 @@ object TextQueries {
       .withColumn("gini_simpson_bp", lit(10000L) - col("simpson_bp"))
       .orderBy("source")
 
+  /** VOCABULARY COVERAGE CURVE — the tokenizer-design question "how many
+   *  types cover X% of the token mass": the count of most-frequent token
+   *  types needed to reach 50 / 90 / 99% corpus coverage. The running
+   *  mass in frequency-rank order is a GLOBAL prefix sum over the type
+   *  table — [[ScalableRank.withGroupedPrefixSum]] on the negated-count
+   *  key (the q74 discipline), never a single-task window over millions
+   *  of types. The smallest k with cum_k ≥ p·T equals the COUNT of rows
+   *  whose exclusive prefix is still below p·T — so each threshold is
+   *  one cross-multiplied conditional count, no rank column needed. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .withColumn("nc", -col("c"))
+      .withColumn("g", lit(1))
+    val total = broadcast(counts.agg(sum("c").as("t")))
+    ScalableRank
+      .withGroupedPrefixSum(counts, Seq("g"), Seq("nc", "tok"), "c", "prev")
+      .crossJoin(total)
+      .agg(count(lit(1)).as("n_types"), max("t").as("total_tokens"),
+        sum(when(col("prev") * 100 < col("t") * 50, 1L).otherwise(0L)).as("types_p50"),
+        sum(when(col("prev") * 100 < col("t") * 90, 1L).otherwise(0L)).as("types_p90"),
+        sum(when(col("prev") * 100 < col("t") * 99, 1L).otherwise(0L)).as("types_p99"))
+  }
+
   /** CONTENT NOVELTY per source — what fraction of a domain's 3-gram
    *  mass is FIRST SEEN there (ingestion order = doc_id): the
    *  data-valuation signal that separates sources adding new content
@@ -452,6 +477,26 @@ object TextQueries {
   }
 
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: the same exclusive prefix sum as a window over the
+    // identical (count desc, token) total order, same cross-multiplied
+    // threshold counts
+    QueryDef("text_vocab_coverage", vocabCoverage, Some("""
+      WITH dt AS (
+        SELECT unnest(
+          CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+               ELSE regexp_split_to_array(trim(text), '\s+') END) AS tok
+        FROM documents),
+      vc AS (SELECT tok, count(*) AS c FROM dt GROUP BY 1),
+      t AS (SELECT sum(c) AS t FROM vc),
+      r AS (
+        SELECT c, coalesce(sum(c) OVER (ORDER BY c DESC, tok
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        FROM vc)
+      SELECT count(*) AS n_types, cast(max(t.t) as bigint) AS total_tokens,
+             cast(sum(CASE WHEN prev * 100 < t.t * 50 THEN 1 ELSE 0 END) as bigint) AS types_p50,
+             cast(sum(CASE WHEN prev * 100 < t.t * 90 THEN 1 ELSE 0 END) as bigint) AS types_p90,
+             cast(sum(CASE WHEN prev * 100 < t.t * 99 THEN 1 ELSE 0 END) as bigint) AS types_p99
+      FROM r, t""")),
     // exact twin: same tokenization CTE as the other text oracles,
     // hugeint moments, the same single half-up division
     QueryDef("text_simpson", simpsonDiversity, Some("""
