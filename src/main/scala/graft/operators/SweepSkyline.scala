@@ -362,7 +362,99 @@ object SweepSkyline {
       .select(col("n_orders"), col("med").as("median_cents"), col("mad_cents"))
   }
 
+  /** BOWLEY (quartile) SKEWNESS of order totals — the robust asymmetry
+   *  statistic that pairs with [[q80Mad]]'s robust dispersion: all three
+   *  quartiles are ACTUAL data rows at explicit global ranks ⌈n/4⌉,
+   *  ⌈n/2⌉, ⌈3n/4⌉ under the (cents, orderkey) total order, located in
+   *  ONE [[ScalableRank.rowsAtGlobalRanks]] pass (3 target ranks → at
+   *  most 3 slices sorted). The coefficient (Q₃+Q₁−2Q₂)/(Q₃−Q₁) is
+   *  signed, so it ships as one float division over the exact integer
+   *  quartiles (the kappa/q73 convention — signed integer `div` vs `//`
+   *  would diverge between engines). */
+  def q86Bowley(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.orders(spark, dir).select(
+      expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as decimal(38,0))")
+        .cast("long").as("cents"),
+      col("o_orderkey"))
+    val (rows, n) = ScalableRank.rowsAtGlobalRanks(
+      cents, Seq(col("cents"), col("o_orderkey")),
+      t => Seq((t + 3) / 4, (t + 1) / 2, (3 * t + 3) / 4), "rk")
+    rows.agg(
+        min(when(col("rk") === (n + 3) / 4, col("cents"))).as("q1_cents"),
+        min(when(col("rk") === (n + 1) / 2, col("cents"))).as("q2_cents"),
+        min(when(col("rk") === (3 * n + 3) / 4, col("cents"))).as("q3_cents"))
+      .select(lit(n).as("n_orders"), col("q1_cents"), col("q2_cents"), col("q3_cents"),
+        expr("""cast(q3_cents + q1_cents - 2 * q2_cents as double)
+               / cast(q3_cents - q1_cents as double)""").as("bowley_skew"))
+  }
+
+  /** TUKEY FENCE OUTLIER CENSUS — the boxplot rule at scale: count rows
+   *  beyond Q₁−1.5·IQR / Q₃+1.5·IQR. Quartiles come from the same
+   *  hit-slice rank locator; the fence test is cross-multiplied by 2
+   *  (`2x < 5Q₁ − 3Q₃`) so the 1.5 factor never becomes a float; the
+   *  census is one filtered recount of the (pushed-down, 2-column) scan.
+   *  Fences themselves are reported as EXACT half-cents (×2). */
+  def q87Tukey(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.lineitem(spark, dir).select(
+      expr("cast(cast(l_extendedprice as decimal(12,2)) * 100 as decimal(38,0))")
+        .cast("long").as("cents"),
+      col("l_orderkey"), col("l_linenumber"))
+    val (rows, n) = ScalableRank.rowsAtGlobalRanks(
+      cents, Seq(col("cents"), col("l_orderkey"), col("l_linenumber")),
+      t => Seq((t + 3) / 4, (3 * t + 3) / 4), "rk")
+    val q = broadcast(rows.agg(
+      min(when(col("rk") === (n + 3) / 4, col("cents"))).as("q1"),
+      min(when(col("rk") === (3 * n + 3) / 4, col("cents"))).as("q3")))
+    cents.crossJoin(q)
+      .agg(max("q1").as("q1_cents"), max("q3").as("q3_cents"),
+        sum(when(col("cents") * 2 < col("q1") * 5 - col("q3") * 3, 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("cents") * 2 > col("q3") * 5 - col("q1") * 3, 1L).otherwise(0L)).as("n_high"))
+      .select(lit(n).as("n_rows"), col("q1_cents"), col("q3_cents"),
+        expr("q1_cents * 5 - q3_cents * 3").as("low_fence_x2"),
+        expr("q3_cents * 5 - q1_cents * 3").as("high_fence_x2"),
+        col("n_low"), col("n_high"))
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: quartiles at the same explicit row_number ranks, one
+    // float division at the end
+    QueryDef("q86_bowley", q86Bowley, Some("""
+      WITH c AS (
+        SELECT cast(cast(cast(o_totalprice as decimal(12,2)) * 100 as hugeint) as bigint) AS cents,
+               o_orderkey
+        FROM orders),
+      n AS (SELECT count(*) AS n FROM c),
+      r AS (SELECT cents, row_number() OVER (ORDER BY cents, o_orderkey) AS rn FROM c),
+      q AS (
+        SELECT min(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS q1_cents,
+               min(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS q2_cents,
+               min(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END) AS q3_cents
+        FROM r, n)
+      SELECT n.n AS n_orders, q1_cents, q2_cents, q3_cents,
+             cast(q3_cents + q1_cents - 2 * q2_cents as double)
+               / cast(q3_cents - q1_cents as double) AS bowley_skew
+      FROM q, n""")),
+    // exact twin: same ranks, same cross-multiplied integer fences
+    QueryDef("q87_tukey", q87Tukey, Some("""
+      WITH c AS (
+        SELECT cast(cast(cast(l_extendedprice as decimal(12,2)) * 100 as hugeint) as bigint) AS cents,
+               l_orderkey, l_linenumber
+        FROM lineitem),
+      n AS (SELECT count(*) AS n FROM c),
+      r AS (SELECT cents,
+                   row_number() OVER (ORDER BY cents, l_orderkey, l_linenumber) AS rn
+            FROM c),
+      q AS (
+        SELECT min(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS q1,
+               min(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END) AS q3
+        FROM r, n)
+      SELECT n.n AS n_rows, q.q1 AS q1_cents, q.q3 AS q3_cents,
+             q.q1 * 5 - q.q3 * 3 AS low_fence_x2,
+             q.q3 * 5 - q.q1 * 3 AS high_fence_x2,
+             cast(sum(CASE WHEN c.cents * 2 < q.q1 * 5 - q.q3 * 3 THEN 1 ELSE 0 END) as bigint) AS n_low,
+             cast(sum(CASE WHEN c.cents * 2 > q.q3 * 5 - q.q1 * 3 THEN 1 ELSE 0 END) as bigint) AS n_high
+      FROM c, q, n
+      GROUP BY n.n, q.q1, q.q3""")),
     // exact twin: same island trick as a window, same two-level rollup
     QueryDef("q77_streaks", q77Streaks, Some("""
       WITH d AS (

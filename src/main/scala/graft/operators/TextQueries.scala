@@ -62,6 +62,31 @@ object TextQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "pred_lang")
 
+  /** COHEN'S KAPPA between the declared language label and the n-gram
+   *  language-ID — chance-corrected agreement, the eval statistic behind
+   *  "is this classifier better than the label marginals": κ = (N·D −
+   *  Σᵢrᵢcᵢ)/(N² − Σᵢrᵢcᵢ) with D the diagonal and rᵢ/cᵢ the confusion
+   *  marginals. Every moment is an exact integer from bounded (|labels|²)
+   *  aggregates over one corpus scan; the coefficient itself is ONE
+   *  float division at the output boundary (κ may be negative, and
+   *  Spark's `div` truncates where DuckDB's `//` floors — so a bp
+   *  integerization of a signed ratio would diverge; the double is the
+   *  engine-safe form). */
+  def langKappa(spark: SparkSession, dir: String): DataFrame = {
+    val conf = Tables.documents(spark, dir)
+      .groupBy(col("lang"), langId(col("text")).as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val tot = conf.agg(sum("n").as("nn"),
+      coalesce(sum(when(col("lang") === col("pred_lang"), col("n"))), lit(0L)).as("diag"))
+    val pe = conf.groupBy("lang").agg(sum("n").as("rn"))
+      .join(conf.groupBy(col("pred_lang").as("lang")).agg(sum("n").as("cn")), "lang")
+      .agg(coalesce(sum(col("rn") * col("cn")), lit(0L)).as("src"))
+    tot.crossJoin(broadcast(pe))
+      .select(col("nn").as("n_docs"), col("diag").as("n_agree"),
+        expr("(2 * diag * 10000 + nn) div (2 * nn)").as("po_bp"),
+        expr("cast(nn * diag - src as double) / cast(nn * nn - src as double)").as("kappa"))
+  }
+
   /** Intra-document repetition — the quality signal that catches boilerplate
    *  and spam the inter-document dedups can't see: repeated tokens and
    *  repeated word-2-grams WITHIN one doc. Ratios are exact integer
@@ -476,6 +501,34 @@ object TextQueries {
       .orderBy("src_a", "src_b")
   }
 
+  /** DuckDB twin of [[graft.functions.TextFunctions.langId]]: tokenize,
+   *  count stopword hits per language, argmax with the same ≥ tiebreak
+   *  order. Shared by the confusion and kappa oracles (one source of
+   *  truth — drift between the two would silently break kappa). */
+  private val LangPredCte: String = """
+      WITH t AS (
+        SELECT lang,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        FROM documents),
+      c AS (
+        SELECT lang,
+          len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','for'], x))) AS c_en,
+          len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','los','por'], x))) AS c_es,
+          len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','mit','ein'], x))) AS c_de,
+          len(list_filter(toks, x -> list_contains(['le','la','les','des','est','dans','pour','une'], x))) AS c_fr,
+          len(list_filter(toks, x -> list_contains(['il','di','che','la','per','con','del','una'], x))) AS c_it
+        FROM t),
+      p AS (
+        SELECT lang,
+          CASE WHEN greatest(c_en,c_es,c_de,c_fr,c_it) = 0 THEN 'und'
+               WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_it THEN 'en'
+               WHEN c_es >= c_de AND c_es >= c_fr AND c_es >= c_it THEN 'es'
+               WHEN c_de >= c_fr AND c_de >= c_it THEN 'de'
+               WHEN c_fr >= c_it THEN 'fr'
+               ELSE 'it' END AS pred_lang
+        FROM c)""".stripLeading
+
   val defs: Vector[QueryDef] = Vector(
     // exact twin: the same exclusive prefix sum as a window over the
     // identical (count desc, token) total order, same cross-multiplied
@@ -754,31 +807,26 @@ object TextQueries {
              count(CASE WHEN pred_lang = 'en' THEN 1 END) AS n_pred_en,
              count(*) AS n_docs
       FROM p GROUP BY source ORDER BY source""")),
-    QueryDef("text_lang_confusion", langConfusion, Some("""
-      WITH t AS (
-        SELECT lang,
-               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
-        FROM documents),
-      c AS (
-        SELECT lang,
-          len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','for'], x))) AS c_en,
-          len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','los','por'], x))) AS c_es,
-          len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','mit','ein'], x))) AS c_de,
-          len(list_filter(toks, x -> list_contains(['le','la','les','des','est','dans','pour','une'], x))) AS c_fr,
-          len(list_filter(toks, x -> list_contains(['il','di','che','la','per','con','del','una'], x))) AS c_it
-        FROM t),
-      p AS (
-        SELECT lang,
-          CASE WHEN greatest(c_en,c_es,c_de,c_fr,c_it) = 0 THEN 'und'
-               WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_it THEN 'en'
-               WHEN c_es >= c_de AND c_es >= c_fr AND c_es >= c_it THEN 'es'
-               WHEN c_de >= c_fr AND c_de >= c_it THEN 'de'
-               WHEN c_fr >= c_it THEN 'fr'
-               ELSE 'it' END AS pred_lang
-        FROM c)
+    QueryDef("text_lang_confusion", langConfusion, Some(s"""
+      $LangPredCte
       SELECT lang, pred_lang, count(*) AS n
       FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang""")),
+    // exact twin: same prediction CTE; all agreement moments are integer,
+    // one float division for the coefficient (the q57/q73 convention)
+    QueryDef("text_lang_kappa", langKappa, Some(s"""
+      $LangPredCte,
+      conf AS (SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2),
+      tot AS (SELECT cast(sum(n) as bigint) AS nn,
+                     cast(coalesce(sum(CASE WHEN lang = pred_lang THEN n END), 0) as bigint) AS diag
+              FROM conf),
+      rm AS (SELECT lang, sum(n) AS rn FROM conf GROUP BY 1),
+      cm AS (SELECT pred_lang AS lang, sum(n) AS cn FROM conf GROUP BY 1),
+      pe AS (SELECT cast(coalesce(sum(rm.rn * cm.cn), 0) as bigint) AS src
+             FROM rm JOIN cm USING (lang))
+      SELECT nn AS n_docs, diag AS n_agree,
+             (2 * diag * 10000 + nn) // (2 * nn) AS po_bp,
+             cast(nn * diag - src as double) / cast(nn * nn - src as double) AS kappa
+      FROM tot, pe""")),
     // same tokenize + trigram construction as the dedup oracles; the
     // common set is counted over DISTINCT per-doc shingles in both engines
     QueryDef("text_boilerplate", boilerplate, Some("""
