@@ -161,7 +161,10 @@ object GraphOps {
    *  partial-aggregated map-side; the label table joins the edge list on
    *  src (AQE broadcast while it fits, co-partitioned shuffle beyond).
    *  Output is the 20 largest communities, via TakeOrdered. */
-  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+  /** The 3-round synchronous-LPA label table (node, lbl) both
+   *  [[labelPropagation]] and [[modularity]] read — one propagation, two
+   *  consumers (the edge-snapshot sharing discipline). */
+  private[graft] def lpaLabels(spark: SparkSession, dir: String): DataFrame = {
     val und = bulkCoPurchaseEdges(spark, dir)
     val edges = und.select(col("x").as("src"), col("y").as("dst"))
       .unionAll(und.select(col("y").as("src"), col("x").as("dst")))
@@ -175,7 +178,11 @@ object GraphOps {
         .agg(max(expr("cnt * 4294967296 + (4294967295 - lbl)")).as("sc"))
         .select(col("node"), expr("4294967295 - (sc % 4294967296)").as("lbl"))
     }
-    lbl.groupBy(col("lbl").as("community"))
+    lbl
+  }
+
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    lpaLabels(spark, dir).groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_member"))
       .orderBy(col("n_members").desc, col("community"))
       .limit(20)
@@ -462,7 +469,79 @@ object GraphOps {
         expr("(2 * sum_cc_bp + n_eval) div (2 * n_eval)").as("avg_cc_bp"))
   }
 
+  /** NEWMAN MODULARITY of the LPA communities — the "are these
+   *  communities real" eval: Q = Σ_c [e_c/m − (d_c/2m)²], computed as
+   *  (4m·Σe_c − Σd_c²) / 4m² over exact integer moments (internal-edge
+   *  counts and degree sums from bounded joins of the shared edge
+   *  snapshot against the shared [[lpaLabels]] table), one float
+   *  division at the output boundary (Q is signed — the kappa
+   *  convention). Σd_c² accumulates in decimal(38) and ships as a
+   *  string: a 100 TB graph's hub community squares past 2⁶³. */
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    val und = bulkCoPurchaseEdges(spark, dir)
+    val lbl = lpaLabels(spark, dir)
+    val m = und.agg(count(lit(1)).as("m"))
+    val internal = und
+      .join(lbl.select(col("node").as("x"), col("lbl").as("lx")), "x")
+      .join(lbl.select(col("node").as("y"), col("lbl").as("ly")), "y")
+      .agg(sum(when(col("lx") === col("ly"), 1L).otherwise(0L)).as("internal_edges"))
+    val degSq = und.select(col("x").as("n")).unionAll(und.select(col("y").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .join(lbl.withColumnRenamed("node", "n"), "n")
+      .groupBy("lbl").agg(sum("d").as("dc"))
+      .agg(count(lit(1)).as("n_communities"),
+        sum(expr("cast(dc as decimal(38,0)) * dc")).as("sds"))
+    m.crossJoin(broadcast(internal)).crossJoin(broadcast(degSq))
+      .select(col("m").as("m_edges"), col("n_communities"), col("internal_edges"),
+        col("sds").cast("string").as("sum_deg_sq"),
+        expr("""(cast(4 * m * internal_edges as double) - cast(sds as double))
+               / cast(4 * m * m as double)""").as("modularity"))
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: the LPA rounds replayed as in graph_label_prop, then
+    // the same integer modularity moments and one float division
+    QueryDef("graph_modularity", modularity, Some("""
+      WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem WHERE l_quantity >= 40),
+      und AS MATERIALIZED (
+        SELECT DISTINCT a.pk AS x, b.pk AS y
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+      edges AS MATERIALIZED (
+        SELECT x AS src, y AS dst FROM und UNION ALL SELECT y, x FROM und),
+      l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+      l1 AS MATERIALIZED (
+        SELECT node, 4294967295 - (max(sc) % 4294967296) AS lbl FROM (
+          SELECT e.dst AS node,
+                 cast(count(*) as bigint) * 4294967296 + (4294967295 - l0.lbl) AS sc
+          FROM edges e JOIN l0 ON l0.node = e.src GROUP BY e.dst, l0.lbl) t
+        GROUP BY node),
+      l2 AS MATERIALIZED (
+        SELECT node, 4294967295 - (max(sc) % 4294967296) AS lbl FROM (
+          SELECT e.dst AS node,
+                 cast(count(*) as bigint) * 4294967296 + (4294967295 - l1.lbl) AS sc
+          FROM edges e JOIN l1 ON l1.node = e.src GROUP BY e.dst, l1.lbl) t
+        GROUP BY node),
+      l3 AS MATERIALIZED (
+        SELECT node, 4294967295 - (max(sc) % 4294967296) AS lbl FROM (
+          SELECT e.dst AS node,
+                 cast(count(*) as bigint) * 4294967296 + (4294967295 - l2.lbl) AS sc
+          FROM edges e JOIN l2 ON l2.node = e.src GROUP BY e.dst, l2.lbl) t
+        GROUP BY node),
+      mm AS (SELECT cast(count(*) as bigint) AS m FROM und),
+      ii AS (
+        SELECT cast(sum(CASE WHEN a.lbl = b.lbl THEN 1 ELSE 0 END) as bigint) AS internal_edges
+        FROM und JOIN l3 a ON a.node = und.x JOIN l3 b ON b.node = und.y),
+      deg AS (SELECT src AS n, cast(count(*) as bigint) AS d FROM edges GROUP BY 1),
+      dc AS (SELECT l3.lbl, sum(d) AS dcg FROM deg JOIN l3 ON l3.node = deg.n GROUP BY 1),
+      sq AS (SELECT count(*) AS n_communities,
+                    sum(cast(dcg as hugeint) * dcg) AS sds
+             FROM dc)
+      SELECT mm.m AS m_edges, sq.n_communities, ii.internal_edges,
+             cast(sq.sds as varchar) AS sum_deg_sq,
+             (cast(4 * mm.m * ii.internal_edges as double) - cast(sq.sds as double))
+               / cast(4 * mm.m * mm.m as double) AS modularity
+      FROM mm, ii, sq""")),
     // exact twin: same oriented wedge enumeration, same 3-corner credit,
     // same half-up per-node bp before the census
     QueryDef("graph_clustering", clusteringCoeff, Some("""

@@ -415,7 +415,55 @@ object SweepSkyline {
         col("n_low"), col("n_high"))
   }
 
+  /** WINSORIZED MEAN (5%/95%) of order totals — the outlier-robust mean
+   *  that completes the robust family (MAD dispersion, Bowley skew,
+   *  Tukey fences): clamp every value to the P5/P95 data points, then
+   *  the exact integer mean in half-up hundredths of a cent. Both
+   *  percentile rows come from ONE [[ScalableRank.rowsAtGlobalRanks]]
+   *  pass; the clamp+sum is one recount of the pushed-down scan against
+   *  the broadcast 1-row bounds. */
+  def q88Winsorized(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.orders(spark, dir).select(
+      expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as decimal(38,0))")
+        .cast("long").as("cents"),
+      col("o_orderkey"))
+    val (rows, n) = ScalableRank.rowsAtGlobalRanks(
+      cents, Seq(col("cents"), col("o_orderkey")),
+      t => Seq((t + 19) / 20, (19 * t + 19) / 20), "rk")
+    val bounds = broadcast(rows.agg(
+      min(when(col("rk") === (n + 19) / 20, col("cents"))).as("p5"),
+      min(when(col("rk") === (19 * n + 19) / 20, col("cents"))).as("p95")))
+    cents.crossJoin(bounds)
+      .agg(max("p5").as("p5_cents"), max("p95").as("p95_cents"),
+        sum(expr("cast(greatest(p5, least(p95, cents)) as decimal(38,0))")).as("ws"),
+        sum(col("cents").cast("decimal(38,0)")).as("rs"))
+      .select(lit(n).as("n_orders"), col("p5_cents"), col("p95_cents"),
+        expr("cast((2 * ws * 100 + n_orders) div (2 * n_orders) as bigint)")
+          .as("winsorized_mean_x100"),
+        expr("cast((2 * rs * 100 + n_orders) div (2 * n_orders) as bigint)")
+          .as("raw_mean_x100"))
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: same explicit percentile ranks, same clamp, same
+    // half-up integer means
+    QueryDef("q88_winsorized", q88Winsorized, Some("""
+      WITH c AS (
+        SELECT cast(cast(cast(o_totalprice as decimal(12,2)) * 100 as hugeint) as bigint) AS cents,
+               o_orderkey
+        FROM orders),
+      n AS (SELECT count(*) AS n FROM c),
+      r AS (SELECT cents, row_number() OVER (ORDER BY cents, o_orderkey) AS rn FROM c),
+      b AS (
+        SELECT min(CASE WHEN rn = (n + 19) // 20 THEN cents END) AS p5,
+               min(CASE WHEN rn = (19 * n + 19) // 20 THEN cents END) AS p95
+        FROM r, n)
+      SELECT n.n AS n_orders, b.p5 AS p5_cents, b.p95 AS p95_cents,
+             cast((2 * sum(cast(greatest(b.p5, least(b.p95, c.cents)) as hugeint)) * 100 + n.n)
+                    // (2 * n.n) as bigint) AS winsorized_mean_x100,
+             cast((2 * sum(cast(c.cents as hugeint)) * 100 + n.n)
+                    // (2 * n.n) as bigint) AS raw_mean_x100
+      FROM c, b, n GROUP BY n.n, b.p5, b.p95""")),
     // exact twin: quartiles at the same explicit row_number ranks, one
     // float division at the end
     QueryDef("q86_bowley", q86Bowley, Some("""

@@ -71,6 +71,33 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(expected.exists(_._2 > 1), "test premise: LPA forms non-trivial communities")
   }
 
+  test("graph_modularity EQUALS the sequential Newman-Q reference") {
+    // sequential LPA (as above), then textbook Q = Σ_c [e_c/m − (d_c/2m)²]
+    // computed from the same undirected edge set
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    var lbl: Map[Long, Long] = adj.keysIterator.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lbl = adj.map { case (n, ns) =>
+        val freq = ns.groupBy(lbl).map { case (l, xs) => (l, xs.length) }
+        n -> freq.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val und = edges.filter { case (x, y) => x < y }
+    val m = und.length.toLong
+    val internal = und.count { case (x, y) => lbl(x) == lbl(y) }.toLong
+    val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    val dc = deg.groupBy { case (n, _) => lbl(n) }.map { case (_, xs) => xs.values.sum }
+    val sds = dc.map(d => BigInt(d) * d).sum
+    val row = GraphOps.modularity(spark, dir).collect().head
+    assert(row.getAs[Long]("m_edges") == m)
+    assert(row.getAs[Long]("internal_edges") == internal)
+    assert(row.getAs[Long]("n_communities") == dc.size.toLong)
+    assert(BigInt(row.getAs[String]("sum_deg_sq")) == sds)
+    val q = ((BigInt(4) * m * internal).toDouble - sds.toDouble) / (4.0 * m * m)
+    assert(row.getAs[Double]("modularity") == q)
+    assert(q > 0, "test premise: LPA communities beat the random baseline")
+  }
+
   test("triangle count EQUALS the naive adjacency-set reference") {
     // naive reference: canonical undirected edge set, then for each edge
     // {x,y} count common neighbors z > y — each triangle once at its

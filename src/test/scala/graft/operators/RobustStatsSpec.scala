@@ -51,6 +51,20 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("low_fence_x2") < 2 * q1 && 2 * q3 < row.getAs[Long]("high_fence_x2"))
   }
 
+  test("q88_winsorized equals the sequential clamp reference") {
+    val s = sortedCents("orders")
+    val n = s.length.toLong
+    val (p5, p95) = (s(((n + 19) / 20 - 1).toInt), s(((19 * n + 19) / 20 - 1).toInt))
+    val ws = s.map(c => math.max(p5, math.min(p95, c))).map(BigInt(_)).sum
+    val rs = s.map(BigInt(_)).sum
+    val row = SweepSkyline.q88Winsorized(spark, dir).collect().head
+    assert(row.getAs[Long]("n_orders") == n)
+    assert(row.getAs[Long]("p5_cents") == p5 && row.getAs[Long]("p95_cents") == p95)
+    assert(BigInt(row.getAs[Long]("winsorized_mean_x100")) == (2 * ws * 100 + n) / (2 * n))
+    assert(BigInt(row.getAs[Long]("raw_mean_x100")) == (2 * rs * 100 + n) / (2 * n))
+    assert(p5 < p95, "test premise: the clamp window is non-degenerate")
+  }
+
   test("text_lang_kappa equals the sequential confusion-matrix reference") {
     val conf = TextQueries.langConfusion(spark, dir).collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
