@@ -514,7 +514,51 @@ object CurationPipeline {
         sum(when(col("l") < 3, 1L).otherwise(0L)).as("n_low_groups"),
         sum(when(col("l") < 3, col("sz")).otherwise(0L)).as("rows_at_risk"))
 
+  /** EFFECTIVE TOKENS after exact dedup — the budget number a training
+   *  plan actually gets per source: raw doc/token counts vs what
+   *  survives md5-exact dedup with global first-owner keeps (a duplicate
+   *  whose keeper lives in ANOTHER source counts for the keeper — the
+   *  cross-source attribution that per-source distinct counts get
+   *  wrong), plus the savings in half-up bp. One shuffle on the text
+   *  hash to elect keepers, one co-partitioned self-join back, one
+   *  per-source rollup; token counts are the oracle-exact length
+   *  arithmetic, never a tokenizer pass. */
+  def effectiveTokens(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("ntok"),
+        md5(col("text")).as("h"))
+    val keepers = docs.groupBy("h").agg(min("doc_id").as("keep_id"))
+    docs.join(keepers, "h")
+      .groupBy("source")
+      .agg(count(lit(1)).as("raw_docs"), sum("ntok").as("raw_tokens"),
+        sum(when(col("doc_id") === col("keep_id"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("doc_id") === col("keep_id"), col("ntok")).otherwise(0L)).as("kept_tokens"))
+      .withColumn("savings_bp",
+        expr("(2 * (raw_tokens - kept_tokens) * 10000 + raw_tokens) div (2 * raw_tokens)"))
+      .orderBy("source")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: same md5 keeper election, same global-first-owner
+    // attribution and half-up savings
+    QueryDef("pipeline_effective_tokens", effectiveTokens, Some("""
+      WITH d AS (
+        SELECT doc_id, source,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+               END AS ntok,
+               md5(text) AS h
+        FROM documents),
+      k AS (SELECT h, min(doc_id) AS keep_id FROM d GROUP BY 1)
+      SELECT source,
+             count(*) AS raw_docs, cast(sum(ntok) as bigint) AS raw_tokens,
+             cast(sum(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) as bigint) AS kept_docs,
+             cast(sum(CASE WHEN doc_id = keep_id THEN ntok ELSE 0 END) as bigint) AS kept_tokens,
+             cast((2 * (sum(ntok) - sum(CASE WHEN doc_id = keep_id THEN ntok ELSE 0 END)) * 10000
+                    + sum(ntok)) // (2 * sum(ntok)) as bigint) AS savings_bp
+      FROM d JOIN k USING (h)
+      GROUP BY source ORDER BY source""")),
     // exact twin: same QI bucketing, same l=3 bar
     QueryDef("pipeline_l_diversity", lDiversity, Some("""
       WITH g AS (

@@ -444,7 +444,59 @@ object SweepSkyline {
           .as("raw_mean_x100"))
   }
 
+  /** GROUPED EXACT PERCENTILES — per-nation median and P90 order
+   *  totals, the per-segment distribution readout. The textbook plan
+   *  (`row_number() OVER (PARTITION BY nation ...)`) funnels each
+   *  nation's full history through ONE task — fatal when groups are few
+   *  and huge. Here the within-group rank is the grouped prefix COUNT
+   *  from [[ScalableRank.withGroupedPrefixSum]] (range-partitioned on
+   *  (nation, cents) — a nation spans many slices, each bounded), and
+   *  each group's two target ranks select by a broadcast-joined
+   *  per-group total. Rank formulas are the explicit lower-percentile
+   *  ⌈p·n⌉ integers of the q80/q86 family. */
+  def q89GroupedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as decimal(38,0))")
+          .cast("long").as("cents"),
+        col("o_orderkey"))
+      .withColumn("one", lit(1L))
+    val totals = df.groupBy("n_name").agg(count(lit(1)).as("cnt"))
+    ScalableRank
+      .withGroupedPrefixSum(df, Seq("n_name"), Seq("cents", "o_orderkey"), "one", "prev")
+      .join(broadcast(totals), "n_name")
+      .filter(col("prev") + 1 === expr("(cnt + 1) div 2") ||
+        col("prev") + 1 === expr("(9 * cnt + 9) div 10"))
+      .groupBy("n_name")
+      .agg(max("cnt").as("n_orders"),
+        min(when(col("prev") + 1 === expr("(cnt + 1) div 2"), col("cents"))).as("median_cents"),
+        min(when(col("prev") + 1 === expr("(9 * cnt + 9) div 10"), col("cents"))).as("p90_cents"))
+      .orderBy("n_name")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: per-group row_number window at the same explicit ranks
+    QueryDef("q89_grouped_median", q89GroupedMedian, Some("""
+      WITH d AS (
+        SELECT n_name,
+               cast(cast(cast(o_totalprice as decimal(12,2)) * 100 as hugeint) as bigint) AS cents,
+               o_orderkey
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey),
+      r AS (
+        SELECT n_name, cents,
+               row_number() OVER (PARTITION BY n_name ORDER BY cents, o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY n_name) AS cnt
+        FROM d)
+      SELECT n_name, cast(max(cnt) as bigint) AS n_orders,
+             min(CASE WHEN rn = (cnt + 1) // 2 THEN cents END) AS median_cents,
+             min(CASE WHEN rn = (9 * cnt + 9) // 10 THEN cents END) AS p90_cents
+      FROM r
+      WHERE rn = (cnt + 1) // 2 OR rn = (9 * cnt + 9) // 10
+      GROUP BY n_name ORDER BY n_name""")),
     // exact twin: same explicit percentile ranks, same clamp, same
     // half-up integer means
     QueryDef("q88_winsorized", q88Winsorized, Some("""

@@ -65,6 +65,25 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(p5 < p95, "test premise: the clamp window is non-degenerate")
   }
 
+  test("q89_grouped_median equals the sequential per-group rank reference") {
+    val rows = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as decimal(38,0))")
+          .cast("long").as("cents"), col("o_orderkey"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = rows.groupBy(_._1).toSeq.map { case (nation, xs) =>
+      val s = xs.map(x => (x._2, x._3)).sorted.map(_._1)
+      val n = s.length.toLong
+      (nation, n, s(((n + 1) / 2 - 1).toInt), s(((9 * n + 9) / 10 - 1).toInt))
+    }.sortBy(_._1)
+    val got = SweepSkyline.q89GroupedMedian(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(expected.size > 10, "test premise: many groups, each spanning slices")
+  }
+
   test("text_lang_kappa equals the sequential confusion-matrix reference") {
     val conf = TextQueries.langConfusion(spark, dir).collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
