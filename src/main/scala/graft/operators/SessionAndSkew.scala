@@ -237,7 +237,56 @@ object SessionAndSkew {
       .orderBy("lag_bucket_min")
   }
 
+  /** LAST-TOUCH REVENUE ATTRIBUTION — every purchase's cents credited to
+   *  the hour-of-day of the user's most recent PRECEDING click (organic
+   *  purchases, with no prior click, land in bucket −1): the marketing
+   *  report behind "which click hours drive revenue". The last-click
+   *  carry-forward is `last(click_us, ignoreNulls)` over the per-USER
+   *  (us, event_id) order — millions of small partitions, the
+   *  distributable window shape — and the rollup is 25 bounded cells.
+   *  Value is cents-exact via the suite's decimal(12,2) convention. */
+  def q90Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("us"),
+        expr("cast(cast(value as decimal(12,2)) * 100 as decimal(38,0))")
+          .cast("long").as("cents"))
+      .withColumn("click_us",
+        last(when(col("event_type") === "click", col("us")), ignoreNulls = true).over(byUser))
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(col("click_us").isNull, lit(-1L))
+          .otherwise(expr("(click_us div 3600000000) % 24")).as("click_hour"),
+        col("cents"))
+      .groupBy("click_hour")
+      .agg(count(lit(1)).as("n_purchases"), sum("cents").as("attributed_cents"))
+      .orderBy("click_hour")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: the same ignore-nulls carry-forward window over the
+    // identical per-user total order
+    QueryDef("q90_attribution", q90Attribution, Some("""
+      WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+               cast(cast(value as decimal(12,2)) * 100 as bigint) AS cents
+        FROM events),
+      t AS (
+        SELECT event_type, cents,
+               last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_us
+        FROM e)
+      SELECT CASE WHEN click_us IS NULL THEN -1
+                  ELSE (click_us // 3600000000) % 24 END AS click_hour,
+             count(*) AS n_purchases,
+             cast(sum(cents) as bigint) AS attributed_cents
+      FROM t WHERE event_type = 'purchase'
+      GROUP BY 1 ORDER BY click_hour""")),
     // exact twin: same staged min-aggregates and the same integer ladder
     QueryDef("q85_conversion_lag", q85ConversionLag, Some(s"""
       WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

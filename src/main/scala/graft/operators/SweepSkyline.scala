@@ -476,7 +476,43 @@ object SweepSkyline {
       .orderBy("n_name")
   }
 
+  /** PER-GROUP MODE — the most frequent exact price point per nation
+   *  (ties to the LOWEST price), via the packed-argmax discipline the
+   *  graph module uses for label propagation: `cnt·2³² + (2³²−1−cents)`
+   *  makes the per-group argmax a plain `max` — two partial-aggregated
+   *  shuffles, no window, no per-group sort. Exact while cents < 2³²
+   *  (order totals are ≤ ~6·10⁷) and per-group counts < 2³¹. */
+  def q91Mode(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as decimal(38,0))")
+          .cast("long").as("cents"))
+      .groupBy("n_name", "cents").agg(count(lit(1)).as("cnt"))
+      .groupBy("n_name")
+      .agg(max(expr("cnt * 4294967296 + (4294967295 - cents)")).as("sc"))
+      .select(col("n_name"),
+        expr("4294967295 - (sc % 4294967296)").as("mode_cents"),
+        expr("sc div 4294967296").as("mode_count"))
+      .orderBy("n_name")
+
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: the same packed argmax, so the tiebreak is bit-identical
+    QueryDef("q91_mode", q91Mode, Some("""
+      WITH d AS (
+        SELECT n_name,
+               cast(cast(cast(o_totalprice as decimal(12,2)) * 100 as hugeint) as bigint) AS cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey),
+      g AS (SELECT n_name, cents, cast(count(*) as bigint) AS cnt FROM d GROUP BY 1, 2),
+      p AS (SELECT n_name, max(cnt * 4294967296 + (4294967295 - cents)) AS sc
+            FROM g GROUP BY 1)
+      SELECT n_name,
+             4294967295 - (sc % 4294967296) AS mode_cents,
+             sc // 4294967296 AS mode_count
+      FROM p ORDER BY n_name""")),
     // exact twin: per-group row_number window at the same explicit ranks
     QueryDef("q89_grouped_median", q89GroupedMedian, Some("""
       WITH d AS (

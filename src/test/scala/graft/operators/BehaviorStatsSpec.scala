@@ -35,6 +35,30 @@ class BehaviorStatsSpec extends AnyFunSuite {
     assert(expected.size > 3, "test premise: gaps span several buckets")
   }
 
+  test("q90_attribution equals the sequential last-click replay") {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("us"),
+        expr("cast(cast(value as decimal(12,2)) * 100 as decimal(38,0))").cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    val attributed = ev.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      var lastClick: Option[Long] = None
+      xs.sortBy(x => (x._4, x._2)).flatMap { case (_, _, typ, us, cents) =>
+        if (typ == "click") { lastClick = Some(us); None }
+        else if (typ == "purchase")
+          Some((lastClick.map(c => (c / 3600000000L) % 24).getOrElse(-1L), cents))
+        else None
+      }
+    }
+    val expected = attributed.groupBy(_._1).toSeq
+      .map { case (h, xs) => (h, xs.size.toLong, xs.map(_._2).sum) }.sortBy(_._1)
+    val got = SessionAndSkew.q90Attribution(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(expected.exists(_._1 >= 0) && expected.exists(_._1 == -1L),
+      "test premise: both attributed and organic purchases exist")
+  }
+
   test("q81_rfm partitions the full customer population into valid segments") {
     val rows = SessionAndSkew.q81Rfm(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
