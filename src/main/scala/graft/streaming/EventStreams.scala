@@ -252,7 +252,7 @@ object EventStreams {
       hourly: DataFrame, sessions: DataFrame, schema: DataFrame, dedup: DataFrame,
       enriched: DataFrame, sliding: DataFrame, typeUserCounts: DataFrame,
       attributed: DataFrame, fileSink: DataFrame, sessionWin: DataFrame,
-      dedupWm: DataFrame, leftJoin: DataFrame, cep: DataFrame)
+      dedupWm: DataFrame, leftJoin: DataFrame, cep: DataFrame, backfill: DataFrame)
   private val replays = scala.collection.concurrent.TrieMap.empty[String, Replay]
 
   /** One shared AvailableNow replay per sf directory: the four streaming
@@ -432,6 +432,42 @@ object EventStreams {
             (unix_micros(col("purchase_time")) - unix_micros(col("view_time"))).as("lag_us"))
           .writeStream.format("memory").queryName(leftJoinName)
           .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+        // BACKFILL UNION (the lambda pattern) — history replay + live tail
+        // as ONE stream: the same table arrives through TWO overlapping
+        // pipelines (every event twice — the overlap a real backfill
+        // always has at the cutover boundary), and
+        // dropDuplicatesWithinWatermark on event_id restores exactly-once
+        // in-stream (bounded state — keys evict at the watermark). The
+        // hourly rollup happens ON READ from the sink, the streamTopk
+        // discipline: chaining a second stateful aggregation behind the
+        // dedup would hold the final window hostage to one more watermark
+        // hop that an AvailableNow replay never takes. The oracle is the
+        // per-hour rollup of the SINGLE-copy table — 2× input, 1× output
+        // is the whole point.
+        val backfillName = s"stream_backfill_$tag"
+        val backfillDir = {
+          val tmp = tempDirWithCleanup("graft_backfill")
+          val srcTable = Paths.get(s"$dir/events.parquet")
+          def linkAll(prefix: String): Unit =
+            if (Files.isDirectory(srcTable)) {
+              val listing = Files.list(srcTable)
+              var j = 0
+              try {
+                val it = listing.filter(_.toString.endsWith(".parquet")).iterator()
+                while (it.hasNext) {
+                  Files.createSymbolicLink(tmp.resolve(s"${prefix}_$j.parquet"), it.next()); j += 1
+                }
+              } finally listing.close()
+            } else Files.createSymbolicLink(tmp.resolve(s"$prefix.parquet"), srcTable)
+          linkAll("history"); linkAll("live")
+          tmp.toString
+        }
+        val qBackfill = withEventTime(eventsStream(spark, backfillDir, glob = "*.parquet"))
+          .withWatermark("event_time", "30 minutes")
+          .dropDuplicatesWithinWatermark("event_id")
+          .select(col("event_id"), col("event_time"), col("value"))
+          .writeStream.format("memory").queryName(backfillName)
+          .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
         // CEP pattern matcher — see [[cepMatches]]; reads the plain source
         // (emission happens on purchase arrival, no sentinel needed)
         val cepName = s"stream_cep_$tag"
@@ -455,7 +491,7 @@ object EventStreams {
           .partitionBy("event_type")
           .trigger(Trigger.AvailableNow()).start()
         Seq(qHourly, qSchema, qSess, qDedup, qEnriched, qSliding, qTopk, qJoin,
-            qFile, qSessWin, qDedupWm, qLeftJoin, qCep)
+            qFile, qSessWin, qDedupWm, qLeftJoin, qCep, qBackfill)
           .foreach(_.awaitTermination())
         // read the sink back THROUGH the commit log (partition-pruned scan)
         // and roll it up — equals the batch aggregate over the source
@@ -484,7 +520,14 @@ object EventStreams {
           leftJoin = spark.table(leftJoinName)
             .filter(col("purchase_us") < sentinelUs)
             .orderBy("user_id", "purchase_id", "view_id"),
-          cep = spark.table(cepName).orderBy("user_id", "purchase_id"))
+          cep = spark.table(cepName).orderBy("user_id", "purchase_id"),
+          backfill = spark.table(backfillName)
+            .groupBy(window(col("event_time"), "1 hour"))
+            .agg(count(lit(1)).as("n_events"),
+              expr("cast(sum(cast(value as decimal(12,2)) * 100) as bigint)").as("cents"))
+            .select(unix_micros(col("window.start")).as("hour_start_us"),
+              col("n_events"), col("cents"))
+            .orderBy("hour_start_us"))
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     })
 
@@ -492,6 +535,12 @@ object EventStreams {
    *  batch plan, so it carries a real oracle. */
   def streamHourlyCounts(spark: SparkSession, dir: String): DataFrame =
     replay(spark, dir).hourly
+
+  /** Backfill-union hourly rollup from the shared replay — 2× overlapping
+   *  input, exactly-once output; see the replay builder's BACKFILL UNION
+   *  block. */
+  def streamBackfillUnion(spark: SparkSession, dir: String): DataFrame =
+    replay(spark, dir).backfill
 
   /** CEP pattern detections (view→purchase, no intervening click) from
    *  the shared replay — see [[cepMatches]]. */
@@ -774,6 +823,16 @@ object EventStreams {
         FROM events, (VALUES (0), (1)) u(k)) t
       GROUP BY 1, 2
       ORDER BY win_start_us, event_type""")),
+    // the lambda cutover test: the stream ingested every event TWICE
+    // (history + live overlap); equality with the single-copy rollup IS
+    // the exactly-once proof
+    QueryDef("stream_backfill_union", streamBackfillUnion, Some("""
+      SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_start_us,
+             count(*) AS n_events,
+             cast(sum(cast(value as decimal(12,2)) * 100) as bigint) AS cents
+      FROM events
+      GROUP BY 1
+      ORDER BY hour_start_us""")),
     QueryDef("stream_hourly_counts", streamHourlyCounts, Some("""
       SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_start_us,
              event_type, count(*) AS n,

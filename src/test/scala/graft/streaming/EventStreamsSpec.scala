@@ -50,6 +50,24 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream_backfill_union restores exactly-once from the doubled source") {
+    // the replay ingests every event TWICE (history + live overlap);
+    // equality with the single-copy batch rollup proves the in-stream
+    // dedup removed exactly the overlap, nothing more, nothing less
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val batch = graft.Tables.events(spark, dir)
+      .groupBy(expr("(ts div 3600000000000) * 3600000000").as("hour_start_us"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("cast(sum(cast(value as decimal(12,2)) * 100) as bigint)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val got = EventStreams.streamBackfillUnion(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == batch)
+    assert(batch.map(_._2).sum ==
+      graft.Tables.events(spark, dir).count(), "sink holds the single-copy event count")
+  }
+
   test("sessionize closes a session when the gap exceeds 30 minutes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
