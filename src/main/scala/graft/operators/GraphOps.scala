@@ -163,8 +163,17 @@ object GraphOps {
    *  Output is the 20 largest communities, via TakeOrdered. */
   /** The 3-round synchronous-LPA label table (node, lbl) both
    *  [[labelPropagation]] and [[modularity]] read — one propagation, two
-   *  consumers (the edge-snapshot sharing discipline). */
-  private[graft] def lpaLabels(spark: SparkSession, dir: String): DataFrame = {
+   *  consumers, snapshotted per (application, dir) exactly like the edge
+   *  base (the per-corpus-artifact sharing discipline). */
+  private val lpaCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private[graft] def lpaLabels(spark: SparkSession, dir: String): DataFrame =
+    lpaCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      import org.apache.spark.sql.graft.DatasetBridge
+      DatasetBridge.snapshot(lpaLabelsUncached(spark, dir)).df
+    })
+
+  private def lpaLabelsUncached(spark: SparkSession, dir: String): DataFrame = {
     val und = bulkCoPurchaseEdges(spark, dir)
     val edges = und.select(col("x").as("src"), col("y").as("dst"))
       .unionAll(und.select(col("y").as("src"), col("x").as("dst")))
