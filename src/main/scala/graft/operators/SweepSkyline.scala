@@ -497,7 +497,99 @@ object SweepSkyline {
         expr("sc div 4294967296").as("mode_count"))
       .orderBy("n_name")
 
+  /** VARIANCE DECOMPOSITION (η²) — how much of order-value variance the
+   *  order priority explains: SSB/SST from exact integer moments
+   *  (per-group n/Σx/Σx², global Σx/Σx², all decimal(38) — cents² sums
+   *  pass 2⁶³ fast). Between-groups mass Σ_g S_g²/n_g uses per-group
+   *  FLOOR division — deterministic on both engines where a float sum
+   *  over groups would be partition-order-dependent; the dropped
+   *  remainders total < n_groups against ~10¹⁵-scale terms. Output is
+   *  η² in floor e6 units (nonneg, so `div` vs `//` agree); every
+   *  intermediate stays decimal(38) — no long-typed quotient anywhere
+   *  (they pass 2⁶³ already at sf0.1). */
+  def q92EtaSquared(spark: SparkSession, dir: String): DataFrame = {
+    val cents = expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as decimal(38,0))")
+    val g = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("s"),
+        sum((cents * cents).cast("decimal(38,0)")).as("ss"))
+    g.agg(count(lit(1)).as("n_groups"),
+        sum("n").as("nn"), sum("s").as("st"), sum("ss").as("sst"),
+        // Σ_g ⌊S_g²/n_g⌋ — per-group FLOOR division pinned on both
+        // engines (a float Σ S_g²/n_g would be partition-order-dependent);
+        // the dropped remainders total < n_groups, invisible at e6 scale.
+        // NOT `div`: IntegralDivide returns LONG and these quotients pass
+        // 2⁶³ at sf0.1 — subtract the remainder first, then the decimal
+        // division is exact (integer quotient, no rounding to bite)
+        sum(expr("""cast(((cast(s as decimal(38,0)) * s) - (cast(s as decimal(38,0)) * s) % n) / n
+                   as decimal(38,0))""")).as("ssbs"))
+      // multiplied through by N: η² = (N·Σ⌊S_g²/n_g⌋ − S²)/(N·SST − S²) —
+      // every intermediate stays decimal(38), no long-typed quotient
+      .select(col("n_groups"), col("nn").cast("long").as("n_orders"),
+        expr("""cast(((cast(nn as decimal(38,0)) * ssbs - cast(st as decimal(38,0)) * st) * 1000000)
+               div (cast(nn as decimal(38,0)) * sst - cast(st as decimal(38,0)) * st) as bigint)""")
+          .as("eta_sq_e6"))
+  }
+
+  /** CHI-SQUARE INDEPENDENCE audit — is event type independent of
+   *  day-of-week: per-cell contributions (N·O − r·c)²·10⁴ / (N·r·c) in
+   *  EXACT half-up integer e4 units (cross-multiplied — the expected
+   *  count never becomes a float), summed exactly. 35 bounded cells; the
+   *  marginals join broadcast. decimal(38) headroom: (N·O)²·10⁴ at
+   *  N = 10⁸ events is ~10³⁶. */
+  def q93Chisq(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("event_type"), expr("((ts div 86400000000000) + 3) % 7").as("dow"))
+    val obs = ev.groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+    val rowM = ev.groupBy("event_type").agg(count(lit(1)).as("r"))
+    val colM = ev.groupBy("dow").agg(count(lit(1)).as("c"))
+    val tot = ev.agg(count(lit(1)).as("nn"))
+    obs.join(broadcast(rowM), "event_type").join(broadcast(colM), "dow")
+      .crossJoin(broadcast(tot))
+      .select(col("event_type"), col("dow"), col("o"),
+        // widen BEFORE multiplying — nn·o in raw longs would wrap at
+        // ~3·10⁹ input rows
+        expr("""cast((2 * (cast(nn as decimal(38,0)) * o - cast(r as decimal(38,0)) * c)
+                 * (cast(nn as decimal(38,0)) * o - cast(r as decimal(38,0)) * c) * 10000
+                 + cast(nn as decimal(38,0)) * r * c)
+                 div (2 * cast(nn as decimal(38,0)) * r * c) as bigint)""").as("contrib_e4"))
+      .orderBy("event_type", "dow")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: same integer moments, same two bounded float divisions
+    QueryDef("q92_eta_squared", q92EtaSquared, Some("""
+      WITH g AS (
+        SELECT o_orderpriority, count(*) AS n,
+               sum(cast(cast(o_totalprice as decimal(12,2)) * 100 as hugeint)) AS s,
+               sum(cast(cast(cast(o_totalprice as decimal(12,2)) * 100 as hugeint)
+                   * cast(cast(o_totalprice as decimal(12,2)) * 100 as hugeint) as hugeint)) AS ss
+        FROM orders GROUP BY 1),
+      m AS (
+        SELECT count(*) AS n_groups, sum(n) AS nn, sum(s) AS st, sum(ss) AS sst,
+               sum((cast(s as hugeint) * s) // n) AS ssbs
+        FROM g)
+      SELECT n_groups, cast(nn as bigint) AS n_orders,
+             cast(((cast(nn as hugeint) * ssbs - cast(st as hugeint) * st) * 1000000)
+                    // (cast(nn as hugeint) * sst - cast(st as hugeint) * st) as bigint) AS eta_sq_e6
+      FROM m""")),
+    // exact twin: same integer calendar dow, same cross-multiplied
+    // half-up per-cell contributions
+    QueryDef("q93_chisq", q93Chisq, Some("""
+      WITH e AS (
+        SELECT event_type, ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow
+        FROM events),
+      obs AS (SELECT event_type, dow, count(*) AS o FROM e GROUP BY 1, 2),
+      r AS (SELECT event_type, count(*) AS r FROM e GROUP BY 1),
+      c AS (SELECT dow, count(*) AS c FROM e GROUP BY 1),
+      t AS (SELECT count(*) AS nn FROM e)
+      SELECT obs.event_type, obs.dow, obs.o,
+             cast((2 * (cast(nn as hugeint) * o - cast(r.r as hugeint) * c.c)
+                    * (cast(nn as hugeint) * o - cast(r.r as hugeint) * c.c) * 10000
+                    + cast(nn as hugeint) * r.r * c.c)
+                   // (2 * cast(nn as hugeint) * r.r * c.c) as bigint) AS contrib_e4
+      FROM obs JOIN r USING (event_type) JOIN c USING (dow), t
+      ORDER BY event_type, dow""")),
     // exact twin: the same packed argmax, so the tiebreak is bit-identical
     QueryDef("q91_mode", q91Mode, Some("""
       WITH d AS (

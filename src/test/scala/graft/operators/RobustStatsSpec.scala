@@ -84,6 +84,44 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(expected.size > 10, "test premise: many groups, each spanning slices")
   }
 
+  test("q92_eta_squared equals the sequential BigInt reference") {
+    val rows = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"),
+        expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as decimal(38,0))")
+          .cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val groups = rows.groupBy(_._1).values.map(_.map(x => BigInt(x._2)))
+    val nn = BigInt(rows.length)
+    val st = rows.map(x => BigInt(x._2)).sum
+    val sst = rows.map(x => BigInt(x._2) * x._2).sum
+    val ssbs = groups.map(g => g.sum * g.sum / g.size).sum
+    val expected = (nn * ssbs - st * st) * 1000000 / (nn * sst - st * st)
+    val row = SweepSkyline.q92EtaSquared(spark, dir).collect().head
+    assert(row.getAs[Long]("n_groups") == groups.size.toLong)
+    assert(row.getAs[Long]("n_orders") == rows.length.toLong)
+    assert(BigInt(row.getAs[Long]("eta_sq_e6")) == expected)
+    assert(expected >= 0 && expected < 1000000, "η² lands in [0,1)")
+  }
+
+  test("q93_chisq equals the sequential BigInt reference") {
+    val rows = Tables.events(spark, dir)
+      .select(col("event_type"), expr("((ts div 86400000000000) + 3) % 7").as("dow"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val nn = BigInt(rows.length)
+    val obs = rows.groupBy(identity).view.mapValues(x => BigInt(x.length))
+    val rm = rows.groupBy(_._1).view.mapValues(x => BigInt(x.length))
+    val cm = rows.groupBy(_._2).view.mapValues(x => BigInt(x.length))
+    val expected = obs.toSeq.map { case ((t, d), o) =>
+      val (r, c) = (rm(t), cm(d))
+      val diff = nn * o - r * c
+      (t, d, o.toLong, ((2 * diff * diff * 10000 + nn * r * c) / (2 * nn * r * c)).toLong)
+    }.sortBy(x => (x._1, x._2))
+    val got = SweepSkyline.q93Chisq(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(expected.size == rm.size * cm.size, "the full contingency grid is populated")
+  }
+
   test("text_lang_kappa equals the sequential confusion-matrix reference") {
     val conf = TextQueries.langConfusion(spark, dir).collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
