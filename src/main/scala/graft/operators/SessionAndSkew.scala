@@ -167,12 +167,17 @@ object SessionAndSkew {
    *  back on the customer key (co-partitioned, AQE-broadcast while they
    *  fit). All integers. */
   def q81Rfm(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: each of the three quintile passes range-shuffles this
+    // frame on a DIFFERENT key — without the persist the orders
+    // aggregation runs three times (9.2 s → the agg once at sf1).
+    // Catalog-registered, so the harness' per-query clearCache drops it.
     val per = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(
         max(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")).as("last_day"),
         count(lit(1)).as("freq"),
         expr("cast(sum(cast(cast(o_totalprice as decimal(12,2)) * 100 as decimal(38,0))) as long)").as("mon"))
+      .persist()
     def q(valueCol: String, out: String) = ScalableRank
       .withNtile(per, Seq(col(valueCol), col("o_custkey")), 5, out)
       .select(col("o_custkey"), col(out))
