@@ -604,7 +604,48 @@ object RelationalQueries2 {
         sum("mc").as("total_cents"))
   }
 
+  /** CONTRIBUTION (ratio-to-parent) ROLLUP — the two-level share report
+   *  every BI tool calls "percent of parent": each nation's revenue as a
+   *  share of its region and of the grand total, plus the region's share
+   *  of total, all half-up integer bp. One aggregate per level (nation →
+   *  region → total) with broadcast joins back down — never a window
+   *  over the fact table; the level frames are dimension-sized. */
+  def q94Contribution(spark: SparkSession, dir: String): DataFrame = {
+    val byNation = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(expr("cast(sum(cast(cast(o_totalprice as decimal(12,2)) * 100 as decimal(38,0))) as long)").as("cents"))
+    val byRegion = byNation.groupBy("r_name").agg(sum("cents").as("rc"))
+    val total = broadcast(byNation.agg(sum("cents").as("t")))
+    byNation.join(broadcast(byRegion), "r_name").crossJoin(total)
+      .select(col("r_name"), col("n_name"), col("cents"),
+        expr("(2 * cents * 10000 + rc) div (2 * rc)").as("share_of_region_bp"),
+        expr("(2 * cents * 10000 + t) div (2 * t)").as("share_of_total_bp"),
+        expr("(2 * rc * 10000 + t) div (2 * t)").as("region_share_bp"))
+      .orderBy("r_name", "n_name")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: the same level aggregates and half-up shares
+    QueryDef("q94_contribution", q94Contribution, Some("""
+      WITH n AS (
+        SELECT r_name, n_name,
+               cast(sum(cast(cast(o_totalprice as decimal(12,2)) * 100 as hugeint)) as bigint) AS cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2),
+      r AS (SELECT r_name, sum(cents) AS rc FROM n GROUP BY 1),
+      t AS (SELECT sum(cents) AS t FROM n)
+      SELECT n.r_name, n.n_name, n.cents,
+             cast((2 * n.cents * 10000 + rc) // (2 * rc) as bigint) AS share_of_region_bp,
+             cast((2 * n.cents * 10000 + t.t) // (2 * t.t) as bigint) AS share_of_total_bp,
+             cast((2 * rc * 10000 + t.t) // (2 * t.t) as bigint) AS region_share_bp
+      FROM n JOIN r USING (r_name), t
+      ORDER BY r_name, n_name""")),
     // exact twin: the same pure-integer calendar arithmetic and half-up
     // shares
     QueryDef("q83_dow_hour", q83DowHour, Some("""

@@ -191,6 +191,54 @@ object Ann {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** HYBRID SEARCH with RECIPROCAL RANK FUSION — the production
+   *  retrieval shape: fuse a SEMANTIC ranking (cosine top-20 shortlist
+   *  per query) with a RECENCY ranking (global newest-20 shortlist,
+   *  vec_id as ingestion order), score = Σ ⌊10⁶/(60+rank)⌋ over the
+   *  lists a candidate appears in (RRF, Cormack et al. 2009; k = 60),
+   *  emit the fused top-5. Production hybrid search fuses SHORTLISTS —
+   *  each ranker contributes its top-K, absent⇒no contribution — so no
+   *  ranker ever needs a global window over the corpus: the cosine
+   *  shortlist is the bounded [[TopK]] aggregate, the recency shortlist
+   *  is a TakeOrdered limit ranked inside its own 20 rows. The floor
+   *  division keeps the fused score INTEGER — rank arithmetic that can't
+   *  float-drift between engines. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = broadcast(
+      emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val cosShort = explodeRanks(
+      emb.crossJoin(queries)
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(col("q_emb"), col("embedding")).as("cos"))
+        .groupBy("query_id")
+        .agg(topK(20)(col("cos"), col("neighbor_id")).as("top")),
+      "query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("cr"))
+    // newest-20 shortlist: bounded limit, ranked within its own 20 rows
+    val recency = broadcast(
+      emb.select(col("vec_id").as("neighbor_id"))
+        .orderBy(col("neighbor_id").desc).limit(20)
+        .withColumn("rr", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("neighbor_id").desc))
+          .cast("bigint")))
+    val recPerQuery = queries.select(col("query_id")).crossJoin(recency)
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val fused = cosShort.join(recPerQuery, Seq("query_id", "neighbor_id"), "full_outer")
+      .select(col("query_id"), col("neighbor_id"),
+        (coalesce(expr("1000000 div (60 + cr)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + rr)"), lit(0L))).as("rrf_e6"))
+    explodeRanks(
+      fused.groupBy("query_id")
+        .agg(topK(5)(col("rrf_e6").cast("double"), col("neighbor_id")).as("top")),
+      "query_id", "neighbor_id")
+      .join(fused, Seq("query_id", "neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("rrf_e6"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF-style search: 16 deterministic centroids (vec_id < 16), corpus
    *  assigned to nearest centroid by dot product (broadcast argmax — a
    *  partial-aggregated `max_by`, no window), queries (vec_id < 8) search
@@ -904,6 +952,41 @@ object Ann {
                  ORDER BY pq_dist, neighbor_id) AS rank
         FROM adc) t
       WHERE rank <= 3 ORDER BY query_id, rank""")),
+    // exact twin: same 20-deep shortlists (cosine rank ties by id, the
+    // TopKAgg order), same floor-division RRF arithmetic
+    QueryDef("ann_hybrid_rrf", hybridRrf, Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                 FROM embeddings WHERE vec_id < 8),
+      cosr AS (
+        SELECT query_id, neighbor_id, rank AS cr FROM (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+                                                   CAST(e.embedding AS DOUBLE[])) DESC,
+                            e.vec_id) AS rank
+          FROM q JOIN embeddings e ON e.vec_id <> q.query_id) t
+        WHERE rank <= 20),
+      rec AS (
+        SELECT vec_id AS neighbor_id,
+               row_number() OVER (ORDER BY vec_id DESC) AS rr
+        FROM embeddings ORDER BY vec_id DESC LIMIT 20),
+      recq AS (SELECT q.query_id, rec.neighbor_id, rec.rr
+               FROM q, rec WHERE rec.neighbor_id <> q.query_id),
+      fused AS (
+        SELECT coalesce(c.query_id, r.query_id) AS query_id,
+               coalesce(c.neighbor_id, r.neighbor_id) AS neighbor_id,
+               coalesce(1000000 // (60 + c.cr), 0)
+                 + coalesce(1000000 // (60 + r.rr), 0) AS rrf_e6
+        FROM cosr c FULL OUTER JOIN recq r
+          ON c.query_id = r.query_id AND c.neighbor_id = r.neighbor_id),
+      top AS (
+        SELECT query_id, neighbor_id, rrf_e6,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf_e6 DESC, neighbor_id) AS rank
+        FROM fused)
+      SELECT query_id, neighbor_id, cast(rrf_e6 as bigint) AS rrf_e6, rank
+      FROM top WHERE rank <= 5
+      ORDER BY query_id, rank""")),
     // exact twin: same int8 quantization CTE as embed_quantize, same
     // cross-multiplied integer threshold — membership cannot float-flip
     QueryDef("ann_range_search", rangeSearch, Some("""

@@ -11,6 +11,37 @@ class RangeSearchSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("ann_hybrid_rrf equals the sequential shortlist-fusion reference") {
+    val vecs = Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val byId = vecs.toMap
+    val recShort = vecs.map(_._1).sorted.reverse.take(20).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    val expected = (for (q <- vecs.map(_._1).filter(_ < 8)) yield {
+      val cosShort = vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(byId(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(20).zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+      val cands = (cosShort.keySet ++ (recShort.keySet - q))
+      cands.toSeq.map { id =>
+        val s = cosShort.get(id).map(r => 1000000L / (60 + r)).getOrElse(0L) +
+          recShort.filterKeys(_ != q).get(id).map(r => 1000000L / (60 + r)).getOrElse(0L)
+        (id, s)
+      }.sortBy { case (id, s) => (-s, id) }.take(5).zipWithIndex
+        .map { case ((id, s), i) => (q, id, s, i + 1L) }
+    }).flatten.toSeq
+    val got = Ann.hybridRrf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(expected.exists { case (_, id, _, _) => recShort.contains(id) },
+      "test premise: recency actually surfaces something cosine missed")
+  }
+
   test("ann_range_search equals the sequential quantized-integer reference") {
     val vecs = Tables.embeddings(spark, dir)
       .select("vec_id", "embedding").collect()
