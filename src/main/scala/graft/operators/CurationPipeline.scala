@@ -539,7 +539,81 @@ object CurationPipeline {
       .orderBy("source")
   }
 
+  /** CURATION WATERFALL — the attrition report every pipeline review
+   *  starts from: how many docs enter and survive each stage
+   *  (language-ID → quality ≥ 0.5 → exact dedup), with half-up keep
+   *  rates. Stages COMPOSE: each stage's population is the previous
+   *  stage's survivors, and the dedup keeper is elected among stage-2
+   *  SURVIVORS (min doc_id), not the raw corpus — the number a real
+   *  pipeline ships. One flag pass + one keeper groupBy; the 3-row
+   *  waterfall pivots out of a single aggregate via `stack`. */
+  def waterfall(spark: SparkSession, dir: String): DataFrame = {
+    val flagged = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        (langId(col("text")) === col("lang")).as("lang_ok"),
+        (qualityBp(col("text")) >= 5000L).as("q_ok"))
+    val survivors2 = flagged.filter(col("lang_ok") && col("q_ok"))
+    val keepers = survivors2
+      .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("keep_id"))
+    val counts = flagged.agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("lang_ok"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("lang_ok") && col("q_ok"), 1L).otherwise(0L)).as("n2"))
+      .crossJoin(broadcast(keepers.agg(count(lit(1)).as("n3"))))
+    counts.selectExpr(
+        """stack(3,
+           1L, 'lang_id', n0, n1,
+           2L, 'quality', n1, n2,
+           3L, 'exact_dedup', n2, n3) as (stage, stage_name, n_in, n_kept)""")
+      .withColumn("kept_bp", expr("(2 * n_kept * 10000 + n_in) div (2 * n_in)"))
+      .orderBy("stage")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: same composed stage populations (keeper elected among
+    // stage-2 survivors), same half-up keep rates
+    QueryDef("pipeline_waterfall", waterfall, Some(s"""
+      WITH d AS (
+        SELECT doc_id, text, lang,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+               ${Tables.QbpParts.replace("ntok", "(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END)")}
+        FROM documents),
+      c AS (
+        SELECT doc_id, text, lang,
+          len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','for'], x))) AS c_en,
+          len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','los','por'], x))) AS c_es,
+          len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','mit','ein'], x))) AS c_de,
+          len(list_filter(toks, x -> list_contains(['le','la','les','des','est','dans','pour','une'], x))) AS c_fr,
+          len(list_filter(toks, x -> list_contains(['il','di','che','la','per','con','del','una'], x))) AS c_it,
+          (CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END) AS ntok,
+          len1, m, punct, alpha
+        FROM d),
+      f AS (
+        SELECT doc_id, text,
+          (CASE WHEN greatest(c_en,c_es,c_de,c_fr,c_it) = 0 THEN 'und'
+                WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_it THEN 'en'
+                WHEN c_es >= c_de AND c_es >= c_fr AND c_es >= c_it THEN 'es'
+                WHEN c_de >= c_fr AND c_de >= c_it THEN 'de'
+                WHEN c_fr >= c_it THEN 'fr'
+                ELSE 'it' END = lang) AS lang_ok,
+          (${Tables.QbpExpr} >= 5000) AS q_ok
+        FROM c),
+      s2 AS (SELECT doc_id, text FROM f WHERE lang_ok AND q_ok),
+      k AS (SELECT md5(text) AS h, min(doc_id) AS keep_id FROM s2 GROUP BY 1),
+      m AS (
+        SELECT (SELECT count(*) FROM f) AS n0,
+               (SELECT count(*) FROM f WHERE lang_ok) AS n1,
+               (SELECT count(*) FROM s2) AS n2,
+               (SELECT count(*) FROM k) AS n3)
+      SELECT stage, stage_name, n_in, n_kept,
+             (2 * n_kept * 10000 + n_in) // (2 * n_in) AS kept_bp
+      FROM (
+        SELECT 1::BIGINT AS stage, 'lang_id' AS stage_name, n0 AS n_in, n1 AS n_kept FROM m
+        UNION ALL SELECT 2, 'quality', n1, n2 FROM m
+        UNION ALL SELECT 3, 'exact_dedup', n2, n3 FROM m)
+      ORDER BY stage""")),
     // exact twin: same md5 keeper election, same global-first-owner
     // attribution and half-up savings
     QueryDef("pipeline_effective_tokens", effectiveTokens, Some("""
