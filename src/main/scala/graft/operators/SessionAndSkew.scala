@@ -272,7 +272,59 @@ object SessionAndSkew {
       .orderBy("click_hour")
   }
 
+  /** TOP EVENT PATHS — sequence mining lite: the 10 most common 3-step
+   *  event-type paths WITHIN a session (the q15 30-min gap sessions),
+   *  the product-analytics readout behind "how do users actually move".
+   *  Per-session trigrams come from two leads over the per-user window
+   *  (millions of small partitions); the count+top-10 is one
+   *  partial-aggregated rollup + TakeOrdered. All deterministic: ties
+   *  break on the path string. */
+  def q97EventPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val byUser = w.partitionBy("user_id").orderBy("us", "event_id")
+    val sessed = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+      .withColumn("new_sess",
+        when(col("us") - lag("us", 1).over(byUser) >= 1800000000L, 1).otherwise(0))
+      .withColumn("sess_id",
+        sum("new_sess").over(byUser.rowsBetween(w.unboundedPreceding, w.currentRow)))
+    val bySess = w.partitionBy("user_id", "sess_id").orderBy("us", "event_id")
+    sessed
+      .withColumn("t2", lead("event_type", 1).over(bySess))
+      .withColumn("t3", lead("event_type", 2).over(bySess))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(10)
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: the same session ids, the same two leads per session,
+    // the same (count desc, path) order
+    QueryDef("q97_event_paths", q97EventPaths, Some("""
+      WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      g AS (
+        SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+                                               ORDER BY us, event_id)
+                       >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+        FROM e),
+      s AS (
+        SELECT user_id, event_id, event_type, us,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM g),
+      p AS (
+        SELECT event_type || '>' ||
+               lead(event_type, 1) OVER (PARTITION BY user_id, sess_id ORDER BY us, event_id) || '>' ||
+               lead(event_type, 2) OVER (PARTITION BY user_id, sess_id ORDER BY us, event_id) AS path,
+               lead(event_type, 2) OVER (PARTITION BY user_id, sess_id ORDER BY us, event_id) AS t3
+        FROM s)
+      SELECT path, count(*) AS n
+      FROM p WHERE t3 IS NOT NULL
+      GROUP BY path ORDER BY n DESC, path LIMIT 10""")),
     // exact twin: the same ignore-nulls carry-forward window over the
     // identical per-user total order
     QueryDef("q90_attribution", q90Attribution, Some("""
