@@ -627,7 +627,50 @@ object RelationalQueries2 {
       .orderBy("r_name", "n_name")
   }
 
+  /** NEW vs REPEAT revenue split per month — the acquisition-vs-retention
+   *  lens on the revenue line: each order is NEW iff it falls in its
+   *  customer's first-ever order month. One per-customer min aggregate
+   *  (first month), one co-partitioned join back, one calendar-bounded
+   *  rollup; shares in half-up bp. Calendar month via year()·100+month()
+   *  — identical Gregorian arithmetic in both engines under the UTC pin. */
+  def q98NewVsRepeat(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_custkey"),
+      expr("cast(year(o_orderdate) * 100 + month(o_orderdate) as bigint)").as("month_id"),
+      expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as decimal(38,0))")
+        .cast("long").as("cents"))
+    val first = o.groupBy("o_custkey").agg(min("month_id").as("first_month"))
+    o.join(first, "o_custkey")
+      .withColumn("is_new", col("month_id") === col("first_month"))
+      .groupBy("month_id")
+      .agg(
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_repeat"),
+        sum(when(col("is_new"), col("cents")).otherwise(0L)).as("new_cents"),
+        sum(when(!col("is_new"), col("cents")).otherwise(0L)).as("repeat_cents"))
+      .withColumn("new_share_bp",
+        expr("(2 * new_cents * 10000 + (new_cents + repeat_cents)) div (2 * (new_cents + repeat_cents))"))
+      .orderBy("month_id")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: same first-month election and half-up revenue shares
+    QueryDef("q98_new_vs_repeat", q98NewVsRepeat, Some("""
+      WITH o AS (
+        SELECT o_custkey,
+               year(o_orderdate) * 100 + month(o_orderdate) AS month_id,
+               cast(cast(cast(o_totalprice as decimal(12,2)) * 100 as hugeint) as bigint) AS cents
+        FROM orders),
+      f AS (SELECT o_custkey, min(month_id) AS first_month FROM o GROUP BY 1),
+      j AS (SELECT o.month_id, o.cents, o.month_id = f.first_month AS is_new
+            FROM o JOIN f USING (o_custkey))
+      SELECT cast(month_id as bigint) AS month_id,
+             cast(sum(CASE WHEN is_new THEN 1 ELSE 0 END) as bigint) AS n_new,
+             cast(sum(CASE WHEN is_new THEN 0 ELSE 1 END) as bigint) AS n_repeat,
+             cast(sum(CASE WHEN is_new THEN cents ELSE 0 END) as bigint) AS new_cents,
+             cast(sum(CASE WHEN is_new THEN 0 ELSE cents END) as bigint) AS repeat_cents,
+             cast((2 * sum(CASE WHEN is_new THEN cents ELSE 0 END) * 10000 + sum(cents))
+                    // (2 * sum(cents)) as bigint) AS new_share_bp
+      FROM j GROUP BY month_id ORDER BY month_id""")),
     // exact twin: the same level aggregates and half-up shares
     QueryDef("q94_contribution", q94Contribution, Some("""
       WITH n AS (

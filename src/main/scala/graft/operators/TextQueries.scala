@@ -382,6 +382,29 @@ object TextQueries {
       .withColumn("gini_simpson_bp", lit(10000L) - col("simpson_bp"))
       .orderBy("source")
 
+  /** SPEARMAN RANK CORRELATION between doc length and quality score —
+   *  the monotone-association screen ("does longer mean better") that
+   *  Pearson gets wrong on heavy-tailed lengths. Both rank passes are
+   *  [[ScalableRank.withGlobalRowNumber]] under tie-broken total orders
+   *  (value, doc_id) — ranks form exact permutations, so
+   *  ρ = 1 − 6Σd²/(n(n²−1)) is integer until ONE float division (the
+   *  kappa convention; ρ is signed). Σd² in decimal(38): it reaches n³. */
+  def lenQualitySpearman(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("ntok"),
+        qualityBp(col("text")).as("qbp"))
+    val (ra, n) = ScalableRank.withGlobalRowNumber(
+      d, Seq(col("ntok"), col("doc_id")), "ra")
+    val rb = ScalableRank.withGlobalRowNumber(
+      d, Seq(col("qbp"), col("doc_id")), "rb")._1
+    ra.select(col("doc_id"), col("ra"))
+      .join(rb.select(col("doc_id"), col("rb")), "doc_id")
+      .agg(sum(expr("cast((ra - rb) as decimal(38,0)) * (ra - rb)")).as("sd2"))
+      .select(lit(n).as("n_docs"), col("sd2").cast("string").as("sum_d2"),
+        expr(s"""1.0 - 6.0 * cast(sd2 as double)
+               / (cast($n as double) * (cast($n as double) * $n - 1))""").as("spearman_rho"))
+  }
+
   /** VOCABULARY COVERAGE CURVE — the tokenizer-design question "how many
    *  types cover X% of the token mass": the count of most-frequent token
    *  types needed to reach 50 / 90 / 99% corpus coverage. The running
@@ -530,6 +553,35 @@ object TextQueries {
         FROM c)""".stripLeading
 
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: row_number ranks under the same tie-broken total
+    // orders, hugeint Σd², one float division
+    QueryDef("text_len_quality_spearman", lenQualitySpearman, Some(s"""
+      WITH d AS (
+        SELECT doc_id,
+               (CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+                END) AS ntok0,
+               text
+        FROM documents),
+      q AS (
+        SELECT doc_id, ntok0 AS ntok, len1, m, punct, alpha FROM (
+          SELECT doc_id, ntok0,
+                 ${Tables.QbpParts.replace("ntok", "ntok0")}
+          FROM d) t),
+      s AS (
+        SELECT doc_id, ${Tables.QbpExpr} AS qbp, ntok FROM q),
+      r AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY ntok, doc_id) AS ra,
+               row_number() OVER (ORDER BY qbp, doc_id) AS rb
+        FROM s),
+      m AS (
+        SELECT count(*) AS n, sum(cast(ra - rb as hugeint) * (ra - rb)) AS sd2
+        FROM r)
+      SELECT cast(n as bigint) AS n_docs, cast(sd2 as varchar) AS sum_d2,
+             1.0 - 6.0 * cast(sd2 as double)
+               / (cast(n as double) * (cast(n as double) * n - 1)) AS spearman_rho
+      FROM m""")),
     // exact twin: the same exclusive prefix sum as a window over the
     // identical (count desc, token) total order, same cross-multiplied
     // threshold counts
