@@ -85,6 +85,33 @@ class PlanSpec extends AnyFunSuite {
       "curriculum has a no-partition (single-task) window")
   }
 
+  test("robust-stat wave: rank passes range-partition; no single-task window") {
+    val globalWindow = """windowspecdefinition\([^,)]+ (ASC|DESC)""".r
+    for (q <- Seq("q80_mad", "q86_bowley", "q87_tukey", "q88_winsorized",
+                  "q89_grouped_median", "q81_rfm", "q72_decile_mobility")) {
+      val p = plan(q)
+      assert(p.toLowerCase.contains("rangepartitioning"),
+        s"$q must range-partition by its sort key")
+      assert(globalWindow.findFirstIn(p).isEmpty,
+        s"$q has a no-partition (single-task) window")
+    }
+  }
+
+  test("hybrid/radius search: the only NLJs are broadcast query/shortlist frames") {
+    for (q <- Seq("ann_range_search", "ann_hybrid_rrf")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+  }
+
+  test("contribution & cohort splits: dims broadcast, no cartesian") {
+    for (q <- Seq("q94_contribution", "q98_new_vs_repeat", "q91_mode", "q78_hhi")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+    assert(plan("q94_contribution").contains("BroadcastHashJoin"))
+  }
+
   test("no accidental cartesian products outside the ANN broadcast NLJs") {
     for (q <- Seq("q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
                   "q15_sessionize", "dedup_minhash_lsh", "q26_left_outer")) {
