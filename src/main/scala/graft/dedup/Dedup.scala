@@ -186,6 +186,29 @@ object Dedup {
       DatasetBridge.snapshot(ngramJaccardCompute(spark, dir)).df
     })
 
+  /** THRESHOLD SWEEP — how many candidate pairs fall in each Jaccard
+   *  band (≥0.9, ≥0.8, ≥0.7, ≥0.5, below): the calibration table behind
+   *  "where do we set the near-dup cutoff" — run BEFORE committing a
+   *  threshold, so the dedup rate at each choice is known in advance.
+   *  One pass over the shared candidate-pair counts (the shingle
+   *  inverted index — no new corpus scan); the band test is
+   *  cross-multiplied integer (`inter·10⁴ ≥ band·union`), so bucket
+   *  membership can't float-flip at a boundary. Output: 5 rows. */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val counts = shingleIndex(spark, dir).select("doc_id", "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    shinglePairCounts(spark, dir)
+      .join(counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .select(expr("""CASE WHEN inter * 10000 >= 9000 * (n_a + n_b - inter) THEN 9000
+                           WHEN inter * 10000 >= 8000 * (n_a + n_b - inter) THEN 8000
+                           WHEN inter * 10000 >= 7000 * (n_a + n_b - inter) THEN 7000
+                           WHEN inter * 10000 >= 5000 * (n_a + n_b - inter) THEN 5000
+                           ELSE 0 END""").cast("bigint").as("band_bp"))
+      .groupBy("band_bp").agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("band_bp").desc)
+  }
+
   private def ngramJaccardCompute(spark: SparkSession, dir: String): DataFrame = {
     val docShingles = shingleIndex(spark, dir).select("doc_id", "sh")
     val counts = docShingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -679,6 +702,37 @@ object Dedup {
     // same distinct word-3-grams, same >100-doc stop-shingle cap applied
     // BEFORE pair counting (so `inter` counts cold shingles only, while
     // n_sh counts all — exactly what the Spark side computes).
+    // exact twin: same shingle/stop-cap/pair CTEs, same cross-multiplied
+    // integer band classification
+    QueryDef("dedup_threshold_sweep", thresholdSweep, Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3),
+      counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 100),
+      cold AS (SELECT * FROM sh ANTI JOIN hot USING (sh)),
+      pairs AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+        FROM cold x JOIN cold y USING (sh)
+        WHERE x.doc_id < y.doc_id
+        GROUP BY 1, 2),
+      banded AS (
+        SELECT CASE WHEN inter * 10000 >= 9000 * (a.n_sh + b.n_sh - inter) THEN 9000
+                    WHEN inter * 10000 >= 8000 * (a.n_sh + b.n_sh - inter) THEN 8000
+                    WHEN inter * 10000 >= 7000 * (a.n_sh + b.n_sh - inter) THEN 7000
+                    WHEN inter * 10000 >= 5000 * (a.n_sh + b.n_sh - inter) THEN 5000
+                    ELSE 0 END AS band_bp
+        FROM pairs
+        JOIN counts a ON a.doc_id = id_a
+        JOIN counts b ON b.doc_id = id_b)
+      SELECT cast(band_bp as bigint) AS band_bp, count(*) AS n_pairs
+      FROM banded GROUP BY 1 ORDER BY band_bp DESC""")),
     QueryDef("dedup_ngram_jaccard", ngramJaccard, Some("""
       WITH toks AS (
         SELECT doc_id,

@@ -191,6 +191,36 @@ object Ann {
       .orderBy("query_id", "neighbor_id")
   }
 
+  /** CELL LABEL PURITY — does the vector index's geometry respect the
+   *  labels: per IVF cell (the 16 deterministic centroids), the
+   *  majority label's share in half-up bp. The clustering-evaluation
+   *  twin of [[recallReport]] — low purity predicts bad filtered-search
+   *  and bad SemDeDup behavior before anyone ships the index. One
+   *  broadcast-argmax assignment pass (no window), one bounded
+   *  two-level rollup; the majority election is the packed-argmax
+   *  discipline (cnt·2³² + (2³²−1−label)). */
+  def cellPurity(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = broadcast(
+      emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb")))
+    val assigned = emb.crossJoin(centroids)
+      .select(col("vec_id"), col("label"), col("centroid_id"),
+        dot(col("embedding"), col("c_emb")).as("dot"))
+      .groupBy("vec_id")
+      .agg(first("label").as("label"),
+        max_by(col("centroid_id"), struct(col("dot"), (-col("centroid_id")).as("nid"))).as("cell"))
+    assigned.groupBy("cell", "label").agg(count(lit(1)).as("c"))
+      .groupBy("cell")
+      .agg(sum("c").as("n_vectors"),
+        max(expr("c * 4294967296 + (4294967295 - label)")).as("sc"))
+      .select(col("cell"), col("n_vectors"),
+        expr("4294967295 - (sc % 4294967296)").as("majority_label"),
+        expr("sc div 4294967296").as("n_majority"),
+        expr("(2 * (sc div 4294967296) * 10000 + n_vectors) div (2 * n_vectors)").as("purity_bp"))
+      .orderBy("cell")
+  }
+
   /** HYBRID SEARCH with RECIPROCAL RANK FUSION — the production
    *  retrieval shape: fuse a SEMANTIC ranking (cosine top-20 shortlist
    *  per query) with a RECENCY ranking (global newest-20 shortlist,
@@ -952,6 +982,28 @@ object Ann {
                  ORDER BY pq_dist, neighbor_id) AS rank
         FROM adc) t
       WHERE rank <= 3 ORDER BY query_id, rank""")),
+    // exact twin: the ann_ivf_topk assignment CTE (same argmax tiebreak),
+    // the same packed-argmax majority election and half-up purity
+    QueryDef("embed_cell_purity", cellPurity, Some("""
+      WITH a AS (
+        SELECT vec_id, label, cell FROM (
+          SELECT e.vec_id, e.label, c.vec_id AS cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(c.embedding AS DOUBLE[])) DESC,
+                            c.vec_id) AS rn
+          FROM embeddings e JOIN embeddings c ON c.vec_id < 16) t
+        WHERE rn = 1),
+      g AS (SELECT cell, label, cast(count(*) as bigint) AS c FROM a GROUP BY 1, 2),
+      p AS (SELECT cell, sum(c) AS n_vectors,
+                   max(c * 4294967296 + (4294967295 - label)) AS sc
+            FROM g GROUP BY 1)
+      SELECT cell, cast(n_vectors as bigint) AS n_vectors,
+             cast(4294967295 - (sc % 4294967296) as bigint) AS majority_label,
+             cast(sc // 4294967296 as bigint) AS n_majority,
+             cast((2 * (sc // 4294967296) * 10000 + n_vectors)
+                    // (2 * n_vectors) as bigint) AS purity_bp
+      FROM p ORDER BY cell""")),
     // exact twin: same 20-deep shortlists (cosine rank ties by id, the
     // TopKAgg order), same floor-division RRF arithmetic
     QueryDef("ann_hybrid_rrf", hybridRrf, Some("""
