@@ -652,7 +652,60 @@ object RelationalQueries2 {
       .orderBy("month_id")
   }
 
+  /** MONTHLY CHURN LEDGER — the month-over-month movement of the active
+   *  customer base: retained (active both months), churned (active last
+   *  month, silent this month), appeared (active this month, silent
+   *  last). Months on a LINEAR index ((year−1990)·12 + month−1) so
+   *  "previous month" is plain integer arithmetic across year
+   *  boundaries. One distinct (month, customer) projection, one
+   *  self-join shifted by a month (co-partitioned on the customer key),
+   *  one calendar-bounded rollup; retention in half-up bp. */
+  def q99Churn(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("cust"),
+        expr("cast((year(o_orderdate) - 1990) * 12 + month(o_orderdate) - 1 as bigint)").as("mi"))
+      .distinct()
+    val cur = a.select(col("cust"), col("mi"))
+    val prev = a.select(col("cust"), (col("mi") + 1).as("mi"), lit(true).as("was_active"))
+    cur.withColumn("is_active", lit(true))
+      .join(prev, Seq("cust", "mi"), "full_outer")
+      .groupBy("mi")
+      .agg(
+        sum(when(col("is_active").isNotNull && col("was_active").isNotNull, 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("is_active").isNotNull && col("was_active").isNull, 1L).otherwise(0L)).as("n_appeared"),
+        sum(when(col("is_active").isNull && col("was_active").isNotNull, 1L).otherwise(0L)).as("n_churned"))
+      .withColumn("n_active", col("n_retained") + col("n_appeared"))
+      .withColumn("retention_bp",
+        expr("""CASE WHEN n_retained + n_churned = 0 THEN NULL
+                ELSE (2 * n_retained * 10000 + (n_retained + n_churned))
+                     div (2 * (n_retained + n_churned)) END"""))
+      .orderBy("mi")
+  }
+
   val defs: Vector[QueryDef] = Vector(
+    // exact twin: same linear month index, same shifted full-outer join
+    QueryDef("q99_churn", q99Churn, Some("""
+      WITH a AS (
+        SELECT DISTINCT o_custkey AS cust,
+               cast((year(o_orderdate) - 1990) * 12 + month(o_orderdate) - 1 as bigint) AS mi
+        FROM orders),
+      j AS (
+        SELECT coalesce(c.cust, p.cust) AS cust,
+               coalesce(c.mi, p.mi + 1) AS mi,
+               c.cust IS NOT NULL AS is_active,
+               p.cust IS NOT NULL AS was_active
+        FROM a c FULL OUTER JOIN a p
+          ON c.cust = p.cust AND c.mi = p.mi + 1)
+      SELECT mi,
+             cast(sum(CASE WHEN is_active AND was_active THEN 1 ELSE 0 END) as bigint) AS n_retained,
+             cast(sum(CASE WHEN is_active AND NOT was_active THEN 1 ELSE 0 END) as bigint) AS n_appeared,
+             cast(sum(CASE WHEN NOT is_active AND was_active THEN 1 ELSE 0 END) as bigint) AS n_churned,
+             cast(sum(CASE WHEN is_active THEN 1 ELSE 0 END) as bigint) AS n_active,
+             CASE WHEN sum(CASE WHEN was_active THEN 1 ELSE 0 END) = 0 THEN NULL
+                  ELSE cast((2 * sum(CASE WHEN is_active AND was_active THEN 1 ELSE 0 END) * 10000
+                         + sum(CASE WHEN was_active THEN 1 ELSE 0 END))
+                        // (2 * sum(CASE WHEN was_active THEN 1 ELSE 0 END)) as bigint) END AS retention_bp
+      FROM j GROUP BY mi ORDER BY mi""")),
     // exact twin: same first-month election and half-up revenue shares
     QueryDef("q98_new_vs_repeat", q98NewVsRepeat, Some("""
       WITH o AS (
