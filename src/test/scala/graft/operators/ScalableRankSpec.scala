@@ -97,6 +97,31 @@ class ScalableRankSpec extends AnyFunSuite {
     assert(joined.filter(col("rn") =!= col("rn2")).count() == 0)
   }
 
+  test("fuzz: grouped prefix sum/max equal the window forms on random shapes") {
+    // randomized group counts / sizes / signed values with fixed seeds —
+    // the deterministic-seed ScalaCheck discipline of LatticeLawsSpec,
+    // hunting slice-boundary shapes the fixed fixtures don't draw
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val nGroups = 1 + rnd.nextInt(6)
+      val rows = (1 to 500 + rnd.nextInt(3000)).map { i =>
+        (s"g${rnd.nextInt(nGroups)}", i.toLong, (rnd.nextInt(2001) - 1000).toLong)
+      }
+      val df = rows.toDF("g", "id", "v").repartition(5 + rnd.nextInt(9))
+      val w = Window.partitionBy("g").orderBy("id")
+      val expSum = df.withColumn("e",
+        coalesce(sum("v").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val gotSum = ScalableRank.withGroupedPrefixSum(df, Seq("g"), Seq("id"), "v", "p")
+      assert(gotSum.join(expSum, Seq("g", "id", "v"))
+        .filter(col("p") =!= col("e")).count() == 0, s"prefix-sum trial $trial")
+      val expMax = df.withColumn("e",
+        max("v").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      val gotMax = ScalableRank.withGroupedPrefixMax(df, Seq("g"), Seq("id"), "v", "p")
+      assert(gotMax.join(expMax, Seq("g", "id", "v"))
+        .filter(not(col("p") <=> col("e"))).count() == 0, s"prefix-max trial $trial")
+    }
+  }
+
   test("ntile matches the window ntile, including non-divisible remainders") {
     for (n <- Seq(1000, 1003, 150, 5)) { // 1003 % 4 = 3, 150 % 4 = 2, 5 % 4 = 1
       val df = sample(n)
