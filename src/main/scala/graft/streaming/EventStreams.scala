@@ -444,7 +444,6 @@ object EventStreams {
         // hop that an AvailableNow replay never takes. The oracle is the
         // per-hour rollup of the SINGLE-copy table — 2× input, 1× output
         // is the whole point.
-        val backfillName = s"stream_backfill_$tag"
         val backfillDir = {
           val tmp = tempDirWithCleanup("graft_backfill")
           val srcTable = Paths.get(s"$dir/events.parquet")
@@ -462,12 +461,20 @@ object EventStreams {
           linkAll("history"); linkAll("live")
           tmp.toString
         }
+        // PARQUET sink, not memory: the deduped stream is corpus-sized
+        // (every surviving event) — a memory sink would hold it all on
+        // the driver heap, which is exactly what OOMed the sf10 bench.
+        // The file sink spills to disk like production and the rollup
+        // reads it back through the commit log.
+        val backfillRoot = tempDirWithCleanup("graft_backfill_sink")
         val qBackfill = withEventTime(eventsStream(spark, backfillDir, glob = "*.parquet"))
           .withWatermark("event_time", "30 minutes")
           .dropDuplicatesWithinWatermark("event_id")
           .select(col("event_id"), col("event_time"), col("value"))
-          .writeStream.format("memory").queryName(backfillName)
-          .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+          .writeStream.format("parquet")
+          .option("path", backfillRoot.resolve("data").toString)
+          .option("checkpointLocation", backfillRoot.resolve("chk").toString)
+          .trigger(Trigger.AvailableNow()).start()
         // CEP pattern matcher — see [[cepMatches]]; reads the plain source
         // (emission happens on purchase arrival, no sentinel needed)
         val cepName = s"stream_cep_$tag"
@@ -521,7 +528,7 @@ object EventStreams {
             .filter(col("purchase_us") < sentinelUs)
             .orderBy("user_id", "purchase_id", "view_id"),
           cep = spark.table(cepName).orderBy("user_id", "purchase_id"),
-          backfill = spark.table(backfillName)
+          backfill = spark.read.parquet(backfillRoot.resolve("data").toString)
             .groupBy(window(col("event_time"), "1 hour"))
             .agg(count(lit(1)).as("n_events"),
               expr("cast(sum(cast(value as decimal(12,2)) * 100) as bigint)").as("cents"))
