@@ -565,7 +565,11 @@ object CurationPipeline {
            1L, 'lang_id', n0, n1,
            2L, 'quality', n1, n2,
            3L, 'exact_dedup', n2, n3) as (stage, stage_name, n_in, n_kept)""")
-      .withColumn("kept_bp", expr("(2 * n_kept * 10000 + n_in) div (2 * n_in)"))
+      // n_in = 0 (a stage that filtered everything, or an empty corpus)
+      // guards to NULL: Spark's div would yield NULL silently but DuckDB's
+      // // raises, so the guard keeps the two engines in agreement.
+      .withColumn("kept_bp", expr(
+        "CASE WHEN n_in = 0 THEN NULL ELSE (2 * n_kept * 10000 + n_in) div (2 * n_in) END"))
       .orderBy("stage")
   }
 
@@ -608,7 +612,8 @@ object CurationPipeline {
                (SELECT count(*) FROM s2) AS n2,
                (SELECT count(*) FROM k) AS n3)
       SELECT stage, stage_name, n_in, n_kept,
-             (2 * n_kept * 10000 + n_in) // (2 * n_in) AS kept_bp
+             CASE WHEN n_in = 0 THEN NULL
+                  ELSE (2 * n_kept * 10000 + n_in) // (2 * n_in) END AS kept_bp
       FROM (
         SELECT 1::BIGINT AS stage, 'lang_id' AS stage_name, n0 AS n_in, n1 AS n_kept FROM m
         UNION ALL SELECT 2, 'quality', n1, n2 FROM m

@@ -503,8 +503,13 @@ object GraphOps {
     m.crossJoin(broadcast(internal)).crossJoin(broadcast(degSq))
       .select(col("m").as("m_edges"), col("n_communities"), col("internal_edges"),
         col("sds").cast("string").as("sum_deg_sq"),
-        expr("""(cast(4 * m * internal_edges as double) - cast(sds as double))
-               / cast(4 * m * m as double)""").as("modularity"))
+        // 4*m*internal widened to decimal(38,0) BEFORE the multiply: at
+        // ~2^31+ undirected edges the 64-bit product wraps silently under
+        // Spark's non-ANSI arithmetic while DuckDB's bigint raises — the
+        // same 100 TB scale sds was already widened for.
+        expr("""(cast(4 * cast(m as decimal(38,0)) * internal_edges as double)
+                 - cast(sds as double))
+               / cast(4 * cast(m as decimal(38,0)) * m as double)""").as("modularity"))
   }
 
   val defs: Vector[QueryDef] = Vector(
@@ -548,8 +553,9 @@ object GraphOps {
              FROM dc)
       SELECT mm.m AS m_edges, sq.n_communities, ii.internal_edges,
              cast(sq.sds as varchar) AS sum_deg_sq,
-             (cast(4 * mm.m * ii.internal_edges as double) - cast(sq.sds as double))
-               / cast(4 * mm.m * mm.m as double) AS modularity
+             (cast(4 * cast(mm.m as hugeint) * ii.internal_edges as double)
+                - cast(sq.sds as double))
+               / cast(4 * cast(mm.m as hugeint) * mm.m as double) AS modularity
       FROM mm, ii, sq""")),
     // exact twin: same oriented wedge enumeration, same 3-corner credit,
     // same half-up per-node bp before the census

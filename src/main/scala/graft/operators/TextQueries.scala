@@ -377,8 +377,11 @@ object TextQueries {
       .agg(sum("c").as("n_tok"), count(lit(1)).as("n_types"),
         sum(expr("cast(c as decimal(38,0)) * (c - 1)")).as("coll"))
       .select(col("source"), col("n_tok"), col("n_types"),
-        expr("""cast((2 * coll * 10000 + cast(n_tok as decimal(38,0)) * (n_tok - 1))
-                 div (2 * cast(n_tok as decimal(38,0)) * (n_tok - 1)) as bigint)""").as("simpson_bp"))
+        // a source of exactly one token makes N(N-1) = 0: guard to NULL
+        // (Spark div would NULL silently, DuckDB // would abort the sweep)
+        expr("""CASE WHEN n_tok <= 1 THEN NULL ELSE
+                cast((2 * coll * 10000 + cast(n_tok as decimal(38,0)) * (n_tok - 1))
+                 div (2 * cast(n_tok as decimal(38,0)) * (n_tok - 1)) as bigint) END""").as("simpson_bp"))
       .withColumn("gini_simpson_bp", lit(10000L) - col("simpson_bp"))
       .orderBy("source")
 
@@ -617,10 +620,12 @@ object TextQueries {
         FROM tc GROUP BY 1)
       SELECT source, cast(n_tok as bigint) AS n_tok,
              cast(n_types as bigint) AS n_types,
-             cast((2 * coll * 10000 + cast(n_tok as hugeint) * (n_tok - 1))
-                    // (2 * cast(n_tok as hugeint) * (n_tok - 1)) as bigint) AS simpson_bp,
-             10000 - cast((2 * coll * 10000 + cast(n_tok as hugeint) * (n_tok - 1))
-                    // (2 * cast(n_tok as hugeint) * (n_tok - 1)) as bigint) AS gini_simpson_bp
+             CASE WHEN n_tok <= 1 THEN NULL ELSE
+               cast((2 * coll * 10000 + cast(n_tok as hugeint) * (n_tok - 1))
+                    // (2 * cast(n_tok as hugeint) * (n_tok - 1)) as bigint) END AS simpson_bp,
+             CASE WHEN n_tok <= 1 THEN NULL ELSE
+               10000 - cast((2 * coll * 10000 + cast(n_tok as hugeint) * (n_tok - 1))
+                    // (2 * cast(n_tok as hugeint) * (n_tok - 1)) as bigint) END AS gini_simpson_bp
       FROM m ORDER BY source""")),
     // exact twin: one shared-token join, the one-sided mass recovered
     // from the totals, identical half-up integer normalization

@@ -45,7 +45,12 @@ trait WitnessFoldAgg extends TypedImperativeAggregate[Witness] with UnaryLike[Ex
     else {
       val line = v.asInstanceOf[UTF8String].toString
       if (line.isEmpty) buffer
-      else cap(Witness.merge(buffer, Witness.ofJson(line, inferTimestamps = inferTimestamps)))
+      else
+        try cap(Witness.merge(buffer, Witness.ofJson(line, inferTimestamps = inferTimestamps)))
+        catch {
+          case e: RowMismatch if e.row.isEmpty =>
+            throw e.copy(row = Some(Witness.prettyRow(line)))
+        }
     }
   }
 

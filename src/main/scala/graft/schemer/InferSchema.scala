@@ -31,7 +31,14 @@ object InferSchema {
       rec += 1
       if (line.nonEmpty) {
         val ctx = s"partition $idx record $rec"
-        acc = Witness.merge(acc, Witness.ofJson(line, ctx), ctx)
+        // attach the offending document to the diagnostic at the only tier
+        // that still holds the raw line (reference Schemer.scala:19)
+        acc =
+          try Witness.merge(acc, Witness.ofJson(line, ctx), ctx)
+          catch {
+            case e: RowMismatch if e.row.isEmpty =>
+              throw e.copy(row = Some(Witness.prettyRow(line)))
+          }
       }
     }
     Iterator.single(idx -> acc)

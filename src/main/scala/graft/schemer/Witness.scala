@@ -82,13 +82,18 @@ final case class WMap(value: Witness) extends Witness
 
 /** Raised when two rows disagree on a column's structural kind — e.g. an
  *  array in one row, an object in the next (Schemer.scala:16-25,61). */
-final case class RowMismatch(a: Witness, b: Witness, context: String) extends Exception {
-  override def getMessage: String = Seq(
-    s"$context: attempted to merge a value with schema:",
-    HiveRender.renderType(b),
-    "into the schema with this signature:",
-    HiveRender.renderType(a)
-  ).mkString("\n")
+final case class RowMismatch(a: Witness, b: Witness, context: String,
+    row: Option[String] = None) extends Exception {
+  /** Like the reference (Schemer.scala:19, `Json.prettyPrint(b)`), the
+   *  offending document itself is printed before the two rendered schemas
+   *  when the row-level fold can attach it ([[InferSchema.foldPartition]]). */
+  override def getMessage: String = (
+    row.toSeq.flatMap(r => Seq(s"$context: failed to merge the row:", r)) ++ Seq(
+      s"$context: attempted to merge a value with schema:",
+      HiveRender.renderType(b),
+      "into the schema with this signature:",
+      HiveRender.renderType(a)
+    )).mkString("\n")
 }
 
 /** Raised for arrays mixing incompatible element types, e.g. `["a",{"b":1}]`
@@ -184,6 +189,12 @@ object Witness {
   @transient private lazy val mapper: ObjectMapper =
     new ObjectMapper().configure(DeserializationFeature.USE_BIG_DECIMAL_FOR_FLOATS, true)
 
+  /** Pretty-print a raw NDJSON line for diagnostics (reference prints the
+   *  offending document with `Json.prettyPrint`, Schemer.scala:19). Falls
+   *  back to the raw line if it does not re-parse. */
+  def prettyRow(line: String): String =
+    try mapper.readTree(line).toPrettyString catch { case _: Exception => line }
+
   /** Parse one NDJSON line into its witness. Malformed JSON throws
    *  (fail-fast, like the reference's `Json.parse` at Schemer.scala:13).
    *  `inferTimestamps` (default off, like the MAP flag) turns ISO-8601
@@ -232,7 +243,7 @@ object Witness {
         val elems = n.elements().asScala.map(ofNode(_, context, inferTimestamps))
         WArr(
           try elems.foldLeft(bottom)((acc, w) => merge(acc, w, context))
-          catch { case RowMismatch(_, _, c) => throw InconsistentArray(c) }
+          catch { case e: RowMismatch => throw InconsistentArray(e.context) }
         )
       case OBJECT =>
         WObj(n.properties().asScala.iterator.map(e =>

@@ -467,6 +467,13 @@ object EventStreams {
         // The file sink spills to disk like production and the rollup
         // reads it back through the commit log.
         val backfillRoot = tempDirWithCleanup("graft_backfill_sink")
+        // SINGLE-BATCH ASSUMPTION: exactly-once here relies on AvailableNow
+        // reading ALL history+live symlinks in one micro-batch, so no copy
+        // of an event ever arrives behind a watermark advanced by an
+        // earlier batch. If maxFilesPerTrigger were ever configured the
+        // source would split the listing and late first-copies would be
+        // silently dropped — the builder asserts the 2x-in/1x-out equality
+        // below so that misconfiguration fails loudly, not silently.
         val qBackfill = withEventTime(eventsStream(spark, backfillDir, glob = "*.parquet"))
           .withWatermark("event_time", "30 minutes")
           .dropDuplicatesWithinWatermark("event_id")
@@ -528,7 +535,21 @@ object EventStreams {
             .filter(col("purchase_us") < sentinelUs)
             .orderBy("user_id", "purchase_id", "view_id"),
           cep = spark.table(cepName).orderBy("user_id", "purchase_id"),
-          backfill = spark.read.parquet(backfillRoot.resolve("data").toString)
+          backfill = {
+            val sunk = spark.read.parquet(backfillRoot.resolve("data").toString)
+            // assert the exactly-once invariant at the builder (not only in
+            // the test): sink rows == distinct event_ids in the source. A
+            // maxFilesPerTrigger-style multi-batch replay that drops late
+            // first-copies fails here immediately.
+            val distinctIn = spark.read.parquet(s"$dir/events.parquet")
+              .select(col("event_id")).distinct().count()
+            val out = sunk.count()
+            require(out == distinctIn,
+              s"backfill exactly-once violated: sink has $out rows, source has " +
+              s"$distinctIn distinct events — was the file source split into " +
+              "multiple micro-batches (maxFilesPerTrigger)?")
+            sunk
+          }
             .groupBy(window(col("event_time"), "1 hour"))
             .agg(count(lit(1)).as("n_events"),
               expr("cast(sum(cast(value as decimal(12,2)) * 100) as bigint)").as("cents"))

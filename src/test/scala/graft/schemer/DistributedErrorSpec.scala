@@ -46,6 +46,22 @@ class DistributedErrorSpec extends AnyFunSuite {
     assert(msg.contains("ARRAY<"), msg)
   }
 
+  test("row-level conflict prints the offending document, like the reference") {
+    val dir = Files.createTempDirectory("graft_dist_err_row")
+    writeFile(dir, "part-0.json", Seq(
+      """{"names": ["Rok", "Manca"]}""",
+      """{"names": {"first": "Zala"}}"""))
+    val e = intercept[org.apache.spark.SparkException] {
+      InferSchema.inferPath(spark, dir.toString)
+    }
+    val msg = rootMessage(e)
+    // the reference prints the pretty-printed offending row itself
+    // (Schemer.scala:19, Json.prettyPrint) before the two schemas
+    assert(msg.contains("failed to merge the row:"), msg)
+    assert(msg.contains("Zala"), msg)
+    assert(msg.contains("attempted to merge a value with schema:"), msg)
+  }
+
   test("cross-partition conflict (each partition valid alone) surfaces at the reduce") {
     val dir = Files.createTempDirectory("graft_dist_err2")
     // two files => two partitions; each is self-consistent, the CONFLICT
