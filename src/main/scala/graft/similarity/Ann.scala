@@ -165,9 +165,28 @@ object Ann {
    *  (the [[bruteForceTopK]] baseline discipline; the IVF cell route is
    *  the scale path for big query sets). Headroom: dot ≤ 127²·d ≈ 10⁶ at
    *  d = 64, so 10⁴·dot² ≈ 10¹⁶ < 2⁶³. */
-  def rangeSearch(spark: SparkSession, dir: String): DataFrame = {
-    val TauPct = 30L // cosine threshold τ·100
-    val quant = Tables.embeddings(spark, dir)
+  def rangeSearch(spark: SparkSession, dir: String): DataFrame =
+    rangeSearchOn(Tables.embeddings(spark, dir))
+
+  /** [[rangeSearch]] over an arbitrary (vec_id, embedding) corpus — the
+   *  spec feeds constructed corpora through both range paths. */
+  def rangeSearchOn(emb: DataFrame): DataFrame = {
+    val quant = rangeQuant(emb)
+    val queries = broadcast(quant.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2")))
+    rangeMembership(quant.crossJoin(queries))
+  }
+
+  /** Integer dot product of two quantized (Array[Long]) vectors. */
+  private def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Shared int8 quantization for the radius-search family: (vec_id, q, n2)
+   *  with q the quantized vector and n2 its integer squared norm —
+   *  [[quantize]]'s exact formula, so both range paths and the DuckDB
+   *  oracle test membership on identical integers. */
+  private[similarity] def rangeQuant(emb: DataFrame): DataFrame =
+    emb
       .select(col("vec_id"),
         array_max(transform(col("embedding"), x => abs(x.cast("double")))).as("s"),
         col("embedding"))
@@ -177,19 +196,108 @@ object Ann {
             .otherwise(floor(lit(127.0d) * x.cast("double") / col("s") + lit(0.5d)))).as("q"))
       .select(col("vec_id"), col("q"),
         aggregate(zip_with(col("q"), col("q"), (a, b) => a * b), lit(0L), (acc, x) => acc + x).as("n2"))
-    val queries = broadcast(quant.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2")))
-    quant.crossJoin(queries)
+
+  /** The exact integer membership test + output shape shared by the brute
+   *  and IVF-pruned radius searches: input must carry
+   *  (query_id, qq, qn2) × (vec_id, q, n2) candidate pairs. */
+  private def rangeMembership(cands: DataFrame): DataFrame =
+    cands
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        aggregate(zip_with(col("q"), col("qq"), (a, b) => a * b), lit(0L), (acc, x) => acc + x).as("dot"),
-        col("n2"), col("qn2"))
+        qdot(col("q"), col("qq")).as("dot"), col("n2"), col("qn2"))
       .filter(col("dot") > 0 &&
-        col("dot") * col("dot") * lit(10000L) >= lit(TauPct * TauPct) * col("n2") * col("qn2"))
+        col("dot") * col("dot") * lit(10000L) >= lit(RangeTauPct * RangeTauPct) * col("n2") * col("qn2"))
       .select(col("query_id"), col("neighbor_id"),
         expr("(2 * dot * dot * 10000 + n2 * qn2) div (2 * n2 * qn2)").as("cos2_bp"))
       .orderBy("query_id", "neighbor_id")
+
+  /** Cosine threshold τ·100 for the radius-search family. */
+  private[similarity] val RangeTauPct = 30L
+
+  /** Pruning slack in cosine units: a cell is probed unless its sound
+   *  upper bound falls 0.01 BELOW τ. The bound below is exact math on the
+   *  same quantized integers the membership test uses; the only error is
+   *  a few ulps of double rounding in ÷/√ — 0.01 is ~10¹³ × that, so a
+   *  pruned cell provably contains no qualifying vector and the IVF path
+   *  returns EXACTLY the brute-force answer (RangeIvfSpec pins equality). */
+  private[similarity] val RangePruneSlack = 0.01d
+
+  /** IVF-PRUNED radius search — the 100 TB serving path for
+   *  [[rangeSearch]] (same τ, same queries, same integer membership test,
+   *  IDENTICAL results — the oracle is literally the brute-force SQL).
+   *
+   *  Index build (once per corpus, all broadcast-map-side):
+   *   1. assign every non-zero quantized vector to its max-cosine seed
+   *      centroid (vec_id < 16, the [[ivfTopK]] discipline);
+   *   2. per cell, keep m = min cosine(member, centroid) — the cosine of
+   *      the cell's ANGULAR RADIUS r.
+   *
+   *  Probe: for query q and cell c with a = cos∠(q,c), the spherical
+   *  triangle inequality ∠(q,x) ≥ ∠(q,c) − r for any member x gives the
+   *  sound bound cos∠(q,x) ≤ cos(∠(q,c) − r) = a·m + √(1−a²)·√(1−m²)
+   *  (or 1 when ∠(q,c) ≤ r). Cells whose bound < τ − [[RangePruneSlack]]
+   *  are never scanned; surviving (query, cell) pairs broadcast-join the
+   *  cell-partitioned corpus and run the exact test on that slice only.
+   *  On clustered corpora (tight cells, the real embedding shape) this
+   *  prunes most of the corpus per query; on this synthetic random corpus
+   *  cells are near-degenerate (r → 90°+) and the bound keeps everything —
+   *  which is the CORRECT answer for an exact radius search, and exactly
+   *  why the spec also pins pruning on a constructed clustered corpus. */
+  def rangeSearchIvfOn(emb: DataFrame): DataFrame = {
+    val idx = rangeIvfIndex(emb)
+    rangeMembership(idx.assigned.join(broadcast(rangeIvfProbes(idx)), "cell"))
   }
+
+  /** The per-corpus radius-search index: cell-assigned quantized corpus,
+   *  broadcast centroid table, per-cell angular radius. Built once and
+   *  shared (the `assigned` snapshot feeds both the radius rollup and the
+   *  candidate scan). */
+  private[similarity] final case class RangeIvfIndex(
+      nz: DataFrame, cents: DataFrame, assigned: DataFrame, cellStats: DataFrame)
+
+  private[similarity] def rangeIvfIndex(emb: DataFrame): RangeIvfIndex = {
+    val nz = rangeQuant(emb).filter(col("n2") > 0) // zero vectors can never pass dot > 0
+    val cents = broadcast(nz.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2")))
+    val assigned = nz.crossJoin(cents)
+      .select(col("vec_id"), col("q"), col("n2"), col("cid"),
+        (qdot(col("q"), col("cq")).cast("double") /
+          sqrt(col("n2").cast("double") * col("cn2").cast("double"))).as("ccos"))
+      .groupBy("vec_id")
+      .agg(first("q").as("q"), first("n2").as("n2"),
+        max_by(struct(col("cid"), col("ccos")),
+          struct(col("ccos"), (-col("cid")).as("nid"))).as("best"))
+      .select(col("vec_id"), col("q"), col("n2"),
+        col("best.cid").as("cell"), col("best.ccos").as("ccos"))
+      .persist() // feeds the radius rollup AND the candidate scan
+    val cellStats = assigned.groupBy("cell").agg(min("ccos").as("m"))
+    RangeIvfIndex(nz, cents, assigned, cellStats)
+  }
+
+  /** Surviving (cell, query) probe pairs under the sound bound — factored
+   *  out so the spec can assert the bound actually prunes on a clustered
+   *  corpus. */
+  private[similarity] def rangeIvfProbes(idx: RangeIvfIndex): DataFrame = {
+    val tau = RangeTauPct.toDouble / 100.0d
+    idx.nz.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2"))
+      .crossJoin(idx.cents)
+      .select(col("query_id"), col("qq"), col("qn2"), col("cid").as("cell"),
+        (qdot(col("qq"), col("cq")).cast("double") /
+          sqrt(col("qn2").cast("double") * col("cn2").cast("double"))).as("a"))
+      .join(idx.cellStats, "cell")
+      .filter(
+        when(col("a") >= col("m"), lit(1.0d))
+          .otherwise(col("a") * col("m") +
+            sqrt(greatest(lit(0.0d), lit(1.0d) - col("a") * col("a")) *
+                 greatest(lit(0.0d), lit(1.0d) - col("m") * col("m"))))
+          >= lit(tau - RangePruneSlack))
+      .select(col("cell"), col("query_id"), col("qq"), col("qn2"))
+  }
+
+  /** [[rangeSearchIvfOn]] over the standard embeddings table. */
+  def rangeSearchIvf(spark: SparkSession, dir: String): DataFrame =
+    rangeSearchIvfOn(Tables.embeddings(spark, dir))
 
   /** CELL LABEL PURITY — does the vector index's geometry respect the
    *  labels: per IVF cell (the 16 deterministic centroids), the
@@ -804,6 +912,36 @@ object Ann {
       .orderBy("vec_id", "rank")
   }
 
+  /** Brute-force radius-search oracle, shared by ann_range_search and
+   *  ann_range_ivf (the sound prune changes the plan, never the answer). */
+  private val RangeOracle: String = """
+      WITH q0 AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding, x -> abs(cast(x as double)))) AS s,
+               embedding
+        FROM embeddings),
+      qz AS (
+        SELECT vec_id,
+               list_transform(range(1, len(embedding) + 1),
+                 i -> CASE WHEN s = 0 THEN 0
+                      ELSE cast(floor(127.0 * cast(embedding[i] as double) / s + 0.5) as bigint) END) AS q
+        FROM q0),
+      n AS (
+        SELECT vec_id, q,
+               cast(list_sum(list_transform(q, x -> x * x)) as bigint) AS n2
+        FROM qz),
+      p AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               cast(list_sum(list_transform(range(1, len(a.q) + 1),
+                 i -> a.q[i] * b.q[i])) as bigint) AS dot,
+               a.n2 AS qn2, b.n2 AS n2
+        FROM n a JOIN n b ON a.vec_id < 8 AND b.vec_id <> a.vec_id)
+      SELECT query_id, neighbor_id,
+             cast((2 * dot * dot * 10000 + n2 * qn2) // (2 * n2 * qn2) as bigint) AS cos2_bp
+      FROM p
+      WHERE dot > 0 AND dot * dot * 10000 >= 900 * n2 * qn2
+      ORDER BY query_id, neighbor_id"""
+
   val defs: Vector[QueryDef] = Vector(
     // exact twin: same 1e-7 trunc grid as embed_dim_stats, the drift
     // ranked on the integer cross product — no near-equal float subtract
@@ -1041,33 +1179,12 @@ object Ann {
       ORDER BY query_id, rank""")),
     // exact twin: same int8 quantization CTE as embed_quantize, same
     // cross-multiplied integer threshold — membership cannot float-flip
-    QueryDef("ann_range_search", rangeSearch, Some("""
-      WITH q0 AS (
-        SELECT vec_id,
-               list_max(list_transform(embedding, x -> abs(cast(x as double)))) AS s,
-               embedding
-        FROM embeddings),
-      qz AS (
-        SELECT vec_id,
-               list_transform(range(1, len(embedding) + 1),
-                 i -> CASE WHEN s = 0 THEN 0
-                      ELSE cast(floor(127.0 * cast(embedding[i] as double) / s + 0.5) as bigint) END) AS q
-        FROM q0),
-      n AS (
-        SELECT vec_id, q,
-               cast(list_sum(list_transform(q, x -> x * x)) as bigint) AS n2
-        FROM qz),
-      p AS (
-        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-               cast(list_sum(list_transform(range(1, len(a.q) + 1),
-                 i -> a.q[i] * b.q[i])) as bigint) AS dot,
-               a.n2 AS qn2, b.n2 AS n2
-        FROM n a JOIN n b ON a.vec_id < 8 AND b.vec_id <> a.vec_id)
-      SELECT query_id, neighbor_id,
-             cast((2 * dot * dot * 10000 + n2 * qn2) // (2 * n2 * qn2) as bigint) AS cos2_bp
-      FROM p
-      WHERE dot > 0 AND dot * dot * 10000 >= 900 * n2 * qn2
-      ORDER BY query_id, neighbor_id""")),
+    QueryDef("ann_range_search", rangeSearch, Some(RangeOracle)),
+    // SAME oracle on purpose: the IVF prune is provably sound (see
+    // [[rangeSearchIvfOn]]), so the pruned path must reproduce the
+    // brute-force answer bit-for-bit — the strongest check an
+    // approximate-index serving path can carry
+    QueryDef("ann_range_ivf", rangeSearchIvf, Some(RangeOracle)),
     QueryDef("ann_bruteforce_topk", bruteForceTopK, Some("""
       SELECT query_id, neighbor_id, rank FROM (
         SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

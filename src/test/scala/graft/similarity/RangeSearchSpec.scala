@@ -76,4 +76,49 @@ class RangeSearchSpec extends AnyFunSuite {
       assert(cos > 0.27, s"pair ($a,$b) float cosine $cos far below threshold")
     }
   }
+
+  test("ann_range_ivf equals brute-force range search on the real corpus") {
+    val got = Ann.rangeSearchIvf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val brute = Ann.rangeSearch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == brute)
+    assert(brute.nonEmpty, "test premise: some neighbor clears τ")
+  }
+
+  test("the IVF bound prunes most cells on a clustered corpus, losing nothing") {
+    // 4 tight clusters around orthogonal directions; seeds (vec_id < 16)
+    // and queries (vec_id < 8) cover every cluster. This is the shape real
+    // embedding corpora have — and where the angular-radius bound earns
+    // its keep (on the random testdata corpus cells are near-degenerate
+    // and the bound correctly keeps everything).
+    val dim = 64
+    val rows = (0L until 200L).map { i =>
+      val k = (i % 4).toInt
+      val v = Array.tabulate(dim) { d =>
+        val noise = (((i * 31 + d * 7) % 11) - 5).toFloat / 5.0f * 0.03f
+        (if (d == k * 8) 1.0f else 0.0f) + noise
+      }
+      (i, v.toSeq)
+    }
+    val emb = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val idx = Ann.rangeIvfIndex(emb)
+    try {
+      val nQueries = 8L
+      val nCells = idx.cellStats.count()
+      val probes = Ann.rangeIvfProbes(idx).count()
+      info(s"probes: $probes of ${nQueries * nCells} (cells: $nCells)")
+      assert(probes > 0, "every query must probe its own cluster's cells")
+      assert(probes < nQueries * nCells / 2,
+        s"bound pruned nothing on a clustered corpus: $probes probes")
+      val got = Ann.rangeSearchIvfOn(emb).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val brute = Ann.rangeSearchOn(emb).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == brute, "prune must never change the answer")
+      assert(brute.nonEmpty, "test premise: same-cluster neighbors clear τ")
+      assert(brute.size < 8 * 199,
+        "test premise: cross-cluster pairs fall below τ")
+    } finally idx.assigned.unpersist()
+  }
 }
