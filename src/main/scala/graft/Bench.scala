@@ -6,9 +6,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
+    // shuffle partitions default to the thread count (right at sf<=1);
+    // big single-JVM corpora want MORE partitions than threads so each
+    // task's hash/sort state stays small — the sf10 suite runs at 128
+    // (with SPARK_GRAFT_SNAPSHOT_LEVEL=DISK_ONLY), where 32 OOMed a 16g
+    // heap on the shingle pair join
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

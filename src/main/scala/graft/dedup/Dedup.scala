@@ -322,16 +322,22 @@ object Dedup {
    *
    *  Scale shape: the clustering is [[graft.similarity.Ann.kmeansCentroids]]
    *  (broadcast centroid literals, one hash aggregate per Lloyd round);
-   *  assignment is map-side; the pair join is an equi-join on `cell` —
-   *  candidate pairs are O(Σ|cell|²), bounded by construction because k
-   *  grows with the corpus (√n cells is the paper's regime), never the
-   *  all-pairs O(n²). Exactly the embedding twin of [[ngramJaccard]]'s
-   *  bucket-join discipline. */
+   *  assignment is map-side (the broadcast-join form past 32 cells —
+   *  [[graft.similarity.Ann.assignCellsScalable]]); the pair join is an
+   *  equi-join on `cell` — candidate pairs are O(Σ|cell|²), bounded by
+   *  construction because k = max(16, ⌈√n⌉) GROWS with the corpus (√n
+   *  cells is the paper's regime), never the all-pairs O(n²). Exactly
+   *  the embedding twin of [[ngramJaccard]]'s bucket-join discipline. */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    // shared per-corpus index artifact — same training the IVF search uses
-    val centroids = graft.similarity.Ann.trainedCentroids(spark, dir, 16, 3)
-    val assigned = graft.similarity.Ann.assignCells(emb, centroids)
+    // CORPUS-SCALED cell count — the same √n rule as Ann.knnGraph: with
+    // EVERY vector on both sides of the in-cell pair join, fixed k does
+    // Σ|cell|² ≈ n²/k work (measured 153 s of the sf10 suite at k=16);
+    // √n cells make it n^1.5. The DuckDB oracle derives the same k from
+    // the same ⌈√count⌉ (KmeansOracle.KDyn).
+    val k = math.max(16, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+    val centroids = graft.similarity.Ann.trainedCentroids(spark, dir, k, 3)
+    val assigned = graft.similarity.Ann.assignCellsScalable(emb, centroids)
       .select(col("cell"), col("vec_id"), col("embedding"))
       .persist() // trained assignment feeds both sides of the pair join
     val a = assigned.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))

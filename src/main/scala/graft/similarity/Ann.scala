@@ -82,7 +82,7 @@ object Ann {
     val dimSums = (0 until dim).map(d =>
       sum(element_at(col("embedding"), d + 1).cast("decimal(27,10)")).as(s"s$d"))
     for (_ <- 1 to iters) {
-      val cells = assignCells(emb, centroids)
+      val cells = assignCellsScalable(emb, centroids)
         .groupBy("cell")
         .agg(count(lit(1)).as("n"), dimSums: _*)
         .collect() // k tiny rows (one per non-empty cell) — the only driver-side data
@@ -127,6 +127,40 @@ object Ann {
     emb.withColumn("cell",
       (array_position(scores, array_max(scores)) - 1).cast("int"))
   }
+
+  /** JOIN-BASED nearest-centroid assignment — the large-k twin of
+   *  [[assignCells]], returning (vec_id, embedding, cell). The literal-
+   *  array form generates k fused dot loops in ONE codegen'd expression —
+   *  unbeatable at k = 16, but at the √n cell counts the scaled SemDeDup
+   *  needs (k ≈ 450 at 200k vectors) the generated class blows past
+   *  JVM method limits and compilation cost. Here each centroid is a
+   *  broadcast ROW instead: corpus × k scored pairs through one hash
+   *  argmax. Bit-identical scores (same 2·x·c − ‖c‖² with the same
+   *  driver-computed ‖c‖² and the same [[graft.functions.ArrayDot]]
+   *  accumulation) and the same lowest-cell tiebreak
+   *  (`max_by(score, −cid)` ≡ first array maximum) — AssignEquivSpec
+   *  pins the two paths equal. */
+  private[graft] def assignCellsJoin(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = broadcast(centroids.zipWithIndex.map { case (c, i) =>
+      (i, c.toSeq, c.map(v => v * v).sum) }.toSeq.toDF("cid", "cl", "nrm"))
+    emb.select(col("vec_id"), col("embedding")).crossJoin(cents)
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        (lit(2.0d) * dot(col("embedding"), col("cl")) - col("nrm")).as("score"))
+      .groupBy("vec_id")
+      .agg(first("embedding").as("embedding"),
+        max_by(col("cid"), struct(col("score"), (-col("cid")).as("nid"))).as("cell"))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
+
+  /** Pick the assignment implementation by centroid count: the fused
+   *  literal expression up to 32 cells, the broadcast join beyond.
+   *  Returns the narrow (vec_id, embedding, cell) shape both provide. */
+  private[graft] def assignCellsScalable(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    if (centroids.length <= 32)
+      assignCells(emb, centroids).select(col("vec_id"), col("embedding"), col("cell"))
+    else assignCellsJoin(emb, centroids)
 
   /** Within-cluster sum of squares for a given centroid set — the k-means
    *  objective (‖x−c‖² = x·x − max score), used by the spec to check the

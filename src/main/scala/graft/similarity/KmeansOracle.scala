@@ -61,16 +61,26 @@ object KmeansOracle {
    *  assignment `a$Iters(vec_id, embedding, cell)` — reused by both the
    *  trained-IVF search oracle and the SemDeDup oracle (one training, two
    *  consumers, mirroring how the engine shares [[Ann.kmeansCentroids]]). */
-  private lazy val trainedCtes: String = {
+  private def trainedCtesFor(kExpr: String): String = {
     val seed =
       s"""c0 AS MATERIALIZED (
          |        SELECT vec_id AS cell, list_transform(embedding, x -> cast(x as double)) AS cl
-         |        FROM embeddings WHERE vec_id < $K)""".stripMargin
+         |        FROM embeddings WHERE vec_id < $kExpr)""".stripMargin
     val rounds = (0 until Iters).map(it => s"${assignCte(it)},\n      ${meansAndNextCte(it)}")
     s"""$seed,
        |      ${rounds.mkString(",\n      ")},
        |      ${assignCte(Iters)}""".stripMargin
   }
+
+  private lazy val trainedCtes: String = trainedCtesFor(K.toString)
+
+  /** Corpus-scaled cell count k = max(16, ⌈√n⌉) as a SQL scalar — the
+   *  exact twin of the engine's `math.max(16, ceil(sqrt(n)))` (IEEE sqrt
+   *  is correctly rounded in both engines, the [[Ann.knnGraph]]
+   *  precedent). Only the SEED CTE depends on k, so the whole Lloyd
+   *  unroll works unchanged at any corpus size. */
+  private val KDyn: String =
+    "greatest(16, cast(ceil(sqrt(cast((SELECT count(*) FROM embeddings) as double))) as bigint))"
 
   /** The complete oracle SQL for ann_kmeans_ivf. */
   lazy val sql: String = {
@@ -126,8 +136,11 @@ object KmeansOracle {
        |      GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
   }
 
-  /** Oracle for dedup_semantic (SemDeDup): the SAME trained assignment
-   *  chain, then within-cell pairwise cosines as left-associative double
+  /** Oracle for dedup_semantic (SemDeDup): the trained assignment chain
+   *  at the CORPUS-SCALED cell count [[KDyn]] (√n cells keep the in-cell
+   *  pair join ~n^1.5 — the fixed-16 variant OOM-scaled as n²/16 and ate
+   *  153 s of the sf10 suite), then within-cell pairwise cosines as
+   *  left-associative double
    *  `+` chains — the identical IEEE operation order as the fused
    *  [[graft.functions.ArrayCosine]] loop (the construction already
    *  validated bit-for-bit by the dedup_embedding oracle), so the ≥ 0.3
@@ -141,7 +154,7 @@ object KmeansOracle {
       .map(j => s"cast(a.embedding[$j] as double)*cast(b.embedding[$j] as double)")
       .mkString(" + ")
     s"""
-       |      WITH $trainedCtes,
+       |      WITH ${trainedCtesFor(KDyn)},
        |      v AS MATERIALIZED (SELECT vec_id, ($nrm) AS nrm FROM embeddings),
        |      p AS (
        |        SELECT b.vec_id AS dup_id, a.vec_id AS id_a,

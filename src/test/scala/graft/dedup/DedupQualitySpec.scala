@@ -115,7 +115,9 @@ class DedupQualitySpec extends AnyFunSuite {
 
   test("semantic dedup EQUALS brute-force within-cell cosine >= 0.3") {
     val emb = Tables.embeddings(spark, dir)
-    val centroids = graft.similarity.Ann.kmeansCentroids(emb, 16, 3)
+    // the same corpus-scaled k = max(16, ceil(sqrt(n))) the entry uses
+    val k = math.max(16, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+    val centroids = graft.similarity.Ann.kmeansCentroids(emb, k, 3)
     val assigned = graft.similarity.Ann.assignCells(emb, centroids)
       .select(col("cell"), col("vec_id"), col("embedding"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
