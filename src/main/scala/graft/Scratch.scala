@@ -1,0 +1,35 @@
+package graft.similarity
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only stage-timing scratchpad (not part of the library surface). */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/data/sf10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val emb = Tables.embeddings(spark, sfDir)
+    t("emb.count")(emb.count())
+    val idx = t("index build (lazy)")(Ann.rangeIvfIndex(emb))
+    println("[scratch] nz partitions: " + idx.nz.rdd.getNumPartitions)
+    t("assigned materialize")(idx.assigned.count())
+    t("cellStats")(idx.cellStats.count())
+    val probes = t("probes")(Ann.rangeIvfProbes(idx))
+    t("probes count")(probes.count())
+    t("membership")(Ann.rangeSearchIvfOn(emb).count())
+    t("brute")(Ann.rangeSearchOn(emb).count())
+    spark.stop()
+  }
+}

@@ -200,45 +200,69 @@ object Ann {
    *  the scale path for big query sets). Headroom: dot ≤ 127²·d ≈ 10⁶ at
    *  d = 64, so 10⁴·dot² ≈ 10¹⁶ < 2⁶³. */
   def rangeSearch(spark: SparkSession, dir: String): DataFrame =
-    rangeSearchOn(Tables.embeddings(spark, dir))
+    rangeSearchQuant(rangeQuantSnapshot(spark, dir))
 
   /** [[rangeSearch]] over an arbitrary (vec_id, embedding) corpus — the
    *  spec feeds constructed corpora through both range paths. */
-  def rangeSearchOn(emb: DataFrame): DataFrame = {
-    val quant = rangeQuant(emb)
+  def rangeSearchOn(emb: DataFrame): DataFrame =
+    rangeSearchQuant(rangeQuantPlan(emb))
+
+  private def rangeSearchQuant(quant: DataFrame): DataFrame = {
     val queries = broadcast(quant.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2")))
+      .select(col("vec_id").as("query_id"), col("qd").as("qqd"), col("n2").as("qn2")))
     rangeMembership(quant.crossJoin(queries))
   }
 
-  /** Integer dot product of two quantized (Array[Long]) vectors. */
-  private def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** The native quantization as a Column ([[graft.functions.Int8QuantizeExpr]]). */
+  private def quantStruct(c: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.Int8QuantizeExpr(ColumnBridge.expression(c)))
+  }
 
-  /** Shared int8 quantization for the radius-search family: (vec_id, q, n2)
-   *  with q the quantized vector and n2 its integer squared norm —
-   *  [[quantize]]'s exact formula, so both range paths and the DuckDB
-   *  oracle test membership on identical integers. */
-  private[similarity] def rangeQuant(emb: DataFrame): DataFrame =
-    emb
-      .select(col("vec_id"),
-        array_max(transform(col("embedding"), x => abs(x.cast("double")))).as("s"),
-        col("embedding"))
-      .select(col("vec_id"),
-        transform(col("embedding"), x =>
-          when(col("s") === 0.0d, lit(0L))
-            .otherwise(floor(lit(127.0d) * x.cast("double") / col("s") + lit(0.5d)))).as("q"))
-      .select(col("vec_id"), col("q"),
-        aggregate(zip_with(col("q"), col("q"), (a, b) => a * b), lit(0L), (acc, x) => acc + x).as("n2"))
+  /** The one-pass quantization plan for the radius family:
+   *  (vec_id, qd: ARRAY<DOUBLE> of int8-scale integers, n2: Σq² BIGINT) —
+   *  [[quantize]]'s exact formula fused into one native loop
+   *  ([[graft.functions.Int8QuantizeExpr]]). The HOF chain this replaces
+   *  was ~6 ms/row after projection collapse inlined the scale expression
+   *  per ELEMENT (sf10 profile); the fused loop is ~100 ns and
+   *  bit-identical, so the DuckDB oracle is unchanged. */
+  private[similarity] def rangeQuantPlan(emb: DataFrame): DataFrame = {
+    // SPREAD THE SCAN first: the sf10 embeddings table is a single 50 MB
+    // split — without this the whole family runs on 1-2 threads no matter
+    // how many cores the session has. A one-off shuffle of the raw float
+    // arrays is pennies; on a real cluster (splits ≥ cores) it's a no-op.
+    val sc = emb.sparkSession.sparkContext
+    val spread =
+      if (emb.rdd.getNumPartitions < sc.defaultParallelism)
+        emb.repartition(sc.defaultParallelism)
+      else emb
+    spread.select(col("vec_id"), quantStruct(col("embedding")).as("z"))
+      .select(col("vec_id"), col("z.qd").as("qd"), col("z.n2").as("n2"))
+  }
+
+  /** Per-(application, dir) SNAPSHOT of the quantized corpus — the
+   *  radius family's shared index artifact (the [[graft.dedup.Dedup]]
+   *  shingle-index discipline): brute and IVF paths, their query
+   *  subsets, and the IVF seed collect all read these materialized rows
+   *  instead of re-running the quantization per consumer. */
+  private val rangeQuantCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private[similarity] def rangeQuantSnapshot(spark: SparkSession, dir: String): DataFrame =
+    rangeQuantCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      import org.apache.spark.sql.graft.DatasetBridge
+      DatasetBridge.snapshot(rangeQuantPlan(Tables.embeddings(spark, dir))).df
+    })
 
   /** The exact integer membership test + output shape shared by the brute
    *  and IVF-pruned radius searches: input must carry
-   *  (query_id, qq, qn2) × (vec_id, q, n2) candidate pairs. */
+   *  (query_id, qqd, qn2) × (vec_id, qd, n2) candidate pairs. */
   private def rangeMembership(cands: DataFrame): DataFrame =
     cands
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        qdot(col("q"), col("qq")).as("dot"), col("n2"), col("qn2"))
+        // exact: the double dot of int8-scale vectors is integral < 2⁵³;
+        // the cast recovers the long the cross-multiplied test needs
+        dot(col("qd"), col("qqd")).cast("long").as("dot"), col("n2"), col("qn2"))
       .filter(col("dot") > 0 &&
         col("dot") * col("dot") * lit(10000L) >= lit(RangeTauPct * RangeTauPct) * col("n2") * col("qn2"))
       .select(col("query_id"), col("neighbor_id"),
@@ -253,16 +277,19 @@ object Ann {
    *  same quantized integers the membership test uses; the only error is
    *  a few ulps of double rounding in ÷/√ — 0.01 is ~10¹³ × that, so a
    *  pruned cell provably contains no qualifying vector and the IVF path
-   *  returns EXACTLY the brute-force answer (RangeIvfSpec pins equality). */
+   *  returns EXACTLY the brute-force answer (RangeSearchSpec pins
+   *  equality). */
   private[similarity] val RangePruneSlack = 0.01d
 
   /** IVF-PRUNED radius search — the 100 TB serving path for
    *  [[rangeSearch]] (same τ, same queries, same integer membership test,
    *  IDENTICAL results — the oracle is literally the brute-force SQL).
    *
-   *  Index build (once per corpus, all broadcast-map-side):
+   *  Index build (once per corpus, all map-side over the quant snapshot):
    *   1. assign every non-zero quantized vector to its max-cosine seed
-   *      centroid (vec_id < 16, the [[ivfTopK]] discipline);
+   *      centroid (vec_id < 16, the [[ivfTopK]] discipline) — the seeds
+   *      ride as LITERALS, so assignment is one codegen'd argmax
+   *      expression: no crossJoin, no groupBy, no corpus shuffle;
    *   2. per cell, keep m = min cosine(member, centroid) — the cosine of
    *      the cell's ANGULAR RADIUS r.
    *
@@ -277,33 +304,51 @@ object Ann {
    *  cells are near-degenerate (r → 90°+) and the bound keeps everything —
    *  which is the CORRECT answer for an exact radius search, and exactly
    *  why the spec also pins pruning on a constructed clustered corpus. */
-  def rangeSearchIvfOn(emb: DataFrame): DataFrame = {
-    val idx = rangeIvfIndex(emb)
+  def rangeSearchIvf(spark: SparkSession, dir: String): DataFrame =
+    rangeSearchIvfQuant(rangeQuantSnapshot(spark, dir))
+
+  /** [[rangeSearchIvf]] over an arbitrary (vec_id, embedding) corpus. */
+  def rangeSearchIvfOn(emb: DataFrame): DataFrame =
+    rangeSearchIvfQuant(rangeQuantPlan(emb))
+
+  private def rangeSearchIvfQuant(quant: DataFrame): DataFrame = {
+    val idx = rangeIvfIndexQuant(quant)
     rangeMembership(idx.assigned.join(broadcast(rangeIvfProbes(idx)), "cell"))
   }
 
   /** The per-corpus radius-search index: cell-assigned quantized corpus,
-   *  broadcast centroid table, per-cell angular radius. Built once and
-   *  shared (the `assigned` snapshot feeds both the radius rollup and the
-   *  candidate scan). */
+   *  broadcast centroid table, per-cell angular radius. All four frames
+   *  are cheap map-side derivations of the quant snapshot. */
   private[similarity] final case class RangeIvfIndex(
       nz: DataFrame, cents: DataFrame, assigned: DataFrame, cellStats: DataFrame)
 
-  private[similarity] def rangeIvfIndex(emb: DataFrame): RangeIvfIndex = {
-    val nz = rangeQuant(emb).filter(col("n2") > 0) // zero vectors can never pass dot > 0
+  /** [[rangeIvfIndexQuant]] from a raw corpus — the spec entry point. */
+  private[similarity] def rangeIvfIndex(emb: DataFrame): RangeIvfIndex =
+    rangeIvfIndexQuant(rangeQuantPlan(emb))
+
+  private[similarity] def rangeIvfIndexQuant(quant: DataFrame): RangeIvfIndex = {
+    val nz = quant.filter(col("n2") > 0) // zero vectors can never pass dot > 0
+    // the 16 seed centroids are a tiny driver-side artifact (16×64
+    // values); as LITERALS the assignment argmax is one map-side
+    // expression over the corpus. Index cosines run in DOUBLE: every
+    // per-element product and partial sum over int8-scale values is an
+    // integer ≪ 2⁵³, so the doubles are exact. Only the MEMBERSHIP test
+    // (cross-multiplied squares up to 10¹⁶ > 2⁵³) needs long arithmetic.
+    val centRows: Array[(Int, Seq[Double], Double)] = nz.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("qd"), col("n2")).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1), r.getLong(2).toDouble))
+    val ccosArr = array(centRows.map { case (_, cqd, cn2) =>
+      dot(col("qd"), typedLit(cqd)) / sqrt(col("n2").cast("double") * lit(cn2))
+    }: _*)
+    val cellIds = typedLit(centRows.map(_._1).toSeq)
+    val assigned = nz
+      .select(col("vec_id"), col("qd"), col("n2"), ccosArr.as("cs"))
+      .select(col("vec_id"), col("qd"), col("n2"),
+        // first array maximum ⇒ lowest seed id on ties (seeds are sorted)
+        element_at(cellIds, array_position(col("cs"), array_max(col("cs"))).cast("int")).as("cell"),
+        array_max(col("cs")).as("ccos"))
     val cents = broadcast(nz.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("q").as("cq"), col("n2").as("cn2")))
-    val assigned = nz.crossJoin(cents)
-      .select(col("vec_id"), col("q"), col("n2"), col("cid"),
-        (qdot(col("q"), col("cq")).cast("double") /
-          sqrt(col("n2").cast("double") * col("cn2").cast("double"))).as("ccos"))
-      .groupBy("vec_id")
-      .agg(first("q").as("q"), first("n2").as("n2"),
-        max_by(struct(col("cid"), col("ccos")),
-          struct(col("ccos"), (-col("cid")).as("nid"))).as("best"))
-      .select(col("vec_id"), col("q"), col("n2"),
-        col("best.cid").as("cell"), col("best.ccos").as("ccos"))
-      .persist() // feeds the radius rollup AND the candidate scan
+      .select(col("vec_id").as("cid"), col("qd").as("cqd"), col("n2").as("cn2")))
     val cellStats = assigned.groupBy("cell").agg(min("ccos").as("m"))
     RangeIvfIndex(nz, cents, assigned, cellStats)
   }
@@ -314,10 +359,10 @@ object Ann {
   private[similarity] def rangeIvfProbes(idx: RangeIvfIndex): DataFrame = {
     val tau = RangeTauPct.toDouble / 100.0d
     idx.nz.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2"))
+      .select(col("vec_id").as("query_id"), col("qd").as("qqd"), col("n2").as("qn2"))
       .crossJoin(idx.cents)
-      .select(col("query_id"), col("qq"), col("qn2"), col("cid").as("cell"),
-        (qdot(col("qq"), col("cq")).cast("double") /
+      .select(col("query_id"), col("qqd"), col("qn2"), col("cid").as("cell"),
+        (dot(col("qqd"), col("cqd")) /
           sqrt(col("qn2").cast("double") * col("cn2").cast("double"))).as("a"))
       .join(idx.cellStats, "cell")
       .filter(
@@ -326,12 +371,8 @@ object Ann {
             sqrt(greatest(lit(0.0d), lit(1.0d) - col("a") * col("a")) *
                  greatest(lit(0.0d), lit(1.0d) - col("m") * col("m"))))
           >= lit(tau - RangePruneSlack))
-      .select(col("cell"), col("query_id"), col("qq"), col("qn2"))
+      .select(col("cell"), col("query_id"), col("qqd"), col("qn2"))
   }
-
-  /** [[rangeSearchIvfOn]] over the standard embeddings table. */
-  def rangeSearchIvf(spark: SparkSession, dir: String): DataFrame =
-    rangeSearchIvfOn(Tables.embeddings(spark, dir))
 
   /** CELL LABEL PURITY — does the vector index's geometry respect the
    *  labels: per IVF cell (the 16 deterministic centroids), the
