@@ -555,6 +555,75 @@ object TextQueries {
                ELSE 'it' END AS pred_lang
         FROM c)""".stripLeading
 
+
+  /** GOPHER-RULE QUALITY SCREEN per source (Rae et al. 2021, "Scaling
+   *  Language Models: Methods, Analysis & Insights from Training Gopher",
+   *  App. A1.1 — the canonical pre-training quality filter, adapted to the
+   *  single-line synthetic corpus: the line-based rules are degenerate
+   *  here, the five below are the live ones):
+   *   - word count outside [50, 100 000]
+   *   - mean word length (×100, integer) outside [300, 1000]
+   *   - fewer than 2 distinct stop-markers present (Gopher requires 2 of
+   *    its 8 function words; this corpus's only function words are
+   *    {the, a}, so the rule keeps its ≥2-distinct form over that set)
+   *   - top bigram > 18 % of all bigrams (repetition)
+   *   - duplicate trigram mass > 30 % (repetition)
+   *  Every fraction tests cross-multiplied INTEGERS (top·100 > n·18), so
+   *  no flag can float-flip; pass_bp is the half-up share of docs clearing
+   *  all five.
+   *
+   *  Scale shape: one narrow scan computes the scalar features map-side;
+   *  the two repetition rules share ONE shuffle — bigrams and trigrams are
+   *  tagged (n=2/3) into the same (doc, n, gram) count aggregate (map-side
+   *  combine), rolled up per doc, then per source. No windows, no
+   *  collects; at 100 TB this is the same two-level word-count discipline
+   *  as [[hapaxRate]] with an n-gram key. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val stopMarkers = Seq("the", "a")
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"), tokens(col("text")).as("t"),
+        tokenCount(col("text")).cast("long").as("ntok"))
+      .select(col("doc_id"), col("source"), col("t"), col("ntok"),
+        when(col("ntok") === 0L, lit(0L))
+          .otherwise(expr("(length(translate(trim(text), ' ', '')) * 100) div ntok")).as("mwl100"),
+        stopMarkers.map(w => when(array_contains(col("t"), w), 1L).otherwise(0L))
+          .reduce(_ + _).as("stop_hits"))
+    val bg = base.select(col("doc_id"), lit(2L).as("n"),
+      explode(expr("CASE WHEN size(t) >= 2 THEN " +
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), (a, b) -> concat(a, ' ', b)) " +
+        "ELSE array() END")).as("gram"))
+    val tg = base.select(col("doc_id"), lit(3L).as("n"),
+      explode(expr("CASE WHEN size(t) >= 3 THEN " +
+        "zip_with(zip_with(slice(t, 1, size(t) - 2), slice(t, 2, size(t) - 2), (a, b) -> concat(a, ' ', b)), " +
+        "slice(t, 3, size(t) - 2), (ab, c) -> concat(ab, ' ', c)) " +
+        "ELSE array() END")).as("gram"))
+    val gstats = bg.unionAll(tg)
+      .groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("n") === 2L, col("c")).otherwise(0L)).as("n_bg"),
+        max(when(col("n") === 2L, col("c")).otherwise(0L)).as("top_bg"),
+        sum(when(col("n") === 3L, col("c")).otherwise(0L)).as("n_tg"),
+        sum(when(col("n") === 3L, col("c") - 1L).otherwise(0L)).as("dup_tg"))
+    base.join(gstats, Seq("doc_id"), "left")
+      .select(col("source"),
+        (col("ntok") < 50L || col("ntok") > 100000L).as("f_wc"),
+        (col("mwl100") < 300L || col("mwl100") > 1000L).as("f_mwl"),
+        (col("stop_hits") < 2L).as("f_stop"),
+        (coalesce(col("top_bg"), lit(0L)) * 100L > coalesce(col("n_bg"), lit(0L)) * 18L).as("f_rep2"),
+        (coalesce(col("dup_tg"), lit(0L)) * 100L > coalesce(col("n_tg"), lit(0L)) * 30L).as("f_rep3"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("f_wc"), 1L).otherwise(0L)).as("n_wc"),
+        sum(when(col("f_mwl"), 1L).otherwise(0L)).as("n_mwl"),
+        sum(when(col("f_stop"), 1L).otherwise(0L)).as("n_stop"),
+        sum(when(col("f_rep2"), 1L).otherwise(0L)).as("n_rep2"),
+        sum(when(col("f_rep3"), 1L).otherwise(0L)).as("n_rep3"),
+        sum(when(!col("f_wc") && !col("f_mwl") && !col("f_stop") && !col("f_rep2") && !col("f_rep3"),
+          1L).otherwise(0L)).as("n_pass"))
+      .withColumn("pass_bp", expr("(2 * n_pass * 10000 + n_docs) div (2 * n_docs)"))
+      .orderBy("source")
+  }
+
   val defs: Vector[QueryDef] = Vector(
     // exact twin: row_number ranks under the same tie-broken total
     // orders, hugeint Σd², one float division
@@ -906,6 +975,59 @@ object TextQueries {
              cast(sum(n_sh) as bigint) AS sum_sh,
              (cast(sum(n_hot) as bigint) * 10000) // cast(sum(n_sh) as bigint) AS boilerplate_bp
       FROM perdoc GROUP BY source ORDER BY source""")),
+    // exact twin: same adapted Gopher rules, same tagged one-pass n-gram
+    // counts, every threshold a cross-multiplied integer compare
+    QueryDef("text_gopher_rules", gopherRules, Some("""
+      WITH d0 AS (
+        SELECT doc_id, source,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS t,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS ntok,
+               text
+        FROM documents),
+      d AS (
+        SELECT doc_id, source, t, ntok,
+               CASE WHEN ntok = 0 THEN 0
+                    ELSE (length(replace(trim(text), ' ', '')) * 100) // ntok END AS mwl100,
+               (CASE WHEN list_contains(t, 'the') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(t, 'a') THEN 1 ELSE 0 END) AS stop_hits
+        FROM d0),
+      g2 AS (
+        SELECT doc_id, 2 AS n, t[i] || ' ' || t[i + 1] AS gram
+        FROM d, unnest(range(1, len(t))) u(i)),
+      g3 AS (
+        SELECT doc_id, 3 AS n, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram
+        FROM d, unnest(range(1, len(t) - 1)) u(i)),
+      gc AS (
+        SELECT doc_id, n, gram, count(*) AS c
+        FROM (SELECT * FROM g2 UNION ALL SELECT * FROM g3) g GROUP BY 1, 2, 3),
+      gs AS (
+        SELECT doc_id,
+               sum(CASE WHEN n = 2 THEN c ELSE 0 END) AS n_bg,
+               max(CASE WHEN n = 2 THEN c ELSE 0 END) AS top_bg,
+               sum(CASE WHEN n = 3 THEN c ELSE 0 END) AS n_tg,
+               sum(CASE WHEN n = 3 THEN c - 1 ELSE 0 END) AS dup_tg
+        FROM gc GROUP BY 1),
+      f AS (
+        SELECT source,
+               (ntok < 50 OR ntok > 100000) AS f_wc,
+               (mwl100 < 300 OR mwl100 > 1000) AS f_mwl,
+               (stop_hits < 2) AS f_stop,
+               coalesce(top_bg, 0) * 100 > coalesce(n_bg, 0) * 18 AS f_rep2,
+               coalesce(dup_tg, 0) * 100 > coalesce(n_tg, 0) * 30 AS f_rep3
+        FROM d LEFT JOIN gs USING (doc_id))
+      SELECT source, count(*) AS n_docs,
+             sum(CASE WHEN f_wc THEN 1 ELSE 0 END)::bigint AS n_wc,
+             sum(CASE WHEN f_mwl THEN 1 ELSE 0 END)::bigint AS n_mwl,
+             sum(CASE WHEN f_stop THEN 1 ELSE 0 END)::bigint AS n_stop,
+             sum(CASE WHEN f_rep2 THEN 1 ELSE 0 END)::bigint AS n_rep2,
+             sum(CASE WHEN f_rep3 THEN 1 ELSE 0 END)::bigint AS n_rep3,
+             sum(CASE WHEN NOT f_wc AND NOT f_mwl AND NOT f_stop AND NOT f_rep2 AND NOT f_rep3
+                 THEN 1 ELSE 0 END)::bigint AS n_pass,
+             cast((2 * sum(CASE WHEN NOT f_wc AND NOT f_mwl AND NOT f_stop AND NOT f_rep2 AND NOT f_rep3
+                 THEN 1 ELSE 0 END) * 10000 + count(*)) // (2 * count(*)) as bigint) AS pass_bp
+      FROM f GROUP BY source ORDER BY source""")),
     QueryDef("text_fingerprints", fingerprints, Some("""
       WITH t AS (
         SELECT doc_id,
