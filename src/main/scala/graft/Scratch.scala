@@ -2,6 +2,7 @@ package graft.similarity
 
 import graft.Tables
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Dev-only stage-timing scratchpad (not part of the library surface). */
 object Scratch {
@@ -20,16 +21,9 @@ object Scratch {
       val t0 = System.nanoTime(); val r = f
       println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    val emb = Tables.embeddings(spark, sfDir)
-    t("emb.count")(emb.count())
-    val idx = t("index build (lazy)")(Ann.rangeIvfIndex(emb))
-    println("[scratch] nz partitions: " + idx.nz.rdd.getNumPartitions)
-    t("assigned materialize")(idx.assigned.count())
-    t("cellStats")(idx.cellStats.count())
-    val probes = t("probes")(Ann.rangeIvfProbes(idx))
-    t("probes count")(probes.count())
-    t("membership")(Ann.rangeSearchIvfOn(emb).count())
-    t("brute")(Ann.rangeSearchOn(emb).count())
+    t("knnGraph cold")(Ann.knnGraph(spark, sfDir).count())
+    t("knnGraph warm")(Ann.knnGraph(spark, sfDir).count())
+    t("semanticDedup")(graft.dedup.Dedup.semanticDedup(spark, sfDir).count())
     spark.stop()
   }
 }

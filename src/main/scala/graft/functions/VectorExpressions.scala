@@ -328,3 +328,72 @@ case class Int8QuantizeExpr(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(newChild: Expression): Int8QuantizeExpr =
     copy(child = newChild)
 }
+
+/** Nearest-centroid assignment against a whole centroid MATRIX held in the
+ *  expression node — the large-k argmax the IVF family needs
+ *  ([[graft.similarity.Ann.assignCellsScalable]]). Scores one input vector
+ *  against all k centroids in a tight primitive loop and returns the
+ *  0-based index of the best score; `norms` selects the metric:
+ *   - `Some(‖c‖²)`  → score = 2·x·c − ‖c‖²  (argmin L2, the Lloyd metric)
+ *   - `None`        → score = x·c           (argmax dot, the kNN-graph cell rule)
+ *  Bit-identical to the broadcast-join form it replaces (same
+ *  left-to-right double dot accumulation as [[ArrayDot]], same
+ *  `2.0·dot − ‖c‖²` operation order, first maximum ⇒ lowest cell on
+ *  ties = `max_by(score, −cid)`); AssignEquivSpec pins all paths equal.
+ *  Why not k literal expressions: at k ≈ √n (450 at 200k vectors) the
+ *  generated class blows past JVM method limits, and the join form
+ *  pushes a k× row expansion through a corpus-wide hash argmax
+ *  (measured 17 s of ann_knn_graph's 45 s at sf10 — this loop is the
+ *  same flops with zero expansion). The matrix is plan data, not code:
+ *  k never changes the expression tree size. */
+case class NearestCellExpr(child: Expression, cents: Array[Array[Double]],
+    norms: Option[Array[Double]]) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def prettyName: String = "nearest_cell"
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float>/array<double>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val childIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val dim: Int = cents.headOption.map(_.length).getOrElse(0)
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != dim || cents.isEmpty) return null
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      x(i) = if (childIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      i += 1
+    }
+    var best = -1
+    var bestScore = 0.0
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var dot = 0.0
+      i = 0
+      while (i < n) { dot += x(i) * cent(i); i += 1 }
+      val score = norms match {
+        case Some(ns) => 2.0 * dot - ns(c)
+        case None => dot
+      }
+      if (best < 0 || score > bestScore) { best = c; bestScore = score }
+      c += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellExpr =
+    copy(child = newChild)
+}

@@ -154,13 +154,33 @@ object Ann {
       .select(col("vec_id"), col("embedding"), col("cell"))
   }
 
+  /** MATRIX-EXPRESSION nearest-centroid assignment — all k centroids ride
+   *  in one [[graft.functions.NearestCellExpr]] node (plan data, not
+   *  code), so assignment is a pure map-side projection at ANY k: no k×
+   *  row expansion, no corpus-wide hash argmax, no Janino blowup. Same
+   *  scores, same lowest-cell tiebreak as [[assignCellsJoin]]
+   *  (AssignEquivSpec pins the three paths equal); replacing the join
+   *  form cut ann_knn_graph's assignment stage from 17 s to map-side
+   *  noise at sf10. `l2 = false` scores by plain dot (the kNN-graph /
+   *  max-cosine-numerator cell rule) instead of 2·x·c − ‖c‖². */
+  private[graft] def assignCellsMatrix(emb: DataFrame, centroids: Array[Array[Double]],
+      l2: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val norms = if (l2) Some(centroids.map(_.map(v => v * v).sum)) else None
+    val cellCol = ColumnBridge.column(graft.functions.NearestCellExpr(
+      ColumnBridge.expression(col("embedding")), centroids, norms))
+    emb.select(col("vec_id"), col("embedding"), cellCol.as("cell"))
+  }
+
   /** Pick the assignment implementation by centroid count: the fused
-   *  literal expression up to 32 cells, the broadcast join beyond.
-   *  Returns the narrow (vec_id, embedding, cell) shape both provide. */
+   *  literal expression up to 32 cells (validated codegen path, free
+   *  subexpression sharing with other per-row score uses), the matrix
+   *  expression beyond. Returns the narrow (vec_id, embedding, cell)
+   *  shape all paths provide. */
   private[graft] def assignCellsScalable(emb: DataFrame, centroids: Array[Array[Double]]): DataFrame =
     if (centroids.length <= 32)
       assignCells(emb, centroids).select(col("vec_id"), col("embedding"), col("cell"))
-    else assignCellsJoin(emb, centroids)
+    else assignCellsMatrix(emb, centroids)
 
   /** Within-cluster sum of squares for a given centroid set — the k-means
    *  objective (‖x−c‖² = x·x − max score), used by the spec to check the
@@ -959,26 +979,40 @@ object Ann {
   def knnGraph(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val k = math.max(16L, math.ceil(math.sqrt(emb.count().toDouble)).toLong)
-    val centroids = broadcast(
-      emb.filter(col("vec_id") < k)
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb")))
-    val assigned = emb.crossJoin(centroids)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"),
-        dot(col("embedding"), col("c_emb")).as("dot"))
-      .groupBy("vec_id")
-      .agg(
-        first(col("embedding")).as("embedding"),
-        max_by(col("centroid_id"), struct(col("dot"), (-col("centroid_id")).as("nid"))).as("cell"))
+    // seed matrix: k×dim doubles, a driver-side index artifact (the same
+    // collect the Lloyd trainer does); assignment is then one map-side
+    // [[graft.functions.NearestCellExpr]] projection — the join form it
+    // replaces pushed a k× row expansion through a corpus-wide hash
+    // argmax (17 s of the 45 s sf10 total)
+    val seedMatrix: Array[Array[Double]] = emb.filter(col("vec_id") < k).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val assigned = assignCellsMatrix(emb, seedMatrix, l2 = false)
       .persist() // both sides of the in-cell pair join read the assignment
-    val grouped = assigned
-      .join(assigned.select(col("cell"),
-        col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")), "cell")
+    // SALTED in-cell pair join: the seed cells are untrained, so one dense
+    // cell can hold ~14× the mean population (measured 6 373 vs 446 at
+    // sf10) and |hot|² pair generation lands in ONE task — a 13 s
+    // straggler in a stage whose other tasks finish in ~2 s. Query side
+    // gets salt = vec_id mod S, candidate side is replicated S× (about
+    // S·n small rows — pennies), so every cell's pair work splits across
+    // S tasks while producing the IDENTICAL pair set. The classic
+    // skew-salt; deterministic, so the DuckDB twin is unchanged. */
+    val S = 8
+    val salted = assigned.select(col("cell"), pmod(col("vec_id"), lit(S.toLong)).as("salt"),
+      col("vec_id"), col("embedding"))
+    val candidates = assigned.select(col("cell"),
+      explode(array((0 until S).map(s => lit(s.toLong)): _*)).as("salt"),
+      col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+    val grouped = salted
+      .join(candidates, Seq("cell", "salt"))
       .filter(col("vec_id") =!= col("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"),
         cosine(col("embedding"), col("n_emb")).as("cos"))
       .groupBy("vec_id")
       .agg(topK(3)(col("cos"), col("neighbor_id")).as("top"))
-    val knn = explodeRanks(grouped, "vec_id", "neighbor_id")
+    // the O(3n) edge list feeds BOTH sides of the mutual self-join;
+    // without the persist each branch recomputes the full Σ|cell|² pair
+    // stage (measured: 2× the 14 s pair scan at sf10 for a 600k-row frame)
+    val knn = explodeRanks(grouped, "vec_id", "neighbor_id").persist()
     val rev = knn.select(col("neighbor_id").as("vec_id"), col("vec_id").as("neighbor_id"))
       .withColumn("m", lit(1))
     knn.join(rev, Seq("vec_id", "neighbor_id"), "left")

@@ -13,7 +13,7 @@ class AssignEquivSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
-  test("join-based assignment equals the literal-array argmax") {
+  test("join-based and matrix assignments equal the literal-array argmax") {
     val emb = Tables.embeddings(spark, dir)
     for (k <- Seq(8, 23, 40)) {
       val centroids = Ann.kmeansCentroids(emb, k, 2)
@@ -24,7 +24,35 @@ class AssignEquivSpec extends AnyFunSuite {
         .select("vec_id", "cell").collect()
         .map(r => r.getLong(0) -> r.getInt(1)).toMap
       assert(joined == lit, s"assignment mismatch at k=$k")
+      val matrix = Ann.assignCellsMatrix(emb, centroids)
+        .select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(matrix == lit, s"matrix assignment mismatch at k=$k")
     }
+  }
+
+  test("matrix dot-metric assignment equals the join argmax incl. ties") {
+    // duplicate vectors among the seeds force exact score ties: the
+    // matrix expression must keep the LOWEST cell, like max_by(-cid)
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val dup = emb.filter(col("vec_id") < 4)
+      .select((col("vec_id") + lit(500L)).as("vec_id"), col("embedding"))
+    val corpus = emb.unionByName(dup)
+    val seeds = corpus.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val viaJoin = corpus.crossJoin(broadcast(
+        corpus.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))))
+      .select(col("vec_id"),
+        graft.functions.TextFunctions.dot(col("embedding"), col("c_emb")).as("s"), col("cid"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("s"), (-col("cid")).as("n"))).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    val viaMatrix = Ann.assignCellsMatrix(corpus, seeds, l2 = false)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaMatrix == viaJoin)
   }
 
   test("scaled semantic dedup uses every vector and a √n-grade cell count") {
