@@ -758,9 +758,21 @@ object Media {
    *  the 68-probe expansion costs 68 rows/signature but candidate pairs
    *  drop ~30×, and bucket population stays O(corpus/65536) as the
    *  corpus grows — the same population-vs-key-width reasoning as
-   *  [[graft.similarity.Ann.sigBits]]. The decode runs once in the typed
-   *  per-partition stream; the signature table is persisted for both
-   *  join sides. */
+   *  [[graft.similarity.Ann.sigBits]].
+   *
+   *  EXACT-FIRST: identical payloads (and re-encodes that land on the
+   *  same aHash) collapse into one DISTINCT-HASH class before any pair
+   *  work — the probe join, the hamming test and the multiprobe dedup
+   *  all run on distinct hash VALUES (12× fewer rows here, and immune
+   *  to exact-dup pileups: a hash carried by m images would otherwise
+   *  put m² id-pairs through the join and the probe-dedup distinct —
+   *  measured 41 s at sf10, 10× of it class expansion the join never
+   *  needed to see). The id-level pair list is then one class-pair
+   *  expansion (two generators, linear in the OUTPUT), same rows as
+   *  the id-level join emitted. A corpus whose largest exact-dup class
+   *  outgrows pair-list semantics (m² output) needs the cluster
+   *  representation ([[graft.dedup.Dedup]] survivorship), not a faster
+   *  join — the output itself is the bound here. */
   def imageNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sigs = mediaContainers(spark, dir)
@@ -769,27 +781,47 @@ object Media {
         Codec.ahash64(r.media).map { case (h, _) => (r.doc_id, h) }
       })
       .toDF("doc_id", "ahash")
-      .persist()
-    def chunkOf(c: Int): Column =
-      call_function("shiftright", col("ahash"), lit(c * 16)).bitwiseAND(0xFFFFL)
-    // probe side: 4 chunks × (exact + 16 one-bit flips)
+    // one row per DISTINCT hash value, ids carried as a sorted class
+    val classes = sigs.groupBy("ahash")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .persist() // both sides of the hash-pair join + both expansions
+    def chunkOf(h: Column, c: Int): Column =
+      call_function("shiftright", h, lit(c * 16)).bitwiseAND(0xFFFFL)
+    // probe side: 4 chunks × (exact + 16 one-bit flips) over distinct hashes
     val probes = for { c <- 0 until 4; f <- 0 to 16 } yield
       struct(lit(c).as("chunk"),
-        (if (f == 0) chunkOf(c) else chunkOf(c).bitwiseXOR(lit(1L << (f - 1)))).as("ckey"))
-    val probe = sigs.select(col("doc_id").as("id_a"), col("ahash").as("ha"),
-        explode(array(probes: _*)).as("p"))
-      .select(col("id_a"), col("ha"), col("p.chunk").as("chunk"), col("p.ckey").as("ckey"))
-    val exact = sigs.select(col("doc_id").as("id_b"), col("ahash").as("hb"),
-        explode(array((0 until 4).map(c =>
-          struct(lit(c).as("chunk"), chunkOf(c).as("ckey"))): _*)).as("e"))
-      .select(col("id_b"), col("hb"), col("e.chunk").as("chunk"), col("e.ckey").as("ckey"))
-    probe.join(exact, Seq("chunk", "ckey"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+        (if (f == 0) chunkOf(col("ha"), c)
+         else chunkOf(col("ha"), c).bitwiseXOR(lit(1L << (f - 1)))).as("ckey"))
+    val probe = classes.select(col("ahash").as("ha"))
+      .select(col("ha"), explode(array(probes: _*)).as("p"))
+      .select(col("ha"), col("p.chunk").as("chunk"), col("p.ckey").as("ckey"))
+    val exact = classes.select(col("ahash").as("hb"))
+      .select(col("hb"), explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"), chunkOf(col("hb"), c).as("ckey"))): _*)).as("e"))
+      .select(col("hb"), col("e.chunk").as("chunk"), col("e.ckey").as("ckey"))
+    // qualifying DISTINCT-HASH pairs, each counted once (ha < hb removes
+    // both the self-pair and the multiprobe mirror image)
+    val hashPairs = probe.join(exact, Seq("chunk", "ckey"))
+      .filter(col("ha") < col("hb"))
+      .select(col("ha"), col("hb"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
       .filter(col("hamming") <= 7)
-      .distinct() // a pair may match through several (chunk, flip) probes
-      .orderBy("id_a", "id_b")
+      .distinct() // a hash pair may match through several (chunk, flip) probes
+    // cross-class expansion: every id of ha × every id of hb
+    val cross = hashPairs
+      .join(classes.select(col("ahash").as("ha"), col("ids").as("ids_a")), "ha")
+      .join(classes.select(col("ahash").as("hb"), col("ids").as("ids_b")), "hb")
+      .select(explode(col("ids_a")).as("x"), col("ids_b"), col("hamming"))
+      .select(col("x"), explode(col("ids_b")).as("y"), col("hamming"))
+      .select(least(col("x"), col("y")).as("id_a"),
+        greatest(col("x"), col("y")).as("id_b"), col("hamming"))
+    // within-class expansion: hamming 0 pairs inside one exact-dup class
+    val within = classes.filter(size(col("ids")) > 1)
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).cast("int").as("hamming"))
+    cross.unionAll(within).orderBy("id_a", "id_b")
   }
 
   /** EDGE DENSITY per image — the 2-D stencil pass (integer Sobel) that a
