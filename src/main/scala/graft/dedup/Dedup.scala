@@ -139,13 +139,15 @@ object Dedup {
           explode(array_distinct(wordShingleHashes(col("text"), 3))).as("sh"))).df
     })
 
-  /** The PAIR-COUNT INDEX — (id_a, id_b, inter) intersection counts of
-   *  the frequency-capped inverted-index self-join, computed ONCE per
-   *  (application, dir) and snapshotted like [[shingleIndex]]. Three
-   *  consumers read it: Jaccard, directed containment, and (through
-   *  [[ngramJaccard]]) the cluster-label pipeline — the self-join is the
-   *  expensive stage of all three, and a 100 TB run materializes exactly
-   *  this artifact once. */
+  /** The PAIR-COUNT INDEX — (id_a, id_b, inter, n_a, n_b): intersection
+   *  counts of the frequency-capped inverted-index self-join WITH both
+   *  documents' set sizes baked in, computed ONCE per (application, dir)
+   *  and snapshotted like [[shingleIndex]]. Every consumer (Jaccard,
+   *  directed containment, the threshold sweep, and — through
+   *  [[ngramJaccard]] — the cluster-label pipeline) needs exactly
+   *  (inter, |A|, |B|), so the two set-size joins run once at build time
+   *  and each consumer is a pure map-side pass over the artifact — the
+   *  shape a 100 TB run materializes to storage. */
   private val pairCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   private[graft] def shinglePairCounts(spark: SparkSession, dir: String): DataFrame =
@@ -155,10 +157,13 @@ object Dedup {
       // stop-shingle cap: a shingle in >1% of docs can't witness near-dup pairs
       val hot = docShingles.groupBy("sh").count().filter(col("count") > 100).select("sh")
       val cold = docShingles.join(broadcast(hot), Seq("sh"), "left_anti")
+      val counts = docShingleCounts(spark, dir)
       DatasetBridge.snapshot(cold.as("x").join(cold.as("y"), "sh")
         .filter(col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-        .agg(count(lit(1)).as("inter"))).df
+        .agg(count(lit(1)).as("inter"))
+        .join(counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")).df
     })
 
   /** Exact n-gram Jaccard via inverted index: distinct word-3-gram per doc,
@@ -186,6 +191,21 @@ object Dedup {
       DatasetBridge.snapshot(ngramJaccardCompute(spark, dir)).df
     })
 
+  /** PER-DOC SHINGLE COUNTS — |shingles(doc)|, the third shared artifact
+   *  of the shingle family: every Jaccard/containment consumer needs it,
+   *  and deriving it is a full groupBy over the ~50-shingles-per-doc
+   *  index (measured ~10 s per consumer at sf10 for an O(docs)-row
+   *  result). Snapshotted once per (application, dir) alongside
+   *  [[shingleIndex]] and [[shinglePairCounts]]. */
+  private val shingleCountCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private[graft] def docShingleCounts(spark: SparkSession, dir: String): DataFrame =
+    shingleCountCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      import org.apache.spark.sql.graft.DatasetBridge
+      DatasetBridge.snapshot(shingleIndex(spark, dir).select("doc_id", "sh")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))).df
+    })
+
   /** THRESHOLD SWEEP — how many candidate pairs fall in each Jaccard
    *  band (≥0.9, ≥0.8, ≥0.7, ≥0.5, below): the calibration table behind
    *  "where do we set the near-dup cutoff" — run BEFORE committing a
@@ -195,11 +215,7 @@ object Dedup {
    *  cross-multiplied integer (`inter·10⁴ ≥ band·union`), so bucket
    *  membership can't float-flip at a boundary. Output: 5 rows. */
   def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
-    val counts = shingleIndex(spark, dir).select("doc_id", "sh")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     shinglePairCounts(spark, dir)
-      .join(counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
       .select(expr("""CASE WHEN inter * 10000 >= 9000 * (n_a + n_b - inter) THEN 9000
                            WHEN inter * 10000 >= 8000 * (n_a + n_b - inter) THEN 8000
                            WHEN inter * 10000 >= 7000 * (n_a + n_b - inter) THEN 7000
@@ -209,18 +225,12 @@ object Dedup {
       .orderBy(col("band_bp").desc)
   }
 
-  private def ngramJaccardCompute(spark: SparkSession, dir: String): DataFrame = {
-    val docShingles = shingleIndex(spark, dir).select("doc_id", "sh")
-    val counts = docShingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = shinglePairCounts(spark, dir)
-    pairs
-      .join(counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+  private def ngramJaccardCompute(spark: SparkSession, dir: String): DataFrame =
+    shinglePairCounts(spark, dir)
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy("id_a", "id_b")
-  }
 
   /** Asymmetric shingle CONTAINMENT — the overlap measure Jaccard misses:
    *  a short document quoted wholesale inside a much longer one has
@@ -237,14 +247,11 @@ object Dedup {
    *  `(2·inter·10⁴ + n_sub) div (2·n_sub)` — so the DuckDB twin matches
    *  bit-for-bit with no float comparison at the threshold. */
   def containment(spark: SparkSession, dir: String): DataFrame = {
-    val docShingles = shingleIndex(spark, dir).select("doc_id", "sh")
-    val counts = docShingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = shinglePairCounts(spark, dir)
     val directed = pairs
-      .select(col("id_a").as("id_sub"), col("id_b").as("id_super"), col("inter"))
-      .unionByName(pairs.select(col("id_b").as("id_sub"), col("id_a").as("id_super"), col("inter")))
+      .select(col("id_a").as("id_sub"), col("id_b").as("id_super"), col("inter"), col("n_a").as("n_sub"))
+      .unionByName(pairs.select(col("id_b").as("id_sub"), col("id_a").as("id_super"), col("inter"), col("n_b").as("n_sub")))
     directed
-      .join(counts.withColumnRenamed("doc_id", "id_sub").withColumnRenamed("n_sh", "n_sub"), "id_sub")
       .filter(col("n_sub") >= 5) // tiny shingle sets contain trivially
       .select(col("id_sub"), col("id_super"),
         expr("(2 * inter * 10000 + n_sub) div (2 * n_sub)").as("containment_bp"))
