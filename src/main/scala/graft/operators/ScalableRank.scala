@@ -59,6 +59,80 @@ object ScalableRank {
    *  Returns (hit rows + `outCol` = global rank, total). */
   def rowsAtGlobalRanks(df: DataFrame, sortCols: Seq[Column],
                         ranksOf: Long => Seq[Long], outCol: String): (DataFrame, Long) = {
+    // HISTOGRAM fast path when the LEADING sort key is numeric (every
+    // percentile caller leads with an exact cents/price column): instead
+    // of range-shuffling the whole table (a full exchange — 7.6 s of
+    // q87_tukey's cold cost at sf10), bucket the leading key through a
+    // MONOTONE double cast into 2¹⁶ equal-width bins, count bins with one
+    // map-side-combined aggregate (a 65k-row shuffle), locate each target
+    // rank's bin on the driver, and sort only the hit bins (~n/65536 rows
+    // each). Three narrow scans and no wide shuffle — on a cluster a scan
+    // is strictly cheaper than a full exchange (no write amplification).
+    // Monotonicity is all the map needs (equal doubles may merge adjacent
+    // values into one bin — still exact, ranks inside a bin come from the
+    // true sort). Falls back to the range-exchange path when the leading
+    // key is non-numeric, null-bearing, degenerate (one value), or a hit
+    // bin is pathologically populated (> 4M rows of one value — the
+    // single-task sort bound).
+    val spark = df.sparkSession
+    val lead = sortCols.head
+    // the ORIGINAL type must be numeric — a string column would survive a
+    // double cast but order differently ("10" < "9" lexically) — and the
+    // bin map assumes ASCENDING order on every sort column
+    val anyDesc = sortCols.exists(c =>
+      org.apache.spark.sql.graft.ColumnBridge.expression(c) match {
+        case so: org.apache.spark.sql.catalyst.expressions.SortOrder =>
+          so.direction != org.apache.spark.sql.catalyst.expressions.Ascending
+        case _ => false
+      })
+    val leadIsNumeric = try {
+      df.select(lead.as("__k")).schema.head.dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    } catch { case _: Exception => false }
+    if (!leadIsNumeric || anyDesc) return rowsAtGlobalRanksRange(df, sortCols, ranksOf, outCol)
+    val stats = df.agg(count(lit(1)).as("n"), count(when(lead.isNull, 1)).as("nulls"),
+      min(lead.cast("double")).as("mn"), max(lead.cast("double")).as("mx")).head()
+    val total = stats.getLong(0)
+    if (total == 0L) return rowsAtGlobalRanksRange(df, sortCols, ranksOf, outCol)
+    val nulls = stats.getLong(1)
+    val mn = stats.getDouble(2); val mx = stats.getDouble(3)
+    if (nulls > 0L || !(mx > mn) || mn.isInfinite || mx.isInfinite)
+      return rowsAtGlobalRanksRange(df, sortCols, ranksOf, outCol)
+    val nb = 65536
+    val w = (mx - mn) / nb
+    val bucketCol = least(lit(nb - 1), greatest(lit(0),
+      floor((lead.cast("double") - lit(mn)) / lit(w)).cast("int")))
+    val counts = df.groupBy(bucketCol.as("__b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // (bucket, rows-before-bucket) — O(bins), driver-side bookkeeping
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (b, c)) => (b, acc + c) }
+    val before = counts.map(_._1).zip(offsets.init.map(_._2)).toMap
+    val hits = ranksOf(total).distinct.collect {
+      case r if r >= 1 && r <= total =>
+        val b = counts.find { case (p, c) => r > before(p) && r <= before(p) + c }.get._1
+        (b, r - before(b), r)
+    }
+    val countOf = counts.toMap
+    if (hits.exists { case (b, _, _) => countOf(b) > 4000000L })
+      return rowsAtGlobalRanksRange(df, sortCols, ranksOf, outCol)
+    import spark.implicits._
+    val hitDf = broadcast(hits.toDF("__b", "__lrn", outCol))
+    val local = Window.partitionBy("__b").orderBy(sortCols: _*)
+    val out = df.withColumn("__b", bucketCol)
+      .filter(col("__b").isin(hits.map(_._1).distinct: _*))
+      .withColumn("__lrn", row_number().over(local).cast("bigint"))
+      .join(hitDf, Seq("__b", "__lrn"))
+      .drop("__b", "__lrn")
+    (out, total)
+  }
+
+  /** The range-exchange form of [[rowsAtGlobalRanks]] — the fallback when
+   *  the leading sort key can't drive the histogram (non-numeric, nulls,
+   *  single-valued, or a hit bin too hot to single-task-sort): range-
+   *  partition by the full sort key, count per slice, sort only the hit
+   *  slices. Correct for ANY total order; costs one full exchange. */
+  private def rowsAtGlobalRanksRange(df: DataFrame, sortCols: Seq[Column],
+                        ranksOf: Long => Seq[Long], outCol: String): (DataFrame, Long) = {
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val ranged = df.repartitionByRange(parts, sortCols: _*)

@@ -97,6 +97,32 @@ class ScalableRankSpec extends AnyFunSuite {
     assert(joined.filter(col("rn") =!= col("rn2")).count() == 0)
   }
 
+  test("rowsAtGlobalRanks: heavy ties, constant key (fallback), string key (fallback)") {
+    // heavy ties: few distinct leading values → most ranks resolved by the
+    // tiebreak INSIDE one histogram bin
+    val rnd = new scala.util.Random(7)
+    val ties = (1 to 2000).map(i => (i.toLong, (rnd.nextInt(5) * 100).toLong))
+      .toDF("id", "v").repartition(7)
+    val (h1, t1) = ScalableRank.rowsAtGlobalRanks(
+      ties, Seq(col("v"), col("id")), n => Seq(1L, n / 3, n / 2, n), "rn")
+    val w1 = ties.withColumn("rn2",
+      row_number().over(Window.orderBy(col("v"), col("id"))).cast("bigint"))
+      .filter(col("rn2").isin(1L, 2000L / 3, 1000L, 2000L))
+    assert(h1.join(w1, Seq("id", "v")).filter(col("rn") =!= col("rn2")).count() == 0)
+    assert(h1.count() == 4 && t1 == 2000L)
+    // constant leading key: degenerate histogram → range fallback
+    val const = (1 to 500).map(i => (i.toLong, 42L)).toDF("id", "v")
+    val (h2, t2) = ScalableRank.rowsAtGlobalRanks(
+      const, Seq(col("v"), col("id")), n => Seq(n / 2), "rn")
+    assert(t2 == 500L && h2.select("id").head().getLong(0) == 250L)
+    // string leading key: lexical order must survive (fallback path)
+    val strs = Seq("9", "10", "85", "7", "100").zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "v")
+    val (h3, _) = ScalableRank.rowsAtGlobalRanks(
+      strs, Seq(col("v"), col("id")), _ => Seq(1L), "rn")
+    assert(h3.select("v").head().getString(0) == "10") // lexically first
+  }
+
   test("fuzz: grouped prefix sum/max equal the window forms on random shapes") {
     // randomized group counts / sizes / signed values with fixed seeds —
     // the deterministic-seed ScalaCheck discipline of LatticeLawsSpec,
