@@ -92,16 +92,58 @@ object AsofAndSketch {
     graft.streaming.EventStreams.streamDedup(spark, dir)
 
   /** Sketch aggregates: HyperLogLog distinct and approximate quantiles —
-   *  the constant-memory forms a 100 TB profile pass uses. Sketch outputs
-   *  are engine-specific → rows-only check; the exact twins they
-   *  approximate are oracled elsewhere (q9, q21). */
-  def sketchStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median_price"),
-        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("approx_p99_price"))
+   *  the constant-memory forms a 100 TB profile pass uses. Raw sketch
+   *  outputs are engine-specific, so the entry emits the EXACT figures
+   *  plus WITHIN-BOUND verdicts on the sketches instead: HLL counts must
+   *  land within 3σ of the exact distinct counts (rsd 5% → 15%), the
+   *  approximate quantiles must land inside the exact P49–P51 / P98.9–
+   *  P99.1 rank windows (accuracy 10 000 → rank error ≤ 0.01%, two
+   *  orders of magnitude inside the window). The DuckDB twin recomputes
+   *  every exact figure and asserts the verdicts as literal 1s — a
+   *  sketch that ever breaks its bound flips a flag and fails the hash
+   *  compare. Rank rows come from the [[ScalableRank.rowsAtGlobalRanks]]
+   *  histogram locator (integer rank arithmetic ⌈q·n⌉ = (q·n+99) div 100
+   *  on both engines); only exact values and verdicts cross the compare
+   *  boundary, so the output is stable under any partitioning. */
+  def sketchStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val base = li.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_orderkey")).as("exact_orders"),
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      approx_count_distinct(col("l_orderkey")).as("ao"),
+      approx_count_distinct(col("l_partkey")).as("ap"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+        .cast("decimal(12,2)").as("am"),
+      percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000))
+        .cast("decimal(12,2)").as("a99"))
+    val cents = li.select(
+      expr("cast(cast(l_extendedprice as decimal(12,2)) * 100 as decimal(38,0))")
+        .cast("long").as("cents"),
+      col("l_orderkey"), col("l_linenumber"))
+    val (hit, n) = ScalableRank.rowsAtGlobalRanks(
+      cents, Seq(col("cents"), col("l_orderkey"), col("l_linenumber")),
+      t => Seq((49L * t + 99) / 100, (51L * t + 99) / 100,
+               (989L * t + 999) / 1000, (991L * t + 999) / 1000), "rk")
+    val r49 = (49L * n + 99) / 100; val r51 = (51L * n + 99) / 100
+    val r989 = (989L * n + 999) / 1000; val r991 = (991L * n + 999) / 1000
+    val bounds = broadcast(hit.agg(
+      min(when(col("rk") === r49, col("cents"))).as("p49_cents"),
+      min(when(col("rk") === r51, col("cents"))).as("p51_cents"),
+      min(when(col("rk") === r989, col("cents"))).as("p989_cents"),
+      min(when(col("rk") === r991, col("cents"))).as("p991_cents")))
+    base.crossJoin(bounds) // 1-row × 1-row
+      .select(col("n_rows"), col("exact_orders"), col("exact_parts"),
+        (abs(col("ao") - col("exact_orders")) * 100 <= col("exact_orders") * 15)
+          .cast("bigint").as("orders_in_bound"),
+        (abs(col("ap") - col("exact_parts")) * 100 <= col("exact_parts") * 15)
+          .cast("bigint").as("parts_in_bound"),
+        col("p49_cents"), col("p51_cents"), col("p989_cents"), col("p991_cents"),
+        ((col("am") * 100).cast("long").between(col("p49_cents"), col("p51_cents")))
+          .cast("bigint").as("median_in_bound"),
+        ((col("a99") * 100).cast("long").between(col("p989_cents"), col("p991_cents")))
+          .cast("bigint").as("p99_in_bound"))
+  }
 
   /** Heavy hitters via the classic TWO-PASS bounded-state pattern:
    *  pass 1 runs a Misra–Gries summary (k=50 counters) inside each
@@ -218,6 +260,35 @@ object AsofAndSketch {
     QueryDef("stream_dedup", streamDedup, Some("""
       SELECT DISTINCT user_id, event_type FROM events
       ORDER BY user_id, event_type""")),
-    QueryDef("sketch_stats", sketchStats, None)
+    // exact twin: identical ⌈q·n⌉ integer rank arithmetic under the same
+    // (cents, orderkey, linenumber) total order; the sketch verdicts are
+    // asserted as literal 1s — DuckDB states the CLAIM, Spark must meet it
+    QueryDef("sketch_stats", sketchStats, Some("""
+      WITH b AS (
+        SELECT count(*) AS n_rows,
+               count(DISTINCT l_orderkey) AS exact_orders,
+               count(DISTINCT l_partkey) AS exact_parts
+        FROM lineitem),
+      r AS (
+        SELECT cast(cast(l_extendedprice as decimal(12,2)) * 100 as bigint) AS cents,
+               row_number() OVER (
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rk
+        FROM lineitem),
+      q AS (
+        SELECT
+          min(CASE WHEN rk = (49 * (SELECT n_rows FROM b) + 99) // 100 THEN cents END) AS p49_cents,
+          min(CASE WHEN rk = (51 * (SELECT n_rows FROM b) + 99) // 100 THEN cents END) AS p51_cents,
+          min(CASE WHEN rk = (989 * (SELECT n_rows FROM b) + 999) // 1000 THEN cents END) AS p989_cents,
+          min(CASE WHEN rk = (991 * (SELECT n_rows FROM b) + 999) // 1000 THEN cents END) AS p991_cents
+        FROM r)
+      SELECT cast(n_rows as bigint) AS n_rows,
+             cast(exact_orders as bigint) AS exact_orders,
+             cast(exact_parts as bigint) AS exact_parts,
+             cast(1 as bigint) AS orders_in_bound,
+             cast(1 as bigint) AS parts_in_bound,
+             p49_cents, p51_cents, p989_cents, p991_cents,
+             cast(1 as bigint) AS median_in_bound,
+             cast(1 as bigint) AS p99_in_bound
+      FROM b, q"""))
   )
 }
