@@ -153,18 +153,26 @@ object Dedup {
   private[graft] def shinglePairCounts(spark: SparkSession, dir: String): DataFrame =
     pairCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       import org.apache.spark.sql.graft.DatasetBridge
-      val docShingles = shingleIndex(spark, dir).select("doc_id", "sh")
-      // stop-shingle cap: a shingle in >1% of docs can't witness near-dup pairs
-      val hot = docShingles.groupBy("sh").count().filter(col("count") > 100).select("sh")
-      val cold = docShingles.join(broadcast(hot), Seq("sh"), "left_anti")
-      val counts = docShingleCounts(spark, dir)
-      DatasetBridge.snapshot(cold.as("x").join(cold.as("y"), "sh")
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-        .agg(count(lit(1)).as("inter"))
-        .join(counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")).df
+      DatasetBridge.snapshot(shinglePairCountsOn(
+        shingleIndex(spark, dir).select("doc_id", "sh"),
+        docShingleCounts(spark, dir))).df
     })
+
+  /** The pair-count pipeline over an arbitrary (doc_id, sh) shingle table
+   *  — the seam DedupQualitySpec drives with an ADVERSARIAL corpus (one
+   *  viral shingle in 20% of docs) to pin that the stop-shingle cap keeps
+   *  candidate volume bounded without costing recall on true pairs. */
+  private[graft] def shinglePairCountsOn(docShingles: DataFrame, counts: DataFrame): DataFrame = {
+    // stop-shingle cap: a shingle in >1% of docs can't witness near-dup pairs
+    val hot = docShingles.groupBy("sh").count().filter(col("count") > 100).select("sh")
+    val cold = docShingles.join(broadcast(hot), Seq("sh"), "left_anti")
+    cold.as("x").join(cold.as("y"), "sh")
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+  }
 
   /** Exact n-gram Jaccard via inverted index: distinct word-3-gram per doc,
    *  self-join on shingle (frequency-capped), intersection counts per pair,

@@ -169,4 +169,38 @@ class DedupQualitySpec extends AnyFunSuite {
       assert(r.getBoolean(2) == (r.getDouble(3) >= 0.9))
     }
   }
+
+  test("adversarial viral shingle: candidate volume bounded, true-pair recall intact") {
+    // 5000 docs, 20 disjoint shingles each; a VIRAL shingle rides in 20%
+    // of them (1000 docs — without the >100-doc stop-shingle cap it alone
+    // would witness 1000*999/2 ~ 500k candidate pairs). Ten planted true
+    // near-dup pairs share 19 of 20 shingles through NON-viral hashes.
+    import spark.implicits._
+    val nDocs = 5000
+    val base = (0 until nDocs).flatMap { d =>
+      val own = (0 until 20).map(k => (d.toLong, (1000000L + d * 100L + k)))
+      val viral = if (d % 5 == 0) Seq((d.toLong, 7777L)) else Seq.empty
+      own ++ viral
+    }
+    // planted pairs: doc 2i+1 copies doc 2i's first 19 shingles (i < 10),
+    // using ODD ids so the copies never also carry the viral shingle
+    val planted = (0 until 10).flatMap { i =>
+      val src = 2 * i; val dst = (10000 + 2 * i + 1).toLong
+      (0 until 19).map(k => (dst, 1000000L + src * 100L + k)) :+ (dst, 999L + dst)
+    }
+    val shingles = (base ++ planted).toDF("doc_id", "sh").repartition(13)
+    val counts = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = Dedup.shinglePairCountsOn(shingles, counts)
+      .select("id_a", "id_b", "inter", "n_a", "n_b").collect()
+    // bounded: ONLY the ten planted pairs survive as candidates — the
+    // viral shingle is capped out, disjoint docs share nothing
+    assert(pairs.length == 10, s"candidate volume ${pairs.length}, want 10")
+    val got = pairs.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    (0 until 10).foreach { i =>
+      val key = (2L * i, (10000 + 2 * i + 1).toLong)
+      assert(got.get(key).contains(19L), s"planted pair $key missing or wrong inter")
+    }
+    // and every pair carries the exact set sizes for downstream scoring
+    pairs.foreach { r => assert(r.getLong(3) >= 19L && r.getLong(4) >= 19L) }
+  }
 }
