@@ -396,6 +396,9 @@ object TextQueries {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), tokenCount(col("text")).cast("long").as("ntok"),
         qualityBp(col("text")).as("qbp"))
+      .persist() // BOTH rank passes read the scored frame: without the
+                 // barrier each pass re-runs the tokenize+quality
+                 // expressions over the full corpus (the minhash lesson)
     val (ra, n) = ScalableRank.withGlobalRowNumber(
       d, Seq(col("ntok"), col("doc_id")), "ra")
     val rb = ScalableRank.withGlobalRowNumber(

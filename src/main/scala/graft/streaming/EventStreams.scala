@@ -167,7 +167,7 @@ object EventStreams {
     p
   }
 
-  private def eventsStream(spark: SparkSession, dir: String, glob: String = "events.parquet",
+  private[streaming] def eventsStream(spark: SparkSession, dir: String, glob: String = "events.parquet",
                            filesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file stream source wants a directory; glob-filter to the table.
