@@ -271,6 +271,17 @@ object EventStreams {
       // production stream sizes this to its cluster instead
       val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // RocksDB state stores: an AvailableNow replay processes the whole
+      // history in ONE micro-batch (watermarks only advance between
+      // batches), so the stream-stream join states briefly hold BOTH full
+      // filtered streams — at sf10 that is GBs of state, and the default
+      // heap-backed store OOMed a 16g driver. RocksDB keeps state
+      // off-heap/on-disk with identical semantics — also simply the
+      // production default for big stateful streams.
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = spark.conf.getOption(providerKey)
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
         val (sessDir, sentinelUs) = sessionSourceDir(spark, dir)
         import spark.implicits._
@@ -556,7 +567,13 @@ object EventStreams {
             .select(unix_micros(col("window.start")).as("hour_start_us"),
               col("n_events"), col("cents"))
             .orderBy("hour_start_us"))
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        prevProvider match {
+          case Some(p) => spark.conf.set(providerKey, p)
+          case None => spark.conf.unset(providerKey)
+        }
+      }
     })
 
   /** Streaming hourly counts replayed over the parquet — same result as the
