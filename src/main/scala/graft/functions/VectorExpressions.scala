@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, StructField, StructType}
 
 /**
  * Native codegen'd vector math over `array<float>` / `array<double>`
@@ -395,5 +395,74 @@ case class NearestCellExpr(child: Expression, cents: Array[Array[Double]],
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCellExpr =
+    copy(child = newChild)
+}
+
+/** Max-COSINE centroid assignment against a whole centroid matrix, returning
+ *  BOTH the winning 0-based index and its cosine in one struct — the
+ *  radius-search index build ([[graft.similarity.Ann.rangeSearchIvf]]) needs
+ *  the score (per-cell angular radius = min member cosine), which
+ *  [[NearestCellExpr]] discards. One primitive loop per row replaces the
+ *  16-wide array of [[ArrayDot]] columns the previous plan built — and
+ *  rebuilt 3× after projection collapse inlined the array into each of its
+ *  consumers (cell id, position, score), ~75 s of ann_range_ivf's sf10 cost.
+ *  Bit-identical math to the column form: left-to-right double dot, score =
+ *  dot / √(Σx²·‖c‖²) (Σx² over int8-scale integral doubles is exact and
+ *  equals the snapshot's long n2), first strict maximum ⇒ lowest cell on
+ *  ties (= `array_position(cs, array_max(cs))` on a NaN-free array).
+ *  `centN2` carries ‖c‖² precomputed; rows with Σx² = 0 are filtered before
+ *  this expression runs (zero vectors never pass the dot > 0 membership
+ *  gate), so the divisor is never zero. */
+case class NearestCellCosExpr(child: Expression, cents: Array[Array[Double]],
+    centN2: Array[Double]) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def prettyName: String = "nearest_cell_cos"
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("ccos", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float>/array<double>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val childIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val dim: Int = cents.headOption.map(_.length).getOrElse(0)
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != dim || cents.isEmpty) return null
+    val x = new Array[Double](n)
+    var xn2 = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val e = if (childIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      x(i) = e
+      xn2 += e * e
+      i += 1
+    }
+    var best = -1
+    var bestScore = 0.0
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var dot = 0.0
+      i = 0
+      while (i < n) { dot += x(i) * cent(i); i += 1 }
+      val score = dot / math.sqrt(xn2 * centN2(c))
+      if (best < 0 || score > bestScore) { best = c; bestScore = score }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(best, bestScore)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellCosExpr =
     copy(child = newChild)
 }

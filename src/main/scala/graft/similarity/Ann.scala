@@ -357,16 +357,23 @@ object Ann {
     val centRows: Array[(Int, Seq[Double], Double)] = nz.filter(col("vec_id") < 16)
       .select(col("vec_id"), col("qd"), col("n2")).orderBy("vec_id").collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1), r.getLong(2).toDouble))
-    val ccosArr = array(centRows.map { case (_, cqd, cn2) =>
-      dot(col("qd"), typedLit(cqd)) / sqrt(col("n2").cast("double") * lit(cn2))
-    }: _*)
+    // one fused matrix loop per row (struct of winning index + its cosine);
+    // the 16-wide array-of-ArrayDot column this replaces was rebuilt 3× by
+    // projection collapse (cell, position, score) — 75 s of the sf10 cost
+    val cosAssign = {
+      import org.apache.spark.sql.graft.ColumnBridge
+      ColumnBridge.column(graft.functions.NearestCellCosExpr(
+        ColumnBridge.expression(col("qd")),
+        centRows.map(_._2.toArray), centRows.map(_._3)))
+    }
     val cellIds = typedLit(centRows.map(_._1).toSeq)
     val assigned = nz
-      .select(col("vec_id"), col("qd"), col("n2"), ccosArr.as("cs"))
+      .select(col("vec_id"), col("qd"), col("n2"), cosAssign.as("z"))
       .select(col("vec_id"), col("qd"), col("n2"),
-        // first array maximum ⇒ lowest seed id on ties (seeds are sorted)
-        element_at(cellIds, array_position(col("cs"), array_max(col("cs"))).cast("int")).as("cell"),
-        array_max(col("cs")).as("ccos"))
+        // 0-based loop index → seed vec_id (seeds are sorted, so first
+        // strict maximum in the loop ⇒ lowest seed id on ties, as before)
+        element_at(cellIds, (col("z.cell") + lit(1)).cast("int")).as("cell"),
+        col("z.ccos").as("ccos"))
     val cents = broadcast(nz.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("qd").as("cqd"), col("n2").as("cn2")))
     val cellStats = assigned.groupBy("cell").agg(min("ccos").as("m"))
