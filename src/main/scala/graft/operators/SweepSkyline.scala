@@ -53,8 +53,15 @@ object SweepSkyline {
         sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("user_id", "sess_id")
       .agg(min("ts_us").as("s_us"), max("ts_us").as("e_us"))
-    val bounds = sess.select(col("s_us").as("us"), lit(1).as("delta"), col("user_id"))
-      .unionAll(sess.select(col("e_us").as("us"), lit(-1).as("delta"), col("user_id")))
+      // the 20M-row sessionization window must run ONCE: downstream the
+      // range partitioner's sample job plus the repartition each replay
+      // their input, and a two-branch union would double every replay
+      .persist()
+    val bounds = sess
+      .select(explode(array(
+        struct(col("s_us").as("us"), lit(1).as("delta"), col("user_id")),
+        struct(col("e_us").as("us"), lit(-1).as("delta"), col("user_id")))).as("b"))
+      .select(col("b.us").as("us"), col("b.delta").as("delta"), col("b.user_id").as("user_id"))
       .withColumn("g", lit(1)) // one sweep line; range partitioning is by time
     ScalableRank
       .withGroupedPrefixSum(bounds, Seq("g"), Seq("us", "delta", "user_id"), "delta", "prev")
@@ -200,6 +207,9 @@ object SweepSkyline {
       .agg(expr("cast(sum(cast(cast(l_extendedprice as decimal(12,2)) * 100 as decimal(38,0))) as long)").as("r"))
       .withColumn("nr", -col("r"))
       .withColumn("g", lit(1))
+      // three replays downstream (total, the range sampler, the
+      // repartition) — persist the 2M-row aggregate, not the 60M scan
+      .persist()
     val total = broadcast(rev.agg(sum("r").as("t")))
     ScalableRank
       .withGroupedPrefixSum(rev, Seq("g"), Seq("nr", "l_partkey"), "r", "prev")
@@ -463,6 +473,9 @@ object SweepSkyline {
           .cast("long").as("cents"),
         col("o_orderkey"))
       .withColumn("one", lit(1L))
+      // three replays downstream (totals, the range sampler, the
+      // repartition) — persist the joined frame once
+      .persist()
     val totals = df.groupBy("n_name").agg(count(lit(1)).as("cnt"))
     ScalableRank
       .withGroupedPrefixSum(df, Seq("n_name"), Seq("cents", "o_orderkey"), "one", "prev")
