@@ -90,8 +90,13 @@ class PlanSpec extends AnyFunSuite {
     for (q <- Seq("q80_mad", "q86_bowley", "q87_tukey", "q88_winsorized",
                   "q89_grouped_median", "q81_rfm", "q72_decile_mobility")) {
       val p = plan(q)
-      assert(p.toLowerCase.contains("rangepartitioning"),
-        s"$q must range-partition by its sort key")
+      // two sanctioned distributed shapes: the range-partition + per-slice
+      // window path, or the histogram fast path (hash-partition by the
+      // integer value bucket __b, window per bucket) — both split the sort
+      // across tasks; what's banned is the partition-less global window
+      assert(p.toLowerCase.contains("rangepartitioning") ||
+        p.toLowerCase.contains("hashpartitioning(__b"),
+        s"$q must range-partition or histogram-bucket its rank pass")
       assert(globalWindow.findFirstIn(p).isEmpty,
         s"$q has a no-partition (single-task) window")
     }
@@ -286,10 +291,12 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(windows.nonEmpty, "the local rank should still be windowed")
     windows.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.references.toSeq.map(_.name))
       assert(w.partitionSpec.nonEmpty &&
-        w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).exists(_.startsWith("__pid")),
-        "the rank window must partition by the range-slice id — a global " +
-          "window would single-task-sort the table")
+        keys.exists(k => k.startsWith("__pid") || k.startsWith("__b")),
+        s"the rank window must partition by the range-slice id or the " +
+          s"histogram bucket (got $keys) — a global window would " +
+          "single-task-sort the table")
     }
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), "the 3-row target-rank join must broadcast")

@@ -21,14 +21,23 @@ class SketchSpec extends AnyFunSuite {
       expr("percentile(l_extendedprice, 0.5)").as("median"),
       expr("percentile(l_extendedprice, 0.99)").as("p99")).head()
     val sketch = AsofAndSketch.sketchStats(spark, dir).head()
-
-    // approx_count_distinct default rsd = 5%; allow 3x slack for small n
-    assert(math.abs(sketch.getLong(0) - exact.getLong(0)).toDouble / exact.getLong(0) <= 0.15)
-    assert(math.abs(sketch.getLong(1) - exact.getLong(1)).toDouble / exact.getLong(1) <= 0.15)
-    // percentile_approx at accuracy 10000: rank error <= n/10000 -> value
-    // within a 1% relative band on this distribution
-    assert(math.abs(sketch.getDouble(2) - exact.getDouble(2)) / exact.getDouble(2) <= 0.01)
-    assert(math.abs(sketch.getDouble(3) - exact.getDouble(3)) / exact.getDouble(3) <= 0.01)
+    // schema: n_rows, exact_orders, exact_parts, orders_in_bound,
+    //         parts_in_bound, p49/p51/p989/p991_cents, median_in_bound,
+    //         p99_in_bound — the exact figures must equal ground truth and
+    //         every sketch verdict must report in-bound
+    assert(sketch.getLong(1) == exact.getLong(0), "exact_orders mismatch")
+    assert(sketch.getLong(2) == exact.getLong(1), "exact_parts mismatch")
+    assert(sketch.getLong(3) == 1L, "HLL order cardinality out of bound")
+    assert(sketch.getLong(4) == 1L, "HLL part cardinality out of bound")
+    assert(sketch.getLong(9) == 1L, "approx median outside the p49..p51 band")
+    assert(sketch.getLong(10) == 1L, "approx p99 outside the p98.9..p99.1 band")
+    // the rank bands themselves must bracket the exact quantiles (cents)
+    val medCents = math.round(exact.getDouble(2) * 100)
+    val p99Cents = math.round(exact.getDouble(3) * 100)
+    assert(sketch.getLong(5) <= medCents && medCents <= sketch.getLong(6),
+      "exact median outside the reported p49..p51 band")
+    assert(sketch.getLong(7) <= p99Cents && p99Cents <= sketch.getLong(8),
+      "exact p99 outside the reported p98.9..p99.1 band")
   }
 
   test("heavy hitters EQUAL the exact >n/k set — the sketch only prunes, never decides") {
