@@ -19,9 +19,8 @@ object Scratch {
       val t0 = System.nanoTime(); val r = f
       println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    t("q64 rep1")(graft.SparkEntry.queries("q64_assoc_rules")(spark, sfDir).count())
-    spark.catalog.clearCache()
-    t("q64 rep2")(graft.SparkEntry.queries("q64_assoc_rules")(spark, sfDir).count())
+    // time any query list passed as args, e.g. `runMain ... Scratch q64_assoc_rules`
+    for (q <- args) t(q)(graft.SparkEntry.queries(q)(spark, sfDir).count())
     spark.stop()
   }
 }
