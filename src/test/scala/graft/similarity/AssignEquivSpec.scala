@@ -55,6 +55,45 @@ class AssignEquivSpec extends AnyFunSuite {
     assert(viaMatrix == viaJoin)
   }
 
+  test("the fused matrix-cosine radius assignment equals the column form incl. ties") {
+    // seeds 12..15 are exact copies of seeds 0..3, so EVERY vector has a
+    // bit-exact cosine tie between two distinct centroids — the fused
+    // NearestCellCosExpr must resolve it like array_position(cs,
+    // array_max(cs)): first maximum ⇒ lowest seed id. Both cell AND the
+    // winning cosine are compared for exact double equality.
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val corpus = emb.filter(col("vec_id") < 12 || col("vec_id") >= 16)
+      .unionByName(emb.filter(col("vec_id") < 4)
+        .select((col("vec_id") + lit(12L)).as("vec_id"), col("embedding")))
+    val quant = Ann.rangeQuantPlan(corpus)
+    val got = Ann.rangeIvfIndexQuant(quant).assigned
+      .select("vec_id", "cell", "ccos").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    val nz = quant.filter(col("n2") > 0)
+    val centRows = nz.filter(col("vec_id") < 16)
+      .select("vec_id", "qd", "n2").orderBy("vec_id").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1), r.getLong(2).toDouble))
+    val ccosArr = array(centRows.map { case (_, cqd, cn2) =>
+      TextFunctions.dot(col("qd"), typedLit(cqd)) /
+        sqrt(col("n2").cast("double") * lit(cn2))
+    }: _*)
+    val cellIds = typedLit(centRows.map(_._1).toSeq)
+    val ref = nz
+      .select(col("vec_id"), ccosArr.as("cs"))
+      .select(col("vec_id"),
+        element_at(cellIds,
+          array_position(col("cs"), array_max(col("cs"))).cast("int")).as("cell"),
+        array_max(col("cs")).as("ccos"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(got == ref)
+    // premise check: the tie actually exists and resolved to the LOW id
+    assert(got.values.exists(_._1 < 4), "no vector landed in a duplicated seed cell")
+    assert(!got.values.exists(v => v._1 >= 12 && v._1 < 16),
+      "a tie resolved to the HIGH duplicate seed — first-max/lowest-id broken")
+  }
+
   test("scaled semantic dedup uses every vector and a √n-grade cell count") {
     // sf0.001 has 500 vectors -> k = 23; the spec just pins the k rule and
     // that the entry still returns near-dup rows after the scaling change
