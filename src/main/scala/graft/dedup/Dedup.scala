@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.Tuning
 import graft.Tables
 import graft.Tables.QueryDef
 import graft.functions.TextFunctions._
@@ -69,10 +70,10 @@ object Dedup {
     val hashed = Tables.documents(spark, dir)
       .filter(size(tokens(col("text"))) >= 3)
       .select(col("doc_id"), wordShingleHashes(col("text"), 3).as("hs"))
-      .persist() // barrier: hash each shingle string ONCE, not once per seed
+      .persist(Tuning.persistLevel) // barrier: hash each shingle string ONCE, not once per seed
     val sigs = hashed
       .select(col("doc_id"), minhashFromHashes(col("hs"), k).as("sig"))
-      .persist()
+      .persist(Tuning.persistLevel)
     val banded = sigs.select(
       col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
@@ -103,7 +104,7 @@ object Dedup {
     // materialized: consumed by 4 chunk expansions × 2 join sides
     val sigs = Tables.documents(spark, dir)
       .select(col("doc_id"), simhash64(col("text")).as("sig"))
-      .persist()
+      .persist(Tuning.persistLevel)
     val chunked = sigs.select(col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(3)),
         c => struct(c.as("chunk"),
@@ -282,7 +283,7 @@ object Dedup {
     val sigs = emb
       .select(col("vec_id"), col("embedding"),
         hyperplaneSig(col("embedding"), bits, dim).as("bucket"))
-      .persist() // plane dot-products per vector; consumed by both join sides
+      .persist(Tuning.persistLevel) // plane dot-products per vector; consumed by both join sides
     val a = sigs.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val b = sigs.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     a.join(b, "bucket")
@@ -354,7 +355,7 @@ object Dedup {
     val centroids = graft.similarity.Ann.trainedCentroids(spark, dir, k, 3)
     val assigned = graft.similarity.Ann.assignCellsScalable(emb, centroids)
       .select(col("cell"), col("vec_id"), col("embedding"))
-      .persist() // trained assignment feeds both sides of the pair join
+      .persist(Tuning.persistLevel) // trained assignment feeds both sides of the pair join
     val a = assigned.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val b = assigned.select(col("cell"), col("vec_id").as("dup_id"), col("embedding").as("emb_b"))
     a.join(b, "cell")

@@ -1,5 +1,6 @@
 package graft.multimodal
 
+import graft.Tuning
 import graft.Tables
 import graft.Tables.QueryDef
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
@@ -784,7 +785,7 @@ object Media {
     // one row per DISTINCT hash value, ids carried as a sorted class
     val classes = sigs.groupBy("ahash")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .persist() // both sides of the hash-pair join + both expansions
+      .persist(Tuning.persistLevel) // both sides of the hash-pair join + both expansions
     def chunkOf(h: Column, c: Int): Column =
       call_function("shiftright", h, lit(c * 16)).bitwiseAND(0xFFFFL)
     // probe side: 4 chunks × (exact + 16 one-bit flips) over distinct hashes

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Tuning
 import graft.Tables
 import graft.Tables.QueryDef
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -280,12 +281,16 @@ object JoinsAndSetOps {
       // three consumers (order count, item counts, pair explode) and
       // `collect_set` is non-deterministic to the canonicalizer, so
       // ReuseExchange can NOT share the basket shuffle — persist the
-      // 15M-row array frame instead of rebuilding it per consumer
-      .persist()
+      // per-order array frame (rows = |orders|: 150M at sf100) instead of
+      // rebuilding it per consumer. Level measured at sf100 (48g, one
+      // disk): MEMORY_AND_DISK 255/324 s vs DISK_ONLY 316/447 s — the
+      // columnar cache is compressed, so keeping it heap-resident beats
+      // contending with shuffle spill for the same spindle
+      .persist(Tuning.persistLevel)
     val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
     val cnt = baskets.select(explode(col("items")).as("pk"))
       .groupBy("pk").agg(count(lit(1)).as("cnt"))
-      .persist() // joined twice (antecedent and consequent sides)
+      .persist(Tuning.persistLevel) // joined twice (antecedent and consequent sides)
     // pair counts are symmetric: count each unordered pair ONCE (halves
     // the generated pair stream and the aggregate's key space), then
     // emit both rule directions from the counted row. Arrays are sorted,

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Tuning
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -30,7 +31,7 @@ object ScalableRank {
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val ranged = df.repartitionByRange(parts, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .persist() // scanned twice: once for counts, once for the local rank
+      .persist(Tuning.persistLevel) // scanned twice: once for counts, once for the local rank
     val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
@@ -137,7 +138,7 @@ object ScalableRank {
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val ranged = df.repartitionByRange(parts, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .persist() // scanned twice: once for counts, once for the hit-slice sort
+      .persist(Tuning.persistLevel) // scanned twice: once for counts, once for the hit-slice sort
     val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val total = counts.map(_._2).sum
@@ -181,7 +182,7 @@ object ScalableRank {
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val ranged = df.repartitionByRange(parts, (groupCols ++ sortCols).map(col): _*)
       .withColumn("__pid", spark_partition_id())
-      .persist() // scanned twice: once for boundary totals, once for the local sums
+      .persist(Tuning.persistLevel) // scanned twice: once for boundary totals, once for the local sums
     val pidGroup = ("__pid" +: groupCols).map(col)
     val totals = ranged.groupBy(pidGroup: _*).agg(sum(col(valueCol)).cast("long").as("__psum"))
     // Only groups spanning >1 range slice need a carry-in; collect just those.
@@ -231,7 +232,7 @@ object ScalableRank {
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val ranged = df.repartitionByRange(parts, (groupCols ++ sortCols).map(col): _*)
       .withColumn("__pid", spark_partition_id())
-      .persist() // scanned twice: once for slice maxima, once for the local windows
+      .persist(Tuning.persistLevel) // scanned twice: once for slice maxima, once for the local windows
     val pidGroup = ("__pid" +: groupCols).map(col)
     val totals = ranged.groupBy(pidGroup: _*).agg(max(col(valueCol)).cast("long").as("__pmax"))
     val spanning = totals.groupBy(groupCols.map(col): _*)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Tuning
 import graft.Tables
 import graft.Tables.QueryDef
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -177,7 +178,7 @@ object SessionAndSkew {
         max(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")).as("last_day"),
         count(lit(1)).as("freq"),
         expr("cast(sum(cast(cast(o_totalprice as decimal(12,2)) * 100 as decimal(38,0))) as long)").as("mon"))
-      .persist()
+      .persist(Tuning.persistLevel)
     def q(valueCol: String, out: String) = ScalableRank
       .withNtile(per, Seq(col(valueCol), col("o_custkey")), 5, out)
       .select(col("o_custkey"), col(out))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Tuning
 import graft.Tables
 import graft.Tables.QueryDef
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -56,7 +57,7 @@ object SweepSkyline {
       // the 20M-row sessionization window must run ONCE: downstream the
       // range partitioner's sample job plus the repartition each replay
       // their input, and a two-branch union would double every replay
-      .persist()
+      .persist(Tuning.persistLevel)
     val bounds = sess
       .select(explode(array(
         struct(col("s_us").as("us"), lit(1).as("delta"), col("user_id")),
@@ -209,7 +210,7 @@ object SweepSkyline {
       .withColumn("g", lit(1))
       // three replays downstream (total, the range sampler, the
       // repartition) — persist the 2M-row aggregate, not the 60M scan
-      .persist()
+      .persist(Tuning.persistLevel)
     val total = broadcast(rev.agg(sum("r").as("t")))
     ScalableRank
       .withGroupedPrefixSum(rev, Seq("g"), Seq("nr", "l_partkey"), "r", "prev")
@@ -475,7 +476,7 @@ object SweepSkyline {
       .withColumn("one", lit(1L))
       // three replays downstream (totals, the range sampler, the
       // repartition) — persist the joined frame once
-      .persist()
+      .persist(Tuning.persistLevel)
     val totals = df.groupBy("n_name").agg(count(lit(1)).as("cnt"))
     ScalableRank
       .withGroupedPrefixSum(df, Seq("n_name"), Seq("cents", "o_orderkey"), "one", "prev")

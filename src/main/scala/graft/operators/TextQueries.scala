@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Tuning
 import graft.Tables
 import graft.Tables.QueryDef
 import graft.functions.TextFunctions._
@@ -396,7 +397,7 @@ object TextQueries {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), tokenCount(col("text")).cast("long").as("ntok"),
         qualityBp(col("text")).as("qbp"))
-      .persist() // BOTH rank passes read the scored frame: without the
+      .persist(Tuning.persistLevel) // BOTH rank passes read the scored frame: without the
                  // barrier each pass re-runs the tokenize+quality
                  // expressions over the full corpus (the minhash lesson)
     val (ra, n) = ScalableRank.withGlobalRowNumber(
@@ -479,7 +480,7 @@ object TextQueries {
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val ss = graft.dedup.Dedup.shingleIndex(spark, dir)
       .select(col("source"), col("sh")).distinct()
-      .persist() // three consumers: the size table and both join sides
+      .persist(Tuning.persistLevel) // three consumers: the size table and both join sides
     val sizes = ss.groupBy("source").agg(count(lit(1)).as("n"))
     ss.select(col("source").as("src_a"), col("sh"))
       .join(ss.select(col("source").as("src_b"), col("sh")), "sh")
@@ -508,7 +509,7 @@ object TextQueries {
     val c = Tables.documents(spark, dir)
       .select(col("source"), explode(tokens(col("text"))).as("token"))
       .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
-      .persist() // three consumers: totals and both join sides
+      .persist(Tuning.persistLevel) // three consumers: totals and both join sides
     val t = c.groupBy("source").agg(sum("cnt").as("tt"))
     c.select(col("source").as("src_a"), col("token"), col("cnt").as("ca"))
       .join(c.select(col("source").as("src_b"), col("token"), col("cnt").as("cb")), "token")

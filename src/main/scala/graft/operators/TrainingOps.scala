@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Tuning
 import graft.Tables
 import graft.Tables.QueryDef
 import graft.functions.{CharDistinctExpr, CharSumSqExpr}
@@ -166,7 +167,7 @@ object TrainingOps {
         "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1)," +
           " (l, r) -> named_struct('l', l, 'r', r))")).as("p"))
       .select(col("doc_id"), col("source"), col("p.l").as("l"), col("p.r").as("r"))
-      .persist() // scored against its own aggregate — two consumers
+      .persist(Tuning.persistLevel) // scored against its own aggregate — two consumers
     val lm = pairs.groupBy("l", "r").agg(count(lit(1)).as("cnt"))
     val cal = broadcast(lm.agg(count(lit(1)).as("types"), sum("cnt").as("tot")))
     pairs.join(lm, Seq("l", "r")).crossJoin(cal)

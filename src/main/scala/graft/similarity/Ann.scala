@@ -1,5 +1,6 @@
 package graft.similarity
 
+import graft.Tuning
 import graft.Tables
 import graft.Tables.QueryDef
 import graft.functions.TextFunctions._
@@ -496,7 +497,7 @@ object Ann {
         first(col("embedding")).as("embedding"),
         // argmax with a deterministic tiebreak: highest dot, then lowest id
         max_by(col("centroid_id"), struct(col("dot"), (-col("centroid_id")).as("nid"))).as("cell"))
-      .persist() // the cell assignment feeds both the query set and the corpus side
+      .persist(Tuning.persistLevel) // the cell assignment feeds both the query set and the corpus side
     val queries = broadcast(assigned.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell")))
     val grouped = assigned.join(queries, "cell")
@@ -517,7 +518,7 @@ object Ann {
   def kmeansIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val centroids = trainedCentroids(spark, dir, k = 16, iters = 3)
-    val assigned = assignCells(emb, centroids).persist()
+    val assigned = assignCells(emb, centroids).persist(Tuning.persistLevel)
     val queries = broadcast(assigned.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell")))
     val grouped = assigned.join(queries, "cell")
@@ -611,7 +612,7 @@ object Ann {
     val sigs = emb
       .select(col("vec_id"), col("embedding"),
         hyperplaneSig(col("embedding"), bits, dim).as("cell"))
-      .persist() // signature feeds both the query set and the probe join
+      .persist(Tuning.persistLevel) // signature feeds both the query set and the probe join
     val masks = typedlit(probeMasks(bits, radius = 4))
     val queries = broadcast(sigs.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
@@ -1043,7 +1044,7 @@ object Ann {
     val seedMatrix: Array[Array[Double]] = emb.filter(col("vec_id") < k).orderBy("vec_id")
       .select("embedding").collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
     val assigned = assignCellsMatrix(emb, seedMatrix, l2 = false)
-      .persist() // both sides of the in-cell pair join read the assignment
+      .persist(Tuning.persistLevel) // both sides of the in-cell pair join read the assignment
     // SALTED in-cell pair join: the seed cells are untrained, so one dense
     // cell can hold ~14× the mean population (measured 6 373 vs 446 at
     // sf10) and |hot|² pair generation lands in ONE task — a 13 s

@@ -34,17 +34,13 @@ object DatasetBridge {
     def release(): Unit = rdd.unpersist(blocking = false)
   }
 
-  /** Storage level for snapshots. Default MEMORY_AND_DISK; set
-   *  `SPARK_GRAFT_SNAPSHOT_LEVEL=DISK_ONLY` for big single-JVM runs
-   *  (e.g. the full suite at sf10) where a dozen per-corpus artifacts
-   *  competing for one heap cause OOM — disk-backed snapshots cost a
-   *  local sequential re-read and zero heap. On a real cluster the
-   *  equivalent dial is executor storage memory. */
+  /** Storage level for snapshots — the [[graft.Tuning.snapshotLevel]] dial
+   *  (set `SPARK_GRAFT_SNAPSHOT_LEVEL=DISK_ONLY` for big single-JVM runs
+   *  where a dozen per-corpus artifacts competing for one heap cause OOM;
+   *  disk-backed snapshots cost a local sequential re-read and zero heap.
+   *  On a real cluster the equivalent dial is executor storage memory). */
   private val level: org.apache.spark.storage.StorageLevel =
-    sys.env.get("SPARK_GRAFT_SNAPSHOT_LEVEL") match {
-      case Some(n) => org.apache.spark.storage.StorageLevel.fromString(n)
-      case None    => org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    }
+    graft.Tuning.snapshotLevel
 
   def snapshot(df: org.apache.spark.sql.DataFrame): Snapshot = {
     val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
