@@ -198,6 +198,9 @@ object CurationPipeline {
     val budget = 512L
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), tokenCount(col("text")).cast("long").as("ntok"))
+      // pre-rank persist: map-only token scoring would otherwise run
+      // twice (range sampler + shuffle write) over the full text corpus
+      .persist(graft.Tuning.persistLevel)
     ScalableRank.withGroupedPrefixSum(base, Seq("source"), Seq("doc_id"), "ntok", "off")
       .groupBy(col("source"), floor(col("off") / lit(budget)).as("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("total_tokens"),
@@ -448,6 +451,12 @@ object CurationPipeline {
       .select(col("doc_id"),
         qualityBp(col("text")).as("qbp"),
         tokenCount(col("text")).cast("long").as("ntok"))
+      // pre-rank persist (the q74/q89 lesson): the rank's range SAMPLER
+      // replays its input subplan as a separate job, and this input is
+      // map-only — no exchange to reuse — so without the barrier the
+      // quality+token scoring runs over the full text corpus TWICE
+      // (sf100: 162 s steady for a 3-column 5M-row frame)
+      .persist(graft.Tuning.persistLevel)
     ScalableRank.withNtile(docs, Seq(col("qbp").desc, col("doc_id")), 4, "stage")
       .groupBy("stage")
       .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"),
@@ -548,6 +557,12 @@ object CurationPipeline {
    *  pipeline ships. One flag pass + one keeper groupBy; the 3-row
    *  waterfall pivots out of a single aggregate via `stack`. */
   def waterfall(spark: SparkSession, dir: String): DataFrame = {
+    // Two deliberate text scans, NOT a persisted single pass: the keeper
+    // election only needs md5 over SURVIVING docs, so fusing the hash into
+    // a persisted all-docs frame was measured SLOWER (sf10 6.6 → 9.0 s,
+    // sf100 unchanged) — hashing every doc costs more than re-running the
+    // filter flags on the second scan. The expressions are native
+    // single-pass already; the remaining cost is inherent text CPU.
     val flagged = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"),
         (langId(col("text")) === col("lang")).as("lang_ok"),

@@ -58,17 +58,25 @@ object Sinks {
     val key = s"${spark.sparkContext.applicationId}_$dir".replaceAll("[^a-zA-Z0-9]", "_")
     val base = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_bucketed_$key"
     val (tOrders, tLine) = (s"graft_bkt_orders_$key", s"graft_bkt_lineitem_$key")
+    // bucket count sized like a shuffle, NOT a constant: a bucketed scan
+    // reads ONE task per bucket, so a fixed count caps the join's
+    // parallelism forever after (measured at sf100: 8 buckets = 75M-row
+    // bucket files on a 32-core box, 73.8 s steady — 28× the sf10 cost;
+    // shuffle-partition-sized buckets restore linear scaling). On a real
+    // lake the same rule applies: pick buckets for the TABLE's size so
+    // each bucket lands near the cluster's split target.
+    val nBuckets = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     if (written.add(base)) {
       // repartition on the bucket key first: ONE file per bucket, which is
       // the layout Spark trusts to elide the merge-join sort (with several
       // files per bucket only per-file order is known and it re-sorts)
       Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
-        .repartition(8, col("o_orderkey"))
-        .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .repartition(nBuckets, col("o_orderkey"))
+        .write.mode("overwrite").bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"$base/orders").saveAsTable(tOrders)
       Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice")
-        .repartition(8, col("l_orderkey"))
-        .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .repartition(nBuckets, col("l_orderkey"))
+        .write.mode("overwrite").bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$base/lineitem").saveAsTable(tLine)
     }
     spark.table(tOrders).join(spark.table(tLine),

@@ -436,7 +436,10 @@ class PlanSpec extends AnyFunSuite {
       // shuffles, so it is not the 100 TB bottleneck the Exchange was.)
       assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
       assert(p.contains("Bucketed: true"), p)
-      assert(p.contains("SelectedBucketsCount: 8 out of 8"), p)
+      // bucket count tracks spark.sql.shuffle.partitions (a fixed count
+      // would cap the bucketed scan's parallelism at any corpus size)
+      val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      assert(p.contains(s"SelectedBucketsCount: $n out of $n"), p)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
