@@ -205,8 +205,12 @@ object EventStreams {
     val tmp = tempDirWithCleanup("graft_sess_replay")
     // single-file table → one symlink; multi-file directory table → one
     // symlink per data file, flattened (the replay dir must stay a flat
-    // directory of leaf parquet files for the *.parquet stream glob)
-    val srcTable = Paths.get(s"$dir/events.parquet")
+    // directory of leaf parquet files for the *.parquet stream glob).
+    // ABSOLUTE path: a symlink target resolves against the LINK's
+    // directory, so a relative sf dir (`data/sf10`) would produce links
+    // into /tmp/graft_sess_replay*/data/... — every stream consumer then
+    // fails with UNABLE_TO_INFER_SCHEMA (14 queries at once in a bench)
+    val srcTable = Paths.get(s"$dir/events.parquet").toAbsolutePath.normalize
     if (Files.isDirectory(srcTable)) {
       val listing = Files.list(srcTable)
       var j = 0
@@ -457,7 +461,9 @@ object EventStreams {
         // is the whole point.
         val backfillDir = {
           val tmp = tempDirWithCleanup("graft_backfill")
-          val srcTable = Paths.get(s"$dir/events.parquet")
+          // absolute for the same reason as the session replay above:
+          // relative symlink targets break under a relative sf dir
+          val srcTable = Paths.get(s"$dir/events.parquet").toAbsolutePath.normalize
           def linkAll(prefix: String): Unit =
             if (Files.isDirectory(srcTable)) {
               val listing = Files.list(srcTable)
