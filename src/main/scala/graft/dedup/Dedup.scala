@@ -67,12 +67,17 @@ object Dedup {
     // projected hash array: a filter on the projection's output gets pushed
     // below it and re-evaluates the whole tokenize+shingle+hash chain per
     // row (measured 2x the materialization cost).
-    val hashed = Tables.documents(spark, dir)
+    // NO barrier between shingle-hashing and the signature: `sigs` is the
+    // hash chain's ONLY consumer, and both steps are single native
+    // expressions, so projection collapse fuses them into one per-row
+    // evaluation — a persist here would write the full per-doc
+    // shingle-hash arrays (the corpus' biggest transient: ~8 GB + row
+    // overhead at sf100) to the cache for zero reuse. The SIGNATURE frame
+    // below is the real shared artifact (band explode + both join sides).
+    val sigs = Tables.documents(spark, dir)
       .filter(size(tokens(col("text"))) >= 3)
-      .select(col("doc_id"), wordShingleHashes(col("text"), 3).as("hs"))
-      .persist(Tuning.persistLevel) // barrier: hash each shingle string ONCE, not once per seed
-    val sigs = hashed
-      .select(col("doc_id"), minhashFromHashes(col("hs"), k).as("sig"))
+      .select(col("doc_id"),
+        minhashFromHashes(wordShingleHashes(col("text"), 3), k).as("sig"))
       .persist(Tuning.persistLevel)
     val banded = sigs.select(
       col("doc_id"), col("sig"),
