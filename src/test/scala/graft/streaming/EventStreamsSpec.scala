@@ -68,6 +68,23 @@ class EventStreamsSpec extends AnyFunSuite {
       graft.Tables.events(spark, dir).count(), "sink holds the single-copy event count")
   }
 
+  test("replay builders work from a RELATIVE sf dir (symlink targets must be absolute)") {
+    // regression: the replay builders symlink the events table into /tmp,
+    // and a symlink TARGET resolves against the LINK's directory — with a
+    // relative sf dir the links dangled and every replay-fed stream died
+    // with UNABLE_TO_INFER_SCHEMA (14 queries at once in a bench run)
+    import java.nio.file.{Files, Paths}
+    val rel = Paths.get("target/rel_sf0.001")
+    Files.deleteIfExists(rel)
+    Files.createSymbolicLink(rel, Paths.get("/root/testdata/sf0.001"))
+    try {
+      val viaRel = EventStreams.streamHourlyCounts(spark, rel.toString).collect()
+      val viaAbs = EventStreams.streamHourlyCounts(spark, "/root/testdata/sf0.001").collect()
+      assert(viaRel.map(_.toString).sorted.toSeq == viaAbs.map(_.toString).sorted.toSeq,
+        "relative and absolute sf dirs must produce identical stream output")
+    } finally Files.deleteIfExists(rel)
+  }
+
   test("sessionize closes a session when the gap exceeds 30 minutes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
