@@ -169,12 +169,24 @@ object Dedup {
    *  viral shingle in 20% of docs) to pin that the stop-shingle cap keeps
    *  candidate volume bounded without costing recall on true pairs. */
   private[graft] def shinglePairCountsOn(docShingles: DataFrame, counts: DataFrame): DataFrame = {
-    // stop-shingle cap: a shingle in >1% of docs can't witness near-dup pairs
-    val hot = docShingles.groupBy("sh").count().filter(col("count") > 100).select("sh")
-    val cold = docShingles.join(broadcast(hot), Seq("sh"), "left_anti")
-    cold.as("x").join(cold.as("y"), "sh")
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+    // ONE corpus-sized shuffle builds per-shingle POSTING ARRAYS; the
+    // stop-shingle cap (a shingle in >100 docs can't witness near-dup
+    // pairs) becomes a map-side size() filter on the grouped array, and
+    // sorted arrays + suffix pairing emit each unordered doc pair exactly
+    // once MAP-SIDE (the q64 basket pattern). The previous form paid THREE
+    // corpus-sized shuffles — a hot-count pass plus both sides of an
+    // inverted-index self-join — and the join's spill blew through 45 GB
+    // of disk at sf100 (1B postings); this shape shuffles the postings
+    // once and never materializes the joined stream.
+    val postings = docShingles.groupBy("sh")
+      .agg(sort_array(collect_list("doc_id")).as("ds"))
+      .filter(size(col("ds")) <= 100)
+    postings
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("ds"), col("i") + lit(2),
+          size(col("ds")) - col("i") - lit(1))).as("id_b"))
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
       .join(counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
       .join(counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
