@@ -48,6 +48,99 @@ object ScalableRank {
     (ranked, total)
   }
 
+  /** VALUES at specific global ranks in ONE scan — the pure-percentile
+   *  shape, for callers that only need the value at a rank (not the full
+   *  row): the value at global rank r under ANY tie-broken total order
+   *  led by `valueCol` is determined solely by the value distribution, so
+   *  a value-count table replaces the sort entirely. One map-side-combined
+   *  groupBy over the input (the only full scan), a shuffle bounded by the
+   *  VALUE DOMAIN (a price domain stays ~600k distinct cents whether the
+   *  table is 6M or 60B rows — the right 100 TB shape), a P-row
+   *  per-partition weight collect, then a window cumsum over only the hit
+   *  range slices of the small table. Versus [[rowsAtGlobalRanks]]'s three
+   *  full scans (stats, bucket counts, hit scan) this is strictly less
+   *  work whenever the caller discards everything but the value.
+   *
+   *  Precondition: `valueCol` must be non-null (enforced — Spark sorts
+   *  nulls first, DuckDB last, so a null-bearing rank would diverge
+   *  between engines; count the nulls out before calling).
+   *  Returns (rows of (`outCol` = global rank, `valueCol`), total). */
+  def valuesAtGlobalRanks(df: DataFrame, valueCol: String,
+                          ranksOf: Long => Seq[Long], outCol: String): (DataFrame, Long) = {
+    // persist BEFORE repartitionByRange: its sampler replays the input
+    // subplan as a separate job, which would re-run the full groupBy scan
+    // (the round-8 range-sampler lesson); the cached frame is domain-sized
+    val vc = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__c"))
+      .persist(Tuning.persistLevel)
+    valuesAtRanksFromCounts(vc, valueCol, "__c", ranksOf, outCol)
+  }
+
+  /** Per-corpus shared value-count snapshot — the engine's exact-histogram
+   *  STATISTICS ARTIFACT: `(value, count)` for every distinct value of one
+   *  expression over one table, built once per (application, corpus) and
+   *  snapshotted at the RDD level (survives `clearCache`, like the dedup
+   *  shingle index). Every robust-stat query over the same distribution
+   *  (percentile locate, MAD, winsorized moments, Tukey census, decile
+   *  fences) is a pure functional of this table, so after the one build
+   *  scan they all run in O(value domain) — at 100 TB this is the
+   *  difference between five full corpus scans and five reads of a ~600k-
+   *  row artifact. `key` names the (table, expression) pair. */
+  private val vcCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+  def sharedValueCounts(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        key: String, valueCol: String)
+                       (build: => DataFrame): DataFrame =
+    vcCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, key), {
+      import org.apache.spark.sql.graft.DatasetBridge
+      DatasetBridge.snapshot(
+        build.groupBy(col(valueCol)).agg(count(lit(1)).as("__c"))).df
+    })
+
+  /** The locate half of [[valuesAtGlobalRanks]], over an EXISTING
+   *  `(valueCol, countCol)` table (a [[sharedValueCounts]] snapshot or any
+   *  derived count table, e.g. |v − median| for MAD): range-partition the
+   *  small table, collect per-slice weights (O(#partitions) driver rows),
+   *  map each target rank to its slice, window-cumsum ONLY the hit slices.
+   *  Returns (rows of (`outCol` = rank, `valueCol`), total = Σ count). */
+  def valuesAtRanksFromCounts(vcIn: DataFrame, valueCol: String, countCol: String,
+                              ranksOf: Long => Seq[Long], outCol: String): (DataFrame, Long) = {
+    val spark = vcIn.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // persist the RANGED frame: repartitionByRange seeds its sampler from
+    // the RDD id, so re-planning it in a second action draws DIFFERENT
+    // boundaries — the weight collect and the hit cumsum would disagree on
+    // what __pid means (observed as wrong percentiles on real data). The
+    // barrier pins one partitioning across both scans; it is domain-sized.
+    val vc = vcIn.repartitionByRange(parts, col(valueCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist(Tuning.persistLevel)
+    val sums = vc.groupBy("__pid")
+      .agg(sum(countCol).as("w"), count(when(col(valueCol).isNull, 1)).as("nulls"))
+      .collect().map(r => (r.getInt(0), r.getAs[Long]("w"), r.getAs[Long]("nulls")))
+      .sortBy(_._1)
+    require(sums.forall(_._3 == 0L),
+      s"valuesAtRanksFromCounts: $valueCol contains nulls — rank order would diverge between engines")
+    val total = sums.map(_._2).sum
+    val offsets = sums.scanLeft((0, 0L)) { case ((_, acc), (pid, w, _)) => (pid, acc + w) }
+    val before = sums.map(_._1).zip(offsets.init.map(_._2)).toMap
+    val hits = ranksOf(total).distinct.collect {
+      case r if r >= 1 && r <= total =>
+        val pid = sums.find { case (p, w, _) => r > before(p) && r <= before(p) + w }.get._1
+        (pid, r - before(pid), r)
+    }
+    import spark.implicits._
+    val hitDf = broadcast(hits.toDF("__pid", "__t", outCol))
+    val cumWin = Window.partitionBy("__pid").orderBy(valueCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = vc.filter(col("__pid").isin(hits.map(_._1).distinct: _*))
+      .withColumn("__cum", sum(countCol).over(cumWin))
+      .join(hitDf, Seq("__pid"))
+      // the first value whose cumulative weight reaches the local target
+      .filter(col("__cum") >= col("__t") && col("__cum") - col(countCol) < col("__t"))
+      .select(col(outCol), col(valueCol))
+    (out, total)
+  }
+
   /** Rows at specific global ranks WITHOUT ranking the whole table — the
    *  exact-percentile shape: range-partition by the sort key, count per
    *  slice (tiny driver-side table, like the offset pass above), locate

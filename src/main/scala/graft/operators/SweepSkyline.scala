@@ -102,16 +102,15 @@ object SweepSkyline {
    *  lineitem price distribution, each an ACTUAL data row (rank
    *  ⌊i·n/10⌋ under the total order (cents, orderkey, linenumber)).
    *  Optimizer statistics, shard splitting and drift monitors all want
-   *  exactly this. Uses [[ScalableRank.rowsAtGlobalRanks]]: count per
-   *  range slice, locate the 10 target ranks, sort ONLY the hit slices —
-   *  never a global sort, never a global window. */
+   *  exactly this. The boundary VALUES are a pure functional of the value
+   *  distribution (tie-breaks never change the cents at a rank), so the
+   *  fences read the shared per-corpus price histogram
+   *  ([[SharedHistograms.lineitemPriceCounts]]) through
+   *  [[ScalableRank.valuesAtRanksFromCounts]] — O(domain) after the one
+   *  shared build scan; never a global sort, never a global window. */
   def q69Equiheight(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select(
-      expr("cast(cast(l_extendedprice as decimal(12,2)) * 100 as decimal(38,0))")
-        .cast("long").as("cents"),
-      col("l_orderkey"), col("l_linenumber"))
-    val (hits, _) = ScalableRank.rowsAtGlobalRanks(
-      li, Seq(col("cents"), col("l_orderkey"), col("l_linenumber")),
+    val (hits, _) = ScalableRank.valuesAtRanksFromCounts(
+      SharedHistograms.lineitemPriceCounts(spark, dir), "cents", "__c",
       total => (1 to 10).map(i => i * total / 10L), "boundary_rank")
     hits.select(col("boundary_rank"), col("cents")).orderBy("boundary_rank")
   }
@@ -357,17 +356,20 @@ object SweepSkyline {
    *  on |value − median| with the 1-row median broadcast. Never a global
    *  sort; every output integer. */
   def q80Mad(spark: SparkSession, dir: String): DataFrame = {
-    val cents = Tables.orders(spark, dir).select(
-      expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as decimal(38,0))")
-        .cast("long").as("cents"),
-      col("o_orderkey"))
-    val (medRow, n) = ScalableRank.rowsAtGlobalRanks(
-      cents, Seq(col("cents"), col("o_orderkey")), t => Seq((t + 1) / 2), "rk")
+    // BOTH rank passes are functionals of the shared orders price
+    // histogram: the median from the value counts directly, and the MAD
+    // from a DERIVED count table |cents − median| folded out of the same
+    // snapshot (values at equal distance either side of the median merge
+    // their counts) — zero corpus scans beyond the shared build.
+    val vc = SharedHistograms.ordersPriceCounts(spark, dir)
+    val (medRow, n) = ScalableRank.valuesAtRanksFromCounts(
+      vc, "cents", "__c", t => Seq((t + 1) / 2), "rk")
     val med = broadcast(medRow.select(col("cents").as("med")))
-    val devs = cents.crossJoin(med)
-      .select(abs(col("cents") - col("med")).as("dev"), col("o_orderkey"))
-    val (madRow, _) = ScalableRank.rowsAtGlobalRanks(
-      devs, Seq(col("dev"), col("o_orderkey")), t => Seq((t + 1) / 2), "rk")
+    val devCounts = vc.crossJoin(med)
+      .groupBy(abs(col("cents") - col("med")).as("dev"))
+      .agg(sum("__c").as("__c"))
+    val (madRow, _) = ScalableRank.valuesAtRanksFromCounts(
+      devCounts, "dev", "__c", t => Seq((t + 1) / 2), "rk")
     madRow.select(lit(n).as("n_orders"), col("dev").as("mad_cents"))
       .crossJoin(med)
       .select(col("n_orders"), col("med").as("median_cents"), col("mad_cents"))
@@ -383,12 +385,8 @@ object SweepSkyline {
    *  quartiles (the kappa/q73 convention — signed integer `div` vs `//`
    *  would diverge between engines). */
   def q86Bowley(spark: SparkSession, dir: String): DataFrame = {
-    val cents = Tables.orders(spark, dir).select(
-      expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as decimal(38,0))")
-        .cast("long").as("cents"),
-      col("o_orderkey"))
-    val (rows, n) = ScalableRank.rowsAtGlobalRanks(
-      cents, Seq(col("cents"), col("o_orderkey")),
+    val (rows, n) = ScalableRank.valuesAtRanksFromCounts(
+      SharedHistograms.ordersPriceCounts(spark, dir), "cents", "__c",
       t => Seq((t + 3) / 4, (t + 1) / 2, (3 * t + 3) / 4), "rk")
     rows.agg(
         min(when(col("rk") === (n + 3) / 4, col("cents"))).as("q1_cents"),
@@ -406,20 +404,21 @@ object SweepSkyline {
    *  census is one filtered recount of the (pushed-down, 2-column) scan.
    *  Fences themselves are reported as EXACT half-cents (×2). */
   def q87Tukey(spark: SparkSession, dir: String): DataFrame = {
-    val cents = Tables.lineitem(spark, dir).select(
-      expr("cast(cast(l_extendedprice as decimal(12,2)) * 100 as decimal(38,0))")
-        .cast("long").as("cents"),
-      col("l_orderkey"), col("l_linenumber"))
-    val (rows, n) = ScalableRank.rowsAtGlobalRanks(
-      cents, Seq(col("cents"), col("l_orderkey"), col("l_linenumber")),
-      t => Seq((t + 3) / 4, (3 * t + 3) / 4), "rk")
+    // quartiles AND the fence census both read the shared lineitem price
+    // histogram: the census is Σ count over values beyond each fence — a
+    // weighted fold of the ~600k-row snapshot, not a corpus recount
+    val vc = SharedHistograms.lineitemPriceCounts(spark, dir)
+    val (rows, n) = ScalableRank.valuesAtRanksFromCounts(
+      vc, "cents", "__c", t => Seq((t + 3) / 4, (3 * t + 3) / 4), "rk")
     val q = broadcast(rows.agg(
       min(when(col("rk") === (n + 3) / 4, col("cents"))).as("q1"),
       min(when(col("rk") === (3 * n + 3) / 4, col("cents"))).as("q3")))
-    cents.crossJoin(q)
+    vc.crossJoin(q)
       .agg(max("q1").as("q1_cents"), max("q3").as("q3_cents"),
-        sum(when(col("cents") * 2 < col("q1") * 5 - col("q3") * 3, 1L).otherwise(0L)).as("n_low"),
-        sum(when(col("cents") * 2 > col("q3") * 5 - col("q1") * 3, 1L).otherwise(0L)).as("n_high"))
+        sum(when(col("cents") * 2 < col("q1") * 5 - col("q3") * 3, col("__c"))
+          .otherwise(0L)).as("n_low"),
+        sum(when(col("cents") * 2 > col("q3") * 5 - col("q1") * 3, col("__c"))
+          .otherwise(0L)).as("n_high"))
       .select(lit(n).as("n_rows"), col("q1_cents"), col("q3_cents"),
         expr("q1_cents * 5 - q3_cents * 3").as("low_fence_x2"),
         expr("q3_cents * 5 - q1_cents * 3").as("high_fence_x2"),
@@ -434,20 +433,19 @@ object SweepSkyline {
    *  pass; the clamp+sum is one recount of the pushed-down scan against
    *  the broadcast 1-row bounds. */
   def q88Winsorized(spark: SparkSession, dir: String): DataFrame = {
-    val cents = Tables.orders(spark, dir).select(
-      expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as decimal(38,0))")
-        .cast("long").as("cents"),
-      col("o_orderkey"))
-    val (rows, n) = ScalableRank.rowsAtGlobalRanks(
-      cents, Seq(col("cents"), col("o_orderkey")),
-      t => Seq((t + 19) / 20, (19 * t + 19) / 20), "rk")
+    // percentile bounds and BOTH moment sums (clamped and raw) are
+    // count-weighted folds of the shared orders price histogram —
+    // Σ __c·clamp(v) and Σ __c·v in decimal(38) — zero corpus rescans
+    val vc = SharedHistograms.ordersPriceCounts(spark, dir)
+    val (rows, n) = ScalableRank.valuesAtRanksFromCounts(
+      vc, "cents", "__c", t => Seq((t + 19) / 20, (19 * t + 19) / 20), "rk")
     val bounds = broadcast(rows.agg(
       min(when(col("rk") === (n + 19) / 20, col("cents"))).as("p5"),
       min(when(col("rk") === (19 * n + 19) / 20, col("cents"))).as("p95")))
-    cents.crossJoin(bounds)
+    vc.crossJoin(bounds)
       .agg(max("p5").as("p5_cents"), max("p95").as("p95_cents"),
-        sum(expr("cast(greatest(p5, least(p95, cents)) as decimal(38,0))")).as("ws"),
-        sum(col("cents").cast("decimal(38,0)")).as("rs"))
+        sum(expr("cast(__c as decimal(38,0)) * greatest(p5, least(p95, cents))")).as("ws"),
+        sum(expr("cast(__c as decimal(38,0)) * cents")).as("rs"))
       .select(lit(n).as("n_orders"), col("p5_cents"), col("p95_cents"),
         expr("cast((2 * ws * 100 + n_orders) div (2 * n_orders) as bigint)")
           .as("winsorized_mean_x100"),
