@@ -398,6 +398,73 @@ case class NearestCellExpr(child: Expression, cents: Array[Array[Double]],
     copy(child = newChild)
 }
 
+/** TOP-2 dot-product cell assignment against a whole centroid matrix —
+ *  the soft-assignment form the kNN-graph's boundary-replication multiprobe
+ *  needs ([[graft.similarity.Ann]]): a vector whose second-best cell scores
+ *  close to its best sits near a Voronoi boundary, and indexing it into
+ *  BOTH cells is what lets an in-cell search on the other side still see
+ *  it. One primitive loop returns struct(cell1, d1, cell2, d2); identical
+ *  tie semantics to [[NearestCellExpr]] and the SQL
+ *  `row_number() ORDER BY dot DESC, id` twin (strict `>` everywhere ⇒
+ *  first maximum wins ⇒ lowest cell id on equal scores, for BOTH slots).
+ *  Dot metric only — the kNN-graph cell rule. Requires ≥ 2 centroids. */
+case class Top2CellsExpr(child: Expression, cents: Array[Array[Double]])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def prettyName: String = "top2_cells"
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell1", IntegerType, nullable = false),
+    StructField("d1", DoubleType, nullable = false),
+    StructField("cell2", IntegerType, nullable = false),
+    StructField("d2", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float>/array<double>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val childIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val dim: Int = cents.headOption.map(_.length).getOrElse(0)
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != dim || cents.length < 2) return null
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      x(i) = if (childIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      i += 1
+    }
+    var best = -1; var bestScore = 0.0
+    var second = -1; var secondScore = 0.0
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var dot = 0.0
+      i = 0
+      while (i < n) { dot += x(i) * cent(i); i += 1 }
+      if (best < 0 || dot > bestScore) {
+        second = best; secondScore = bestScore
+        best = c; bestScore = dot
+      } else if (second < 0 || dot > secondScore) {
+        second = c; secondScore = dot
+      }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(best, bestScore, second, secondScore)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Top2CellsExpr =
+    copy(child = newChild)
+}
+
 /** Max-COSINE centroid assignment against a whole centroid matrix, returning
  *  BOTH the winning 0-based index and its cosine in one struct — the
  *  radius-search index build ([[graft.similarity.Ann.rangeSearchIvf]]) needs

@@ -1043,8 +1043,24 @@ object Ann {
     // argmax (17 s of the 45 s sf10 total)
     val seedMatrix: Array[Array[Double]] = emb.filter(col("vec_id") < k).orderBy("vec_id")
       .select("embedding").collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    val assigned = assignCellsMatrix(emb, seedMatrix, l2 = false)
-      .persist(Tuning.persistLevel) // both sides of the in-cell pair join read the assignment
+    // TOP-2 soft assignment for the boundary-replication multiprobe: a
+    // vector's true nearest neighbor can sit just across the Voronoi
+    // boundary where the in-cell search never sees it. Measured at
+    // sf0.01: both missed edges were vectors whose SECOND cell was the
+    // query's cell at d2/d1 ≈ 0.89–0.92 — so candidates whose runner-up
+    // dot is within 10% of the winner (10·d2 > 9·d1, integer-×-double,
+    // deterministic on both engines) are indexed into BOTH cells.
+    // Queries still search ONE cell; only ~30% of candidates replicate,
+    // so pair work grows ≤1.3× while boundary recall goes 22→23/24.
+    val assigned = {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val t2 = ColumnBridge.column(graft.functions.Top2CellsExpr(
+        ColumnBridge.expression(col("embedding")), seedMatrix))
+      emb.select(col("vec_id"), col("embedding"), t2.as("t2"))
+        .select(col("vec_id"), col("embedding"),
+          col("t2.cell1").as("cell"),
+          when(col("t2.d2") * 10 > col("t2.d1") * 9, col("t2.cell2")).as("cell_alt"))
+    }.persist(Tuning.persistLevel) // both sides of the in-cell pair join read the assignment
     // SALTED in-cell pair join: the seed cells are untrained, so one dense
     // cell can hold ~14× the mean population (measured 6 373 vs 446 at
     // sf10) and |hot|² pair generation lands in ONE task — a 13 s
@@ -1056,9 +1072,16 @@ object Ann {
     val S = 8
     val salted = assigned.select(col("cell"), pmod(col("vec_id"), lit(S.toLong)).as("salt"),
       col("vec_id"), col("embedding"))
-    val candidates = assigned.select(col("cell"),
-      explode(array((0 until S).map(s => lit(s.toLong)): _*)).as("salt"),
-      col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+    // candidate side: primary cell always, runner-up cell only for the
+    // near-boundary rows (cell_alt non-null) — array+explode emits 1 or 2
+    // cell memberships per vector; a (query, candidate) pair can never
+    // repeat because cell1 ≠ cell2
+    val candidates = assigned.select(
+        explode(array_compact(array(col("cell"), col("cell_alt")))).as("cell"),
+        col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+      .select(col("cell"),
+        explode(array((0 until S).map(s => lit(s.toLong)): _*)).as("salt"),
+        col("neighbor_id"), col("n_emb"))
     val grouped = salted
       .join(candidates, Seq("cell", "salt"))
       .filter(col("vec_id") =!= col("neighbor_id"))
@@ -1145,15 +1168,24 @@ object Ann {
       WITH kk AS (
         SELECT greatest(16, cast(ceil(sqrt(cast(count(*) as double))) as bigint)) AS k
         FROM embeddings),
+      scored AS (
+        SELECT e.vec_id, e.embedding, c.vec_id AS cell,
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS d,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                          c.vec_id) AS rn
+        FROM embeddings e JOIN embeddings c ON c.vec_id < (SELECT k FROM kk)),
       assigned AS (
-        SELECT vec_id, embedding, cell FROM (
-          SELECT e.vec_id, e.embedding, c.vec_id AS cell,
-                 row_number() OVER (
-                   PARTITION BY e.vec_id
-                   ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
-                            c.vec_id) AS rn
-          FROM embeddings e JOIN embeddings c ON c.vec_id < (SELECT k FROM kk)) t
-        WHERE rn = 1),
+        SELECT vec_id, embedding, cell FROM scored WHERE rn = 1),
+      -- boundary-replication multiprobe: candidates whose runner-up cell
+      -- scores within 10% of the winner are indexed into BOTH cells
+      candidates AS (
+        SELECT vec_id, embedding, cell FROM scored WHERE rn = 1
+        UNION ALL
+        SELECT s2.vec_id, s2.embedding, s2.cell
+        FROM scored s2 JOIN scored s1 ON s1.vec_id = s2.vec_id AND s1.rn = 1
+        WHERE s2.rn = 2 AND s2.d * 10 > s1.d * 9),
       knn AS (
         SELECT vec_id, neighbor_id, rank FROM (
           SELECT l.vec_id, r.vec_id AS neighbor_id,
@@ -1161,7 +1193,7 @@ object Ann {
                    PARTITION BY l.vec_id
                    ORDER BY list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) DESC,
                             r.vec_id) AS rank
-          FROM assigned l JOIN assigned r ON l.cell = r.cell AND l.vec_id <> r.vec_id) t
+          FROM assigned l JOIN candidates r ON l.cell = r.cell AND l.vec_id <> r.vec_id) t
         WHERE rank <= 3)
       SELECT k.vec_id, k.neighbor_id, k.rank,
              cast(CASE WHEN m.vec_id IS NOT NULL THEN 1 ELSE 0 END as bigint) AS mutual
@@ -1172,15 +1204,22 @@ object Ann {
       WITH kk AS (
         SELECT greatest(16, cast(ceil(sqrt(cast(count(*) as double))) as bigint)) AS k
         FROM embeddings),
+      scored AS (
+        SELECT e.vec_id, e.embedding, c.vec_id AS cell,
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS d,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                          c.vec_id) AS rn
+        FROM embeddings e JOIN embeddings c ON c.vec_id < (SELECT k FROM kk)),
       assigned AS (
-        SELECT vec_id, embedding, cell FROM (
-          SELECT e.vec_id, e.embedding, c.vec_id AS cell,
-                 row_number() OVER (
-                   PARTITION BY e.vec_id
-                   ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
-                            c.vec_id) AS rn
-          FROM embeddings e JOIN embeddings c ON c.vec_id < (SELECT k FROM kk)) t
-        WHERE rn = 1),
+        SELECT vec_id, embedding, cell FROM scored WHERE rn = 1),
+      candidates AS (
+        SELECT vec_id, embedding, cell FROM scored WHERE rn = 1
+        UNION ALL
+        SELECT s2.vec_id, s2.embedding, s2.cell
+        FROM scored s2 JOIN scored s1 ON s1.vec_id = s2.vec_id AND s1.rn = 1
+        WHERE s2.rn = 2 AND s2.d * 10 > s1.d * 9),
       knn AS (
         SELECT vec_id, neighbor_id FROM (
           SELECT l.vec_id, r.vec_id AS neighbor_id,
@@ -1188,7 +1227,7 @@ object Ann {
                    PARTITION BY l.vec_id
                    ORDER BY list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) DESC,
                             r.vec_id) AS rank
-          FROM assigned l JOIN assigned r ON l.cell = r.cell AND l.vec_id <> r.vec_id
+          FROM assigned l JOIN candidates r ON l.cell = r.cell AND l.vec_id <> r.vec_id
           WHERE l.vec_id < 8) t
         WHERE rank <= 3),
       bf AS (

@@ -98,6 +98,25 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(!r.isNullAt(2) && r.getInt(2) == 0)
   }
 
+  test("top2Cells matches the SQL row_number twin, ties included") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge
+    // centroids engineered for ties: c0 == c2 on every axis
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 0.0))
+    val df = Seq(
+      Tuple1(Array(2.0f, 0.0f)),   // d = (2, 0, 2): tie for first -> (c0, c2)
+      Tuple1(Array(1.0f, 3.0f)),   // d = (1, 3, 1): best c1, tie for second -> c0
+      Tuple1(Array(-1.0f, -2.0f))  // all negative: best c1 (-2... no: d=(-1,-2,-1)) -> c0 first
+    ).toDF("v")
+    val t2 = ColumnBridge.column(graft.functions.Top2CellsExpr(
+      ColumnBridge.expression(col("v")), cents))
+    val rows = df.select(t2.as("t")).select("t.cell1", "t.d1", "t.cell2", "t.d2").collect()
+    assert(rows(0).getInt(0) == 0 && rows(0).getInt(2) == 2) // lowest id wins both slots
+    assert(rows(1).getInt(0) == 1 && rows(1).getInt(2) == 0)
+    assert(rows(2).getInt(0) == 0 && rows(2).getDouble(1) == -1.0 &&
+           rows(2).getInt(2) == 2) // negative dots: ordering still by value desc, id asc
+  }
+
   test("hyperplaneSig interpreted path agrees with codegen path") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
