@@ -18,12 +18,14 @@ import java.nio.{ByteBuffer, ByteOrder}
  * arithmetic) and WAV (RIFF chunk walk + PCM samples). `mediaContainers`
  * synthesizes fully valid single-file containers from the document text, so
  * decoded width/height/duration/mean-level are true properties of the bytes
- * and are verified round-trip in MediaSpec. Formats whose codecs aren't in
- * this environment (jpeg, mp4) fall back to a clearly-marked DETERMINISTIC
- * STUB — the Spark-side plumbing (schema, binary payloads,
- * partition-streamed `mapPartitions` batching, explode-style frame
- * sampling) is identical for all formats, so swapping the stub for a real
- * codec changes no plan shape.
+ * and are verified round-trip in MediaSpec — plus JPEG, which encodes AND
+ * decodes through the JDK's own `javax.imageio` codec (real lossy
+ * compression; oracled via round-trip claim verdicts, see
+ * [[mediaJpegRoundtrip]]). Only mp4 — the one format with no JDK codec —
+ * falls back to a clearly-marked DETERMINISTIC STUB; the Spark-side
+ * plumbing (schema, binary payloads, partition-streamed `mapPartitions`
+ * batching, explode-style frame sampling) is identical for all formats, so
+ * swapping that last stub for a real codec changes no plan shape.
  */
 object Media {
 
@@ -73,6 +75,35 @@ object Media {
       out.array()
     }
 
+    /** REAL JPEG via the JDK's own codec (`javax.imageio` — no external
+     *  library): the payload becomes the same logical grayscale matrix as
+     *  [[bmp]] (width ≈ √n capped at 256, zero-padded tail), rendered into
+     *  a TYPE_BYTE_GRAY BufferedImage and compressed by the standard JFIF
+     *  writer. Lossy, so downstream oracles assert CLAIMS about the
+     *  round-trip (exact dimensions, mean luma within tolerance) rather
+     *  than exact pixels — the sketch_stats verdict discipline. */
+    def jpeg(payload: Array[Byte]): Array[Byte] = {
+      val (w, h) = grayDims(payload)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var i = 0
+      while (i < w * h) {
+        raster.setSample(i % w, i / w, 0, if (i < payload.length) payload(i) & 0xFF else 0)
+        i += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+
+    /** The shared payload→grayscale geometry (bmp and jpeg agree). */
+    def grayDims(payload: Array[Byte]): (Int, Int) = {
+      val n = math.max(payload.length, 1)
+      val w = math.min(256, math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt))
+      (w, (n + w - 1) / w)
+    }
+
     /** PCM WAV, 16-bit mono 8 kHz; one centered sample per payload byte. */
     def wav(payload: Array[Byte]): Array[Byte] = {
       val dataLen = payload.length * 2
@@ -94,7 +125,52 @@ object Media {
     def decode(format: String, bytes: Array[Byte]): Decoded =
       if (bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
       else if (isWave(bytes)) decodeWav(bytes)
+      else if (isJpeg(bytes)) decodeJpeg(bytes)
       else stub(bytes)
+
+    private def isJpeg(b: Array[Byte]): Boolean =
+      b.length >= 3 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 && (b(2) & 0xFF) == 0xFF
+
+    /** REAL JPEG decode through the JDK codec: full pixel decode, then the
+     *  same BT.601 integer luma accumulation as [[decodeBmp]] (single-band
+     *  grayscale rasters short-circuit to the sample value — BT.601 of
+     *  (v,v,v) is v). Throws on truncated/invalid streams (ImageIO raises
+     *  or returns null), which is exactly what the per-row Try quarantine
+     *  upstream expects from a corrupt container. */
+    def decodeJpeg(b: Array[Byte]): Decoded = {
+      val (w, h, sum) = jpegLumaSum(b)
+      val mean = if (w * h == 0) 0.0 else sum.toDouble / (w.toLong * h) / 255.0
+      (w, h, 0L, mean, fingerprint(b))
+    }
+
+    /** Exact integer luma SUM of a decoded JPEG — the number the
+     *  round-trip verdicts compare against the payload's exact sum. */
+    def jpegLumaSum(b: Array[Byte]): (Int, Int, Long) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      require(img != null, "undecodable JPEG stream")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      val bands = raster.getNumBands
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val luma =
+            if (bands == 1) raster.getSample(x, y, 0)
+            else {
+              val r = raster.getSample(x, y, 0)
+              val g = raster.getSample(x, y, 1)
+              val bl = raster.getSample(x, y, 2)
+              (299 * r + 587 * g + 114 * bl) / 1000
+            }
+          sum += luma
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, sum)
+    }
 
     private def isWave(b: Array[Byte]): Boolean =
       b.length >= 44 && new String(b, 0, 4, "US-ASCII") == "RIFF" &&
@@ -597,6 +673,51 @@ object Media {
         sum(when(not(col("ok")), 1L).otherwise(0L)).as("n_bad"),
         max(when(col("ok"), col("doc_id"))).as("max_good_doc"))
       .orderBy("format")
+  }
+
+  /** REAL-JPEG ROUND-TRIP AUDIT — the honest form of "decode jpeg for
+   *  real": every image doc's grayscale matrix is compressed by the JDK's
+   *  own JPEG codec ([[Containers.jpeg]]) and decoded back through
+   *  [[Codec.jpegLumaSum]] (full ImageIO pixel decode). JPEG is lossy, so
+   *  the oracle asserts CLAIMS rather than pixels — the sketch_stats
+   *  verdict discipline: dimensions must survive the round trip EXACTLY,
+   *  and the decoded mean luma must land within 2 levels of the payload's
+   *  exact integer mean (the DC coefficients a codec must preserve);
+   *  every 41st image is truncated INSIDE its header and must QUARANTINE
+   *  (per-row Try, the corrupt-audit discipline).
+   *  DuckDB restates the claims as exact counts over the same doc set; a
+   *  codec regression (wrong dims, luma drift, truncation accepted)
+   *  flips a verdict and fails the hash compare. Same partition-streamed
+   *  mapPartitions tier as every decode — encode+decode is per-row CPU,
+   *  no shuffle, linear at any corpus size. */
+  def mediaJpegRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .filter(_._1 % 2 == 0)
+      .mapPartitions(_.map { case (id, text) =>
+        val payload = text.getBytes("UTF-8")
+        val (w0, h0) = Containers.grayDims(payload)
+        val exactSum = payload.foldLeft(0L)((s, b) => s + (b & 0xFF))
+        val jpeg = Containers.jpeg(payload)
+        if (id % 41 == 0) {
+          // cut INSIDE the header (not at half): JPEG entropy decoders are
+          // tolerant — a half-cut scan segment can still partially decode
+          // (measured), so only a header-level cut is deterministically
+          // unparseable, which is what an oracled claim needs
+          val quarantined = scala.util.Try(
+            Codec.jpegLumaSum(jpeg.take(24))).isFailure
+          (id, false, false, quarantined)
+        } else {
+          val (w, h, lumaSum) = Codec.jpegLumaSum(jpeg)
+          (id, w == w0 && h == h0,
+            math.abs(lumaSum - exactSum) <= 2L * w0 * h0, false)
+        }
+      })
+      .toDF("doc_id", "dims_ok", "luma_ok", "quarantined")
+      .agg(count(lit(1)).as("n_images"),
+        sum(when(col("dims_ok"), 1L).otherwise(0L)).as("n_dims_ok"),
+        sum(when(col("luma_ok"), 1L).otherwise(0L)).as("n_luma_ok"),
+        sum(when(col("quarantined"), 1L).otherwise(0L)).as("n_quarantined"))
   }
 
   /** Decode + feature-extract: typed `mapPartitions` — each task streams
@@ -1256,6 +1377,16 @@ object Media {
              cast(max(CASE WHEN doc_id % 41 <> 0 THEN doc_id END) as bigint) AS max_good_doc
       FROM documents
       GROUP BY 1 ORDER BY 1""")),
+    // the oracle states the round-trip CLAIMS as exact counts over the
+    // same doc set: all intact images keep their dimensions and mean luma
+    // (within 2 levels), all truncated ones quarantine — a codec
+    // regression flips a count and fails the hash
+    QueryDef("media_jpeg_roundtrip", mediaJpegRoundtrip, Some("""
+      SELECT count(*) AS n_images,
+             cast(sum(CASE WHEN doc_id % 41 <> 0 THEN 1 ELSE 0 END) as bigint) AS n_dims_ok,
+             cast(sum(CASE WHEN doc_id % 41 <> 0 THEN 1 ELSE 0 END) as bigint) AS n_luma_ok,
+             cast(sum(CASE WHEN doc_id % 41 = 0 THEN 1 ELSE 0 END) as bigint) AS n_quarantined
+      FROM documents WHERE doc_id % 2 = 0""")),
     QueryDef("media_meta", mediaMeta, Some("""
       SELECT doc_id,
              CASE WHEN substr(md5(text),1,1) <= '3' THEN 'jpeg'

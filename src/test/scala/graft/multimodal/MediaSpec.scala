@@ -264,4 +264,32 @@ class MediaSpec extends AnyFunSuite {
       "hash must not depend on row storage order")
     assert(Codec.ahash64(bu).get._1 != 0L)
   }
+
+  test("JPEG round-trip: real ImageIO encode+decode keeps dims exactly and luma within 2 levels") {
+    val payload = "the quick brown fox jumps over the lazy dog, repeatedly and at length"
+      .*(20).getBytes("UTF-8")
+    val jpeg = Containers.jpeg(payload)
+    // a real JFIF stream, not a stub artifact
+    assert((jpeg(0) & 0xFF) == 0xFF && (jpeg(1) & 0xFF) == 0xD8)
+    val (w0, h0) = Containers.grayDims(payload)
+    val (w, h, lumaSum) = Codec.jpegLumaSum(jpeg)
+    assert(w == w0 && h == h0)
+    val exact = payload.foldLeft(0L)((s, b) => s + (b & 0xFF))
+    assert(math.abs(lumaSum - exact) <= 2L * w0 * h0,
+      s"mean luma drifted: decoded $lumaSum vs exact $exact over ${w0 * h0} px")
+    // Codec.decode sniffs the JFIF magic and routes to the real decoder
+    val d = Codec.decode("jpeg", jpeg)
+    assert(d._1 == w0 && d._2 == h0)
+  }
+
+  test("JPEG quarantine: a header-truncated stream never decodes quietly") {
+    // deliberately NOT a half-cut: entropy decoders tolerate a cut scan
+    // segment and can return a partial image (measured on this JDK), so
+    // the deterministic quarantine claim cuts inside the header
+    val payload = Array.tabulate(4096)(i => (i * 31 % 251).toByte)
+    val jpeg = Containers.jpeg(payload)
+    val cut = jpeg.take(24)
+    assert(scala.util.Try(Codec.jpegLumaSum(cut)).isFailure,
+      "a header-level cut must throw into the per-row Try quarantine")
+  }
 }
