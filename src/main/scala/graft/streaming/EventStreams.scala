@@ -734,9 +734,23 @@ object EventStreams {
     upserts.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       val root = tempDirWithCleanup("graft_foreach_upsert")
       upsertRoots((spark.sparkContext.applicationId, dir)) = root
+      val q = startUpsertQuery(spark, dir, root, filesPerTrigger)
+      q.awaitTermination()
+      spark.read.parquet(root.resolve("current").toString)
+        .select("user_id", "event_type", "n_events")
+    }).orderBy("user_id", "event_type")
+
+  /** The upsert query itself, start-only — split out so the crash-recovery
+   *  spec can kill it mid-replay (via the `poison` hook, which fires after
+   *  a batch's version directory is fully written but BEFORE the atomic
+   *  repoint — the worst crash point: durable partial side effects, no
+   *  commit) and restart it against the same root/checkpoint. */
+  private[graft] def startUpsertQuery(spark: SparkSession, dir: String,
+      root: java.nio.file.Path, filesPerTrigger: Option[Int] = None,
+      poison: Long => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery = {
       val cur = root.resolve("current")
       val src = eventsStream(spark, dir, filesPerTrigger = filesPerTrigger)
-      val q = withEventTime(src)
+      withEventTime(src)
         .groupBy(col("user_id"), col("event_type"))
         .agg(count(lit(1)).as("n_events"))
         .writeStream
@@ -776,6 +790,7 @@ object EventStreams {
               }
             }
           }
+          poison(batchId) // crash-recovery spec hook: durable version dir, no commit yet
           val link = root.resolve(s"link$batchId")
           Files.deleteIfExists(link)
           Files.createSymbolicLink(link, next)
@@ -785,9 +800,7 @@ object EventStreams {
           ()
         }
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      spark.read.parquet(cur.toString).select("user_id", "event_type", "n_events")
-    }).orderBy("user_id", "event_type")
+  }
 
 
   val defs: Vector[QueryDef] = Vector(
