@@ -50,7 +50,7 @@ object Dedup {
    *  snapshotted once per (application, dir) like [[shingleIndex]], so
    *  the evaluation query never repays the signature chain. */
   private val minhashPairCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    graft.CorpusCaches.register(scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashPairCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       import org.apache.spark.sql.graft.DatasetBridge
@@ -136,7 +136,7 @@ object Dedup {
    *  the same barrier to the corpus level. RDD-level snapshot, so a
    *  consumer's `catalog.clearCache()` can't drop it between readers. */
   private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    graft.CorpusCaches.register(scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
   private[graft] def shingleIndex(spark: SparkSession, dir: String): DataFrame =
     shingleCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       import org.apache.spark.sql.graft.DatasetBridge
@@ -155,7 +155,7 @@ object Dedup {
    *  and each consumer is a pure map-side pass over the artifact — the
    *  shape a 100 TB run materializes to storage. */
   private val pairCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    graft.CorpusCaches.register(scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
   private[graft] def shinglePairCounts(spark: SparkSession, dir: String): DataFrame =
     pairCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       import org.apache.spark.sql.graft.DatasetBridge
@@ -210,7 +210,7 @@ object Dedup {
    *  re-running per consumer (~17 s each at 500k docs). The output is
    *  O(near-dup pairs) — tiny at any scale. */
   private val jaccardPairCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    graft.CorpusCaches.register(scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     jaccardPairCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       import org.apache.spark.sql.graft.DatasetBridge
@@ -224,7 +224,7 @@ object Dedup {
    *  result). Snapshotted once per (application, dir) alongside
    *  [[shingleIndex]] and [[shinglePairCounts]]. */
   private val shingleCountCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    graft.CorpusCaches.register(scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
   private[graft] def docShingleCounts(spark: SparkSession, dir: String): DataFrame =
     shingleCountCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       import org.apache.spark.sql.graft.DatasetBridge
@@ -515,7 +515,7 @@ object Dedup {
    *  can't silently drop it between the two reads. The cached frame is
    *  (node, label) pairs only — O(documents-in-clusters), never text. */
   private val labelCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    graft.CorpusCaches.register(scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
   private[graft] def ngramClusterLabels(spark: SparkSession, dir: String): DataFrame =
     labelCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       import org.apache.spark.sql.graft.DatasetBridge

@@ -308,7 +308,10 @@ case class Int8QuantizeExpr(child: Expression) extends UnaryExpression
       if (a.isNullAt(i)) return null
       val x = if (childIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val ax = math.abs(x)
-      if (ax > s) s = ax
+      // java.lang.Double.compare mirrors Spark/array_max ordering exactly:
+      // NaN counts as greatest, so a NaN element wins the scale the same
+      // way the HOF form it is documented bit-identical to would
+      if (java.lang.Double.compare(ax, s) > 0) s = ax
       i += 1
     }
     val qd = new Array[Double](n)
@@ -388,7 +391,10 @@ case class NearestCellExpr(child: Expression, cents: Array[Array[Double]],
         case Some(ns) => 2.0 * dot - ns(c)
         case None => dot
       }
-      if (best < 0 || score > bestScore) { best = c; bestScore = score }
+      // Double.compare, not >: Spark's double ordering treats NaN as
+      // greatest, so a NaN score must WIN the argmax exactly as the
+      // max_by/array_max forms these expressions mirror would have it
+      if (best < 0 || java.lang.Double.compare(score, bestScore) > 0) { best = c; bestScore = score }
       c += 1
     }
     best
@@ -450,10 +456,10 @@ case class Top2CellsExpr(child: Expression, cents: Array[Array[Double]])
       var dot = 0.0
       i = 0
       while (i < n) { dot += x(i) * cent(i); i += 1 }
-      if (best < 0 || dot > bestScore) {
+      if (best < 0 || java.lang.Double.compare(dot, bestScore) > 0) {
         second = best; secondScore = bestScore
         best = c; bestScore = dot
-      } else if (second < 0 || dot > secondScore) {
+      } else if (second < 0 || java.lang.Double.compare(dot, secondScore) > 0) {
         second = c; secondScore = dot
       }
       c += 1
@@ -524,7 +530,7 @@ case class NearestCellCosExpr(child: Expression, cents: Array[Array[Double]],
       i = 0
       while (i < n) { dot += x(i) * cent(i); i += 1 }
       val score = dot / math.sqrt(xn2 * centN2(c))
-      if (best < 0 || score > bestScore) { best = c; bestScore = score }
+      if (best < 0 || java.lang.Double.compare(score, bestScore) > 0) { best = c; bestScore = score }
       c += 1
     }
     org.apache.spark.sql.catalyst.InternalRow(best, bestScore)

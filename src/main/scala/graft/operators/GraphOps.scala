@@ -42,7 +42,7 @@ object GraphOps {
    *  projection on the order key — the same inverted-index discipline as
    *  the shingle joins, never a cartesian. */
   private val edgeCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    graft.CorpusCaches.register(scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
   private[graft] def bulkCoPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
     edgeCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       import org.apache.spark.sql.graft.DatasetBridge
@@ -166,7 +166,7 @@ object GraphOps {
    *  consumers, snapshotted per (application, dir) exactly like the edge
    *  base (the per-corpus-artifact sharing discipline). */
   private val lpaCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    graft.CorpusCaches.register(scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
   private[graft] def lpaLabels(spark: SparkSession, dir: String): DataFrame =
     lpaCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       import org.apache.spark.sql.graft.DatasetBridge

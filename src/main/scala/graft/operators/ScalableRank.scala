@@ -86,7 +86,7 @@ object ScalableRank {
    *  difference between five full corpus scans and five reads of a ~600k-
    *  row artifact. `key` names the (table, expression) pair. */
   private val vcCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+    graft.CorpusCaches.register(scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame])
   def sharedValueCounts(spark: org.apache.spark.sql.SparkSession, dir: String,
                         key: String, valueCol: String)
                        (build: => DataFrame): DataFrame =
@@ -150,7 +150,16 @@ object ScalableRank {
    *  query costing a full distributed sort and costing ~nothing beyond
    *  the range exchange. `ranksOf` receives the total row count (free
    *  from the count pass) and returns the 1-based global ranks wanted.
-   *  Returns (hit rows + `outCol` = global rank, total). */
+   *  Returns (hit rows + `outCol` = global rank, total).
+   *
+   *  DETERMINISM REQUIREMENT: the histogram fast path scans `df` three
+   *  times (stats, bucket counts, hit scan) with no persist barrier, so
+   *  `df` must be deterministic — a non-deterministic frame (sample,
+   *  shuffle-order-dependent collect_set upstream, rand) could yield
+   *  bucket counts inconsistent with the hit scan and silently drop or
+   *  mislabel hit rows. Every current caller passes a pure projection of
+   *  a parquet table; a future caller with a non-deterministic input must
+   *  persist it first (the range fallback persists precisely for this). */
   def rowsAtGlobalRanks(df: DataFrame, sortCols: Seq[Column],
                         ranksOf: Long => Seq[Long], outCol: String): (DataFrame, Long) = {
     // HISTOGRAM fast path when the LEADING sort key is numeric (every

@@ -172,7 +172,7 @@ object SchemerQueries {
    *  scale factor (the inferred integral widths tighten with data range:
    *  SMALLINT event_id at sf0.01, INT at sf0.1). */
   private val ndjsonDirs =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+    graft.CorpusCaches.register(scala.collection.concurrent.TrieMap.empty[(String, String), String])
   def schemaDrivenRead(spark: SparkSession, dir: String): DataFrame = {
     val path = ndjsonDirs.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_ndjson_" +

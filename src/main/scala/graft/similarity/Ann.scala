@@ -267,7 +267,7 @@ object Ann {
    *  subsets, and the IVF seed collect all read these materialized rows
    *  instead of re-running the quantization per consumer. */
   private val rangeQuantCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    graft.CorpusCaches.register(scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
   private[similarity] def rangeQuantSnapshot(spark: SparkSession, dir: String): DataFrame =
     rangeQuantCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       import org.apache.spark.sql.graft.DatasetBridge
@@ -1026,7 +1026,7 @@ object Ann {
    *  discipline): the Σ|cell|² in-cell pair stage runs once per corpus,
    *  not once per consumer. */
   private val knnEdgeCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    graft.CorpusCaches.register(scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
   private[similarity] def knnEdgesSnapshot(spark: SparkSession, dir: String): DataFrame =
     knnEdgeCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       import org.apache.spark.sql.graft.DatasetBridge

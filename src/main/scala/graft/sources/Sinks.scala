@@ -55,7 +55,13 @@ object Sinks {
   /** The bucket-join input (pre-agg) — separated so the spec can assert
    *  the join subplan is exchange- and sort-free. */
   private[graft] def joinSides(spark: SparkSession, dir: String): DataFrame = {
-    val key = s"${spark.sparkContext.applicationId}_$dir".replaceAll("[^a-zA-Z0-9]", "_")
+    // the bucket count is part of the memo key: if the session's shuffle
+    // partitions change mid-application, a table written under the OLD
+    // count must not be silently reused (consumers and the plan spec's
+    // 'SelectedBucketsCount: n out of n' assertion assume the current conf)
+    val nBucketsForKey = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val key = s"${spark.sparkContext.applicationId}_${dir}_b$nBucketsForKey"
+      .replaceAll("[^a-zA-Z0-9]", "_")
     val base = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_bucketed_$key"
     val (tOrders, tLine) = (s"graft_bkt_orders_$key", s"graft_bkt_lineitem_$key")
     // bucket count sized like a shuffle, NOT a constant: a bucketed scan
@@ -65,7 +71,7 @@ object Sinks {
     // shuffle-partition-sized buckets restore linear scaling). On a real
     // lake the same rule applies: pick buckets for the TABLE's size so
     // each bucket lands near the cluster's split target.
-    val nBuckets = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val nBuckets = nBucketsForKey
     if (written.add(base)) {
       // repartition on the bucket key first: ONE file per bucket, which is
       // the layout Spark trusts to elide the merge-join sort (with several

@@ -257,7 +257,7 @@ object EventStreams {
       enriched: DataFrame, sliding: DataFrame, typeUserCounts: DataFrame,
       attributed: DataFrame, fileSink: DataFrame, sessionWin: DataFrame,
       dedupWm: DataFrame, leftJoin: DataFrame, cep: DataFrame, backfill: DataFrame)
-  private val replays = scala.collection.concurrent.TrieMap.empty[String, Replay]
+  private val replays = graft.CorpusCaches.register(scala.collection.concurrent.TrieMap.empty[String, Replay])
 
   /** One shared AvailableNow replay per sf directory: the four streaming
    *  harness queries start concurrently and are awaited together, then each
@@ -726,7 +726,7 @@ object EventStreams {
   // stopped SparkContext. Roots are exposed so specs can audit per-batch
   // file identity across target versions.
   private val upserts =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    graft.CorpusCaches.register(scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
   private[graft] val upsertRoots =
     scala.collection.concurrent.TrieMap.empty[(String, String), java.nio.file.Path]
   def streamForeachUpsert(spark: SparkSession, dir: String,

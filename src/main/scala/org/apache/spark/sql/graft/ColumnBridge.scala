@@ -42,11 +42,26 @@ object DatasetBridge {
   private val level: org.apache.spark.storage.StorageLevel =
     graft.Tuning.snapshotLevel
 
+  // every live snapshot, so a long multi-corpus session can release the
+  // pinned storage in bulk (graft.CorpusCaches.releaseAll) instead of
+  // accumulating one persisted artifact per (application, dir) forever
+  private val live = new java.util.concurrent.ConcurrentLinkedQueue[Snapshot]()
+
   def snapshot(df: org.apache.spark.sql.DataFrame): Snapshot = {
     val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val rdd = df.queryExecution.toRdd.map(_.copy())
     rdd.persist(level)
-    Snapshot(spark.internalCreateDataFrame(rdd, df.schema), rdd)
+    val s = Snapshot(spark.internalCreateDataFrame(rdd, df.schema), rdd)
+    live.add(s)
+    s
+  }
+
+  /** Unpersist every snapshot this application has taken. Safe at any
+   *  point: the RDDs keep lineage, so a memoized DataFrame that outlives
+   *  its release simply recomputes. */
+  def releaseAll(): Unit = {
+    var s = live.poll()
+    while (s != null) { s.release(); s = live.poll() }
   }
 }
 
