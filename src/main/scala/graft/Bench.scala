@@ -50,6 +50,15 @@ object Bench {
         // drop frames persisted inside the query so caches don't accumulate
         // across the loop and GC-skew later measurements
         spark.catalog.clearCache()
+        // shuffle files are reaped by ContextCleaner only when their
+        // dependencies are GC'd — a 48g heap under a big corpus can run
+        // hundreds of queries between collections, so dead spill from
+        // completed queries ACCUMULATES until the disk fills (measured:
+        // the first full sf100 attempt hit ENOSPC in the dedup family
+        // with 45 GB of dead shuffle on disk). Nudge a collection after
+        // any query expensive enough to have spilled; sub-2s queries
+        // (the whole sf0.1 driver gate) never pay the ~100 ms cost.
+        if (sec > 2.0) System.gc()
         sec
       }
       // Steady state = min of two runs, but only when the first run is slow

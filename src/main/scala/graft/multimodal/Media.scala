@@ -29,6 +29,11 @@ import java.nio.{ByteBuffer, ByteOrder}
  */
 object Media {
 
+  // ImageIO's default stream cache writes a TEMP FILE per encode/decode
+  // call — per-row disk churn on a tier that processes millions of small
+  // in-memory images per task; the memory cache is strictly better here
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** One media row: opaque payload + typed metadata. */
   final case class MediaRecord(doc_id: Long, media: Array[Byte], format: String, n_bytes: Long)
 
