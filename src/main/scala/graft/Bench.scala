@@ -38,7 +38,24 @@ object Bench {
     // silently: a failure at a new scale factor must show up as data, not
     // as a plausible-looking duration
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Family-boundary artifact release for bounded-scratch hosts
+    // (SPARK_GRAFT_RELEASE_PER_FAMILY=1): a memoized DatasetBridge
+    // snapshot keeps its LINEAGE, which pins the entire build shuffle
+    // chain on disk for the memo's lifetime — across 248 queries at sf100
+    // the pinned dead spill grew past this box's ~94 GB volume twice
+    // (ENOSPC mid-dedup both runs). Releasing at query-family boundaries
+    // bounds resident scratch to one family's artifact set while keeping
+    // the within-family sharing that the cost model documents; on a real
+    // cluster with TB-scale executor scratch the flag stays off.
+    val releasePerFamily = sys.env.get("SPARK_GRAFT_RELEASE_PER_FAMILY").contains("1")
+    var prevFamily = ""
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val family = name.takeWhile(_ != '_')
+      if (releasePerFamily && family != prevFamily && prevFamily.nonEmpty) {
+        CorpusCaches.releaseAll()
+        System.gc()
+      }
+      prevFamily = family
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
