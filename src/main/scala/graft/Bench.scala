@@ -48,10 +48,23 @@ object Bench {
     // the within-family sharing that the cost model documents; on a real
     // cluster with TB-scale executor scratch the flag stays off.
     val releasePerFamily = sys.env.get("SPARK_GRAFT_RELEASE_PER_FAMILY").contains("1")
+    // Disk-pressure release (SPARK_GRAFT_MIN_FREE_GB=n): even within one
+    // family, the lineage-pinned artifact set plus a single heavyweight
+    // query's ~25 GB transient spill can overrun a small scratch volume
+    // (attempt 3 still ENOSPC'd mid-dedup with family releases alone).
+    // When free space under the shuffle dir falls below the floor, drop
+    // every memo before the next query — the query rebuilds exactly the
+    // artifacts it needs with the whole volume available. Spill-aware
+    // scheduling, not a cost-model change; off unless set.
+    val minFreeBytes = sys.env.get("SPARK_GRAFT_MIN_FREE_GB").map(_.toLong * (1L << 30))
+    val tmpStore = java.nio.file.Files.getFileStore(
+      java.nio.file.Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp")))
     var prevFamily = ""
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val family = name.takeWhile(_ != '_')
-      if (releasePerFamily && family != prevFamily && prevFamily.nonEmpty) {
+      val familyChanged = family != prevFamily && prevFamily.nonEmpty
+      val diskLow = minFreeBytes.exists(_ > tmpStore.getUsableSpace)
+      if ((releasePerFamily && familyChanged) || diskLow) {
         CorpusCaches.releaseAll()
         System.gc()
       }
