@@ -21,11 +21,15 @@ import java.nio.{ByteBuffer, ByteOrder}
  * and are verified round-trip in MediaSpec — plus JPEG, which encodes AND
  * decodes through the JDK's own `javax.imageio` codec (real lossy
  * compression; oracled via round-trip claim verdicts, see
- * [[mediaJpegRoundtrip]]). Only mp4 — the one format with no JDK codec —
- * falls back to a clearly-marked DETERMINISTIC STUB; the Spark-side
- * plumbing (schema, binary payloads, partition-streamed `mapPartitions`
- * batching, explode-style frame sampling) is identical for all formats, so
- * swapping that last stub for a real codec changes no plan shape.
+ * [[mediaJpegRoundtrip]]), and MP4, whose ISO BMFF container is written and
+ * parsed box-exact (`Containers.mp4` / `Codec.mp4Info` — ftyp/moov/trak/
+ * stbl walk per ISO/IEC 14496-12): dimensions, duration, sample count and
+ * chunk offsets are all genuinely parsed. The ONE remaining non-real step
+ * is mp4 pixel decoding (no JDK video codec exists): pixel-level stats read
+ * the parsed mdat sample bytes directly instead of decoding a video frame.
+ * The Spark-side plumbing (schema, binary payloads, partition-streamed
+ * `mapPartitions` batching, explode-style frame sampling) is identical for
+ * all formats, so a real video codec would change no plan shape.
  */
 object Media {
 
@@ -120,6 +124,110 @@ object Media {
       payload.foreach(b => out.putShort((((b & 0xFF) - 128) * 256).toShort))
       out.array()
     }
+
+    /** Bytes per video sample in the synthesized MP4 track. */
+    val Mp4SampleBytes = 32
+
+    /** Media timescale ticks per sample (timescale 1000 ⇒ 25 fps). */
+    val Mp4SampleDelta = 40
+
+    /** REAL ISO BMFF (MP4) container — the public ISO/IEC 14496-12 box
+     *  layout written byte-exact, big-endian: `ftyp` + `moov(mvhd,
+     *  trak(tkhd, mdia(mdhd, hdlr, minf(vmhd, dinf/dref, stbl(stsd['raw '],
+     *  stts, stsc, stsz, stco)))))` + `mdat`. The payload becomes the
+     *  track's media data as uniform 32-byte video samples at 25 fps
+     *  (timescale 1000, sample delta 40), zero-padded to a whole sample;
+     *  frame geometry is the shared [[grayDims]] rule, stored as 16.16
+     *  fixed-point in `tkhd` and uint16 in the sample entry. `moov`
+     *  precedes `mdat` (the streaming layout), so `stco` carries one
+     *  absolute chunk offset. Everything [[Codec.decodeMp4]] reports —
+     *  dimensions, timescale, duration, sample count/size, chunk offset —
+     *  is genuinely parsed back out of these boxes; only the sample BYTES
+     *  themselves have no JDK codec, so pixel-level stats read the mdat
+     *  payload directly. */
+    def mp4(payload: Array[Byte]): Array[Byte] = {
+      val (w, h) = grayDims(payload)
+      val nSamples = math.max(1, (payload.length + Mp4SampleBytes - 1) / Mp4SampleBytes)
+      val duration = nSamples * Mp4SampleDelta
+      val dataLen = nSamples * Mp4SampleBytes
+      // box sizes, bottom-up (each constant is header + fixed fields)
+      val stsd = 16 + 86; val stts = 24; val stsc = 28; val stsz = 20; val stco = 20
+      val stbl = 8 + stsd + stts + stsc + stsz + stco
+      val vmhd = 20; val dinf = 36
+      val minf = 8 + vmhd + dinf + stbl
+      val mdhd = 32; val hdlr = 33
+      val mdia = 8 + mdhd + hdlr + minf
+      val tkhd = 92
+      val trak = 8 + tkhd + mdia
+      val mvhd = 108
+      val moov = 8 + mvhd + trak
+      val ftyp = 16
+      val dataOff = ftyp + moov + 8 // absolute offset of the single chunk
+      val out = ByteBuffer.allocate(dataOff + dataLen) // BMFF is big-endian (ByteBuffer default)
+      def fourcc(s: String): Unit = out.put(s.getBytes("US-ASCII"))
+      def zeros(n: Int): Unit = { var i = 0; while (i < n) { out.put(0.toByte); i += 1 } }
+      // ftyp: major brand isom, minor version 0, no compatible brands
+      out.putInt(ftyp); fourcc("ftyp"); fourcc("isom"); out.putInt(0)
+      out.putInt(moov); fourcc("moov")
+      // mvhd v0: timescale 1000, movie duration, rate 1.0, volume 1.0,
+      // identity matrix, next track id 2
+      out.putInt(mvhd); fourcc("mvhd"); out.putInt(0)
+      out.putInt(0).putInt(0).putInt(1000).putInt(duration)
+      out.putInt(0x00010000).putShort(0x0100.toShort).putShort(0); zeros(8)
+      out.putInt(0x00010000).putInt(0).putInt(0)
+      out.putInt(0).putInt(0x00010000).putInt(0)
+      out.putInt(0).putInt(0).putInt(0x40000000)
+      zeros(24); out.putInt(2)
+      out.putInt(trak); fourcc("trak")
+      // tkhd v0 flags=3 (enabled|in-movie): track 1, duration, identity
+      // matrix, width/height as 16.16 fixed point
+      out.putInt(tkhd); fourcc("tkhd"); out.putInt(3)
+      out.putInt(0).putInt(0).putInt(1).putInt(0).putInt(duration); zeros(8)
+      out.putShort(0).putShort(0).putShort(0).putShort(0)
+      out.putInt(0x00010000).putInt(0).putInt(0)
+      out.putInt(0).putInt(0x00010000).putInt(0)
+      out.putInt(0).putInt(0).putInt(0x40000000)
+      out.putInt(w << 16).putInt(h << 16)
+      out.putInt(mdia); fourcc("mdia")
+      // mdhd v0: media timescale 1000, duration, language 'und'
+      out.putInt(mdhd); fourcc("mdhd"); out.putInt(0)
+      out.putInt(0).putInt(0).putInt(1000).putInt(duration)
+      out.putShort(0x55C4.toShort).putShort(0)
+      // hdlr: video handler, empty NUL-terminated name
+      out.putInt(hdlr); fourcc("hdlr"); out.putInt(0)
+      out.putInt(0); fourcc("vide"); zeros(12); out.put(0.toByte)
+      out.putInt(minf); fourcc("minf")
+      // vmhd v0 flags=1 (spec requires the flag), graphics mode copy
+      out.putInt(vmhd); fourcc("vmhd"); out.putInt(1)
+      out.putShort(0); zeros(6)
+      // dinf/dref: one self-contained url entry
+      out.putInt(dinf); fourcc("dinf")
+      out.putInt(28); fourcc("dref"); out.putInt(0).putInt(1)
+      out.putInt(12); fourcc("url "); out.putInt(1)
+      out.putInt(stbl); fourcc("stbl")
+      // stsd: one 'raw ' visual sample entry carrying the frame geometry
+      out.putInt(stsd); fourcc("stsd"); out.putInt(0).putInt(1)
+      out.putInt(86); fourcc("raw "); zeros(6); out.putShort(1)
+      out.putShort(0).putShort(0); zeros(12)
+      out.putShort(w.toShort).putShort(h.toShort)
+      out.putInt(0x00480000).putInt(0x00480000).putInt(0)
+      out.putShort(1); zeros(32); out.putShort(0x0018.toShort).putShort(0xFFFF.toShort)
+      // stts: one run of nSamples samples, 40 ticks each
+      out.putInt(stts); fourcc("stts"); out.putInt(0).putInt(1)
+      out.putInt(nSamples).putInt(Mp4SampleDelta)
+      // stsc: one chunk holding every sample
+      out.putInt(stsc); fourcc("stsc"); out.putInt(0).putInt(1)
+      out.putInt(1).putInt(nSamples).putInt(1)
+      // stsz: uniform 32-byte samples
+      out.putInt(stsz); fourcc("stsz"); out.putInt(0)
+      out.putInt(Mp4SampleBytes).putInt(nSamples)
+      // stco: the single chunk's absolute file offset
+      out.putInt(stco); fourcc("stco"); out.putInt(0).putInt(1).putInt(dataOff)
+      // mdat: payload, zero-padded to a whole sample
+      out.putInt(8 + dataLen); fourcc("mdat")
+      out.put(payload); zeros(dataLen - payload.length)
+      out.array()
+    }
   }
 
   /** The codec: sniffs the container by magic bytes. BMP and WAV decode for
@@ -131,7 +239,9 @@ object Media {
       if (bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
       else if (isWave(bytes)) decodeWav(bytes)
       else if (isJpeg(bytes)) decodeJpeg(bytes)
-      else stub(bytes)
+      else if (isMp4(bytes)) decodeMp4(bytes)
+      else throw new IllegalArgumentException(
+        s"unrecognized container (declared '$format') — quarantine")
 
     private def isJpeg(b: Array[Byte]): Boolean =
       b.length >= 3 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 && (b(2) & 0xFF) == 0xFF
@@ -238,6 +348,104 @@ object Media {
       while (i < nSamples) { sum += math.abs(buf.getShort(dataOff + i * 2).toInt); i += 1 }
       val durationMs = nSamples * 1000L / sampleRate
       (0, 0, durationMs, if (nSamples == 0) 0.0 else sum.toDouble / nSamples / 32768.0, fingerprint(b))
+    }
+
+    private def isMp4(b: Array[Byte]): Boolean =
+      b.length >= 12 && new String(b, 4, 4, "US-ASCII") == "ftyp"
+
+    /** Parsed MP4 track facts — every field read out of real boxes. */
+    final case class Mp4Info(width: Int, height: Int, durationMs: Long,
+        nSamples: Int, sampleBytes: Int, dataOff: Int)
+
+    /** Child boxes of the byte range [start, end): (fourcc, contentStart,
+     *  contentEnd). Validates every declared box length against the buffer —
+     *  a truncated file ALWAYS fails here (some box's declared end passes
+     *  the cut), which is exactly the quarantine signal the corrupt audit
+     *  relies on. Rejects 64-bit largesize boxes (size==1) and size==0
+     *  ("to end of file") as unsupported layouts rather than guessing. */
+    private def boxChildren(b: Array[Byte], start: Int, end: Int): List[(String, Int, Int)] = {
+      val buf = ByteBuffer.wrap(b)
+      var pos = start
+      val out = List.newBuilder[(String, Int, Int)]
+      while (pos < end) {
+        require(pos + 8 <= end, s"truncated box header at $pos")
+        val size = buf.getInt(pos)
+        require(size >= 8, s"unsupported box size $size at $pos")
+        require(pos + size <= end, s"box at $pos overruns: $size bytes declared, ${end - pos} present")
+        out += ((new String(b, pos + 4, 4, "US-ASCII"), pos + 8, pos + size))
+        pos += size
+      }
+      out.result()
+    }
+
+    private def child(boxes: List[(String, Int, Int)], fourcc: String): (Int, Int) =
+      boxes.collectFirst { case (t, s, e) if t == fourcc => (s, e) }
+        .getOrElse(throw new IllegalArgumentException(s"missing $fourcc box"))
+
+    /** REAL ISO BMFF parse — the ftyp/moov/trak/stbl walk over the public
+     *  ISO/IEC 14496-12 layout: dimensions from `tkhd`'s 16.16 fixed-point
+     *  fields, duration from `mdhd`'s timescale+duration, sample count and
+     *  uniform size from `stsz`, the chunk offset from `stco` — and every
+     *  declared box length validated against the buffer, so structural
+     *  truncation anywhere in the file throws (the audit's quarantine
+     *  signal is real parsing, not byte-count heuristics). */
+    def mp4Info(b: Array[Byte]): Mp4Info = {
+      require(isMp4(b), "not an ISO BMFF stream")
+      val top = boxChildren(b, 0, b.length)
+      val buf = ByteBuffer.wrap(b)
+      val (moovS, moovE) = child(top, "moov")
+      child(top, "mdat") // must be present and structurally whole
+      val moov = boxChildren(b, moovS, moovE)
+      val (trakS, trakE) = child(moov, "trak")
+      val trak = boxChildren(b, trakS, trakE)
+      val (tkhdS, tkhdE) = child(trak, "tkhd")
+      require(tkhdE - tkhdS >= 84 && buf.get(tkhdS) == 0, "unsupported tkhd version")
+      val width = buf.getInt(tkhdE - 8) >>> 16
+      val height = buf.getInt(tkhdE - 4) >>> 16
+      val (mdiaS, mdiaE) = child(trak, "mdia")
+      val mdia = boxChildren(b, mdiaS, mdiaE)
+      val (mdhdS, mdhdE) = child(mdia, "mdhd")
+      require(mdhdE - mdhdS >= 24 && buf.get(mdhdS) == 0, "unsupported mdhd version")
+      val timescale = buf.getInt(mdhdS + 12)
+      val duration = buf.getInt(mdhdS + 16)
+      require(timescale > 0, "mdhd timescale must be positive")
+      val (minfS, minfE) = child(mdia, "minf")
+      val (stblS, stblE) = child(boxChildren(b, minfS, minfE), "stbl")
+      val stbl = boxChildren(b, stblS, stblE)
+      val (stszS, _) = child(stbl, "stsz")
+      val sampleBytes = buf.getInt(stszS + 4)
+      val nSamples = buf.getInt(stszS + 8)
+      require(sampleBytes > 0, "per-sample size tables unsupported (uniform stsz only)")
+      val (stcoS, _) = child(stbl, "stco")
+      require(buf.getInt(stcoS + 4) == 1, "multi-chunk stco unsupported")
+      val dataOff = buf.getInt(stcoS + 8)
+      require(dataOff >= 0 && dataOff.toLong + nSamples.toLong * sampleBytes <= b.length,
+        s"sample data [$dataOff, +${nSamples.toLong * sampleBytes}) overruns ${b.length} bytes")
+      Mp4Info(width, height, duration.toLong * 1000L / timescale, nSamples, sampleBytes, dataOff)
+    }
+
+    /** MP4 decode: genuine box-walk metadata ([[mp4Info]]); mean_level is
+     *  the mean mdat sample byte — the one non-parsed number (no JDK video
+     *  codec exists), read from the REAL parsed sample region. */
+    def decodeMp4(b: Array[Byte]): Decoded = {
+      val info = mp4Info(b)
+      val total = info.nSamples.toLong * info.sampleBytes
+      var sum = 0L
+      var i = 0
+      while (i < total) { sum += b(info.dataOff + i) & 0xFF; i += 1 }
+      val mean = if (total == 0) 0.0 else sum.toDouble / total / 255.0
+      (info.width, info.height, info.durationMs, mean, fingerprint(b))
+    }
+
+    /** The track's samples, read through the REAL sample table (stsz count
+     *  and size, stco chunk offset): every `stride`-th sample as
+     *  (sample_idx, bytes) — the honest frame-sampling path. */
+    def mp4Samples(b: Array[Byte], stride: Int): Iterator[(Int, Array[Byte])] = {
+      val info = mp4Info(b)
+      Iterator.range(0, info.nSamples, stride).map { i =>
+        val off = info.dataOff + i * info.sampleBytes
+        (i, java.util.Arrays.copyOfRange(b, off, off + info.sampleBytes))
+      }
     }
 
     /** BMP writer from a grayscale pixel matrix (row 0 = top), the inverse
@@ -379,22 +587,6 @@ object Media {
         w += 1
       }
       out.result()
-    }
-
-    /** STUB for formats without an in-container codec (jpeg, mp4): derives
-     *  plausible, deterministic features from raw bytes. A real codec slots
-     *  in here with the same signature and batching. */
-    def stub(bytes: Array[Byte]): Decoded = {
-      var h = 1125899906842597L
-      var sum = 0L
-      var i = 0
-      while (i < bytes.length) {
-        h = h ^ ((h << 13) + (bytes(i) & 0xFF)); sum += (bytes(i) & 0xFF); i += 1
-      }
-      val width = 64 + math.floorMod(h, 1024).toInt
-      val height = 64 + math.floorMod(h >> 10, 1024).toInt
-      val meanLuma = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length / 255.0
-      (width, height, 0L, meanLuma, h)
     }
 
     /** Perceptual average-hash (aHash) of a 24-bit BMP: decode to the
@@ -652,6 +844,21 @@ object Media {
       })
   }
 
+  /** REAL MP4 container table: fully valid ISO BMFF files built from the
+   *  documents the content-hash bucket tags as video (the same `md5 > 'b'`
+   *  subset [[mediaTable]] labels mp4) — the rows every mp4 query decodes
+   *  through the genuine box walk. */
+  def mp4Containers(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .filter(substring(md5(col("text")), 1, 1) > "b")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val media = Containers.mp4(text.getBytes("UTF-8"))
+        MediaRecord(id, media, "mp4", media.length.toLong)
+      })
+  }
+
   /** CORRUPT-CONTAINER AUDIT — the decode tier's quarantine path (the
    *  media twin of schema_corrupt_audit): every 41st container is
    *  deterministically truncated to half its bytes, each record is
@@ -664,11 +871,18 @@ object Media {
    *  no length at which half a container still parses). */
   def mediaCorruptAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    mediaContainers(spark, dir)
+    mediaContainers(spark, dir).union(mp4Containers(spark, dir))
       .mapPartitions(_.map { r =>
         val m = if (r.doc_id % 41 == 0) r.media.take(r.media.length / 2) else r.media
         val ok = scala.util.Try {
-          if (r.format == "bmp") Codec.decodeBmp(m) else Codec.decodeWav(m)
+          r.format match {
+            case "bmp" => Codec.decodeBmp(m)
+            case "wav" => Codec.decodeWav(m)
+            // mp4 quarantine is REAL structural parsing: the half-cut file
+            // always leaves some declared box end past the cut (moov for
+            // short payloads, mdat for long ones) and the box walk throws
+            case _ => Codec.decodeMp4(m)
+          }
         }.isSuccess
         (r.doc_id, r.format, ok)
       })
@@ -737,17 +951,15 @@ object Media {
     }
   }
 
-  /** Frame sampling for "video" payloads: every `stride`-th fixed-size
-   *  chunk becomes one frame row (doc_id, frame_idx, frame bytes) — the
-   *  explode shape a real video pipeline uses, with deterministic fakes. */
-  def sampleFrames(media: Dataset[MediaRecord], frameSize: Int, stride: Int): DataFrame = {
+  /** Frame sampling over REAL containers: every `stride`-th sample of each
+   *  video's parsed sample table ([[Codec.mp4Samples]] — stsz count/size,
+   *  stco offset) becomes one frame row (doc_id, frame_idx, frame bytes) —
+   *  the explode shape a real video pipeline uses, streamed per partition
+   *  so no task ever holds more than one container. */
+  def sampleMp4Frames(media: Dataset[MediaRecord], stride: Int): DataFrame = {
     import media.sparkSession.implicits._
-    media.flatMap { r =>
-      val nFrames = r.media.length / frameSize
-      (0 until nFrames by stride).map { i =>
-        (r.doc_id, i, r.media.slice(i * frameSize, (i + 1) * frameSize))
-      }
-    }.toDF("doc_id", "frame_idx", "frame")
+    media.flatMap(r => Codec.mp4Samples(r.media, stride).map { case (i, f) => (r.doc_id, i, f) })
+      .toDF("doc_id", "frame_idx", "frame")
   }
 
   // ---- harness queries -----------------------------------------------------
@@ -972,21 +1184,19 @@ object Media {
       .orderBy("doc_id")
   }
 
-  /** Scene-cut detection over the sampled frame stream: per-frame energy
-   *  (byte sum), then the absolute delta between consecutive SAMPLED
-   *  frames — a jump above the threshold marks a content cut. The
-   *  video-side shape of the audio loudness pass: energies are computed
-   *  in the same typed map the frames stream through (no second decode),
-   *  the delta is a lag window over the HIGH-cardinality doc key, and the
-   *  rollup is one aggregate. Exactly oracle-able: frame bytes are ASCII
-   *  text bytes, so SQL replays energy, lag and threshold bit-for-bit. */
+  /** Scene-cut detection over the sampled frame stream of the PARSED
+   *  containers: per-frame energy (sample-byte sum), then the absolute
+   *  delta between consecutive SAMPLED frames — a jump above the threshold
+   *  marks a content cut. The video-side shape of the audio loudness pass:
+   *  energies are computed in the same typed map the frames stream through
+   *  (no second decode), the delta is a lag window over the
+   *  HIGH-cardinality doc key, and the rollup is one aggregate. Exactly
+   *  oracle-able: the sample bytes are the ASCII text payload (tail frame
+   *  zero-padded), so SQL replays energy, lag and threshold bit-for-bit. */
   def sceneCuts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val vids = mediaTable(spark, dir)
-      .filter(col("format") === "mp4")
-      .select("doc_id", "media", "format", "n_bytes").as[MediaRecord]
-    val energies = sampleFrames(vids, frameSize = 32, stride = 2)
+    val energies = sampleMp4Frames(mp4Containers(spark, dir), stride = 2)
       .as[(Long, Int, Array[Byte])]
       .map { case (id, i, f) => (id, i, f.foldLeft(0L)((a, b) => a + (b & 0xFF))) }
       .toDF("doc_id", "frame_idx", "energy")
@@ -1000,16 +1210,30 @@ object Media {
       .orderBy("doc_id")
   }
 
-  /** Frame sampling stats: frames per doc for the "videos". */
+  /** Frame sampling stats: sampled frames per video, through the REAL
+   *  sample table (stsz/stco) of the parsed container. */
   def frameSampleStats(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val vids = mediaTable(spark, dir)
-      .filter(col("format") === "mp4")
-      .select("doc_id", "media", "format", "n_bytes").as[MediaRecord]
-    sampleFrames(vids, frameSize = 32, stride = 2)
+    sampleMp4Frames(mp4Containers(spark, dir), stride = 2)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_frames"),
         max(octet_length(col("frame"))).cast("bigint").as("frame_bytes"))
+      .orderBy("doc_id")
+  }
+
+  /** MP4 METADATA — the box-walk facts per video, every column genuinely
+   *  parsed: dimensions from tkhd's 16.16 fields, duration from mdhd's
+   *  timescale+duration, frame count from stsz, and the container size the
+   *  builder's geometry predicts from the payload length alone — so the
+   *  SQL oracle checks the WRITER and the PARSER against each other. */
+  def mp4Meta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mp4Containers(spark, dir)
+      .mapPartitions(_.map { r =>
+        val info = Codec.mp4Info(r.media)
+        (r.doc_id, info.width.toLong, info.height.toLong,
+          info.durationMs, info.nSamples.toLong, r.n_bytes)
+      })
+      .toDF("doc_id", "width", "height", "duration_ms", "n_frames", "n_bytes")
       .orderBy("doc_id")
   }
 
@@ -1340,16 +1564,21 @@ object Media {
       ORDER BY id_a, id_b""")),
     // frame j of doc d covers text chars [j·32+1, j·32+32]; sampled frames
     // are the even indices (stride 2), energy = Σ ascii codes
+    // frames come from the PARSED sample table: ceil(n/32) uniform samples,
+    // the last zero-padded — pad bytes contribute 0, so the tail frame's
+    // energy is the sum of the in-range text bytes only
     QueryDef("media_scene_cuts", sceneCuts, Some("""
       WITH vids AS (
-        SELECT doc_id, text, octet_length(encode(text)) AS n
+        SELECT doc_id, text, octet_length(encode(text)) AS n,
+               greatest(1, (octet_length(encode(text)) + 31) // 32) AS ns
         FROM documents WHERE substr(md5(text), 1, 1) > 'b'),
       en AS (
         SELECT v.doc_id, u.frame_idx,
-               cast(sum(ascii(substr(v.text, cast(u.frame_idx*32 + w.j as int), 1))) as bigint)
+               cast(coalesce(sum(CASE WHEN u.frame_idx*32 + w.j <= v.n THEN
+                 ascii(substr(v.text, cast(u.frame_idx*32 + w.j as int), 1)) END), 0) as bigint)
                  AS energy
         FROM vids v,
-             unnest(range(0, v.n // 32)) u(frame_idx),
+             unnest(range(0, v.ns)) u(frame_idx),
              unnest(range(1, 33)) w(j)
         WHERE u.frame_idx % 2 = 0
         GROUP BY 1, 2),
@@ -1374,13 +1603,18 @@ object Media {
              cast(sum(energy) as bigint) AS total_energy
       FROM e GROUP BY doc_id ORDER BY doc_id""")),
     // exact twin: the failure set is the deterministic truncation rule
-    // (valid containers never throw; half-truncated ones always do)
+    // (valid containers never throw; half-truncated ones always do — for
+    // mp4 because the real box walk finds a declared box end past the cut)
     QueryDef("media_corrupt_audit", mediaCorruptAudit, Some("""
-      SELECT CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
-             count(*) AS n_files,
+      WITH f AS (
+        SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 'mp4' FROM documents WHERE substr(md5(text), 1, 1) > 'b')
+      SELECT format, count(*) AS n_files,
              cast(sum(CASE WHEN doc_id % 41 = 0 THEN 1 ELSE 0 END) as bigint) AS n_bad,
              cast(max(CASE WHEN doc_id % 41 <> 0 THEN doc_id END) as bigint) AS max_good_doc
-      FROM documents
+      FROM f
       GROUP BY 1 ORDER BY 1""")),
     // the oracle states the round-trip CLAIMS as exact counts over the
     // same doc set: all intact images keep their dimensions and mean luma
@@ -1454,17 +1688,33 @@ object Media {
       SELECT doc_id, new_w, new_h,
              54 + ((new_w*3 + 3) // 4) * 4 * new_h AS new_bytes
       FROM dims ORDER BY doc_id""")),
-    // frame geometry is pure octet_length arithmetic: payload = UTF-8 text
-    // bytes, nFrames = len/32 (floor), sampled every 2nd frame =>
-    // (len/32 + 1)/2 rows, and each slice is exactly 32 bytes because
-    // (i+1)*32 <= nFrames*32 <= len; docs with len < 32 emit no rows
+    // frame geometry is the PARSED sample table, whose shape the builder
+    // derives from octet_length alone: ns = max(1, ceil(len/32)) uniform
+    // 32-byte samples (tail zero-padded), sampled every 2nd => (ns+1)/2
+    // rows per doc — every doc emits at least one frame
     QueryDef("media_frame_samples", frameSampleStats, Some("""
       SELECT doc_id,
-             (octet_length(encode(text)) // 32 + 1) // 2 AS n_frames,
+             (greatest(1, (octet_length(encode(text)) + 31) // 32) + 1) // 2 AS n_frames,
              cast(32 as bigint) AS frame_bytes
       FROM documents
       WHERE substr(md5(text),1,1) > 'b'
-        AND octet_length(encode(text)) >= 32
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+    // writer vs parser cross-check: every column is read back out of real
+    // boxes (tkhd 16.16 dims, mdhd timescale+duration, stsz count), and the
+    // oracle recomputes what the builder geometry says those boxes must
+    // hold from the payload length alone — 579 header bytes + ns*32 data
+    QueryDef("media_mp4_meta", mp4Meta, Some("""
+      WITH v AS (
+        SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+        WHERE substr(md5(text), 1, 1) > 'b'),
+      c AS (
+        SELECT doc_id, greatest(n, 1) AS n1,
+               least(256, greatest(1, cast(ceil(sqrt(cast(greatest(n, 1) as double))) as bigint))) AS w,
+               greatest(1, (n + 31) // 32) AS ns
+        FROM v)
+      SELECT doc_id, w AS width, (n1 + w - 1) // w AS height,
+             ns * 40 AS duration_ms, ns AS n_frames,
+             579 + ns * 32 AS n_bytes
+      FROM c ORDER BY doc_id"""))
   )
 }

@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
 /**
  * The schema-inference engine exposed as harness queries.
  *
- * The full DDL string is not SQL-expressible, so per the contract the
- * inference queries are registered without oracles (rows-only check) and the
- * decomposed witness SUB-RULES (SURVEY.md §2.1) get exact DuckDB oracles:
- * longest-string witness, numeric min/max/scale witness, null-only
- * detection, and integral-fit bucketing.
+ * Every inference query carries an exact DuckDB oracle — including the full
+ * DDL strings, whose every render rule has a closed SQL form on these
+ * projections (integral buckets, VARCHAR(maxlen), the FLOAT/DOUBLE/NUMERIC
+ * ladder, single-key struct bodies) — plus the decomposed witness SUB-RULES
+ * (SURVEY.md §2.1): longest-string witness, numeric min/max/scale witness,
+ * null-only detection, and integral-fit bucketing.
  */
 object SchemerQueries {
 
@@ -300,7 +301,39 @@ object SchemerQueries {
                    max(cast(json_extract(props, '$$.k') as bigint)) AS mx
             FROM events GROUP BY 1) s
       ORDER BY event_type""")),
-    QueryDef("schema_events_full", schemaEventsFull, None),
+    // the full DDL string: every piece has a closed SQL form on this
+    // projection — integral bucket for event_id, VARCHAR(maxlen) for
+    // event_type, and the FLOAT/DOUBLE/NUMERIC ladder for value. The
+    // double's witness scale comes from its shortest-round-trip text
+    // (Spark's to_json and DuckDB's varchar cast agree in the non-E-notation
+    // range this corpus lives in); precision is digits of |min|/|max|
+    // widened to that scale — exactly WNum.precision.
+    QueryDef("schema_events_full", schemaEventsFull, Some(s"""
+      WITH s AS (
+        SELECT min(event_id) AS mn_e, max(event_id) AS mx_e,
+               max(length(event_type)) AS len_t,
+               min(value) AS mn_v, max(value) AS mx_v,
+               max(CASE WHEN strpos(cast(value as varchar), '.') > 0
+                        THEN length(split_part(cast(value as varchar), '.', 2))
+                        ELSE 0 END) AS maxs
+        FROM events),
+      p AS (
+        SELECT *, greatest(
+                 length(cast(cast(round(abs(mn_v) * power(10, maxs)) as bigint) as varchar)),
+                 length(cast(cast(round(abs(mx_v) * power(10, maxs)) as bigint) as varchar))) AS prec_v
+        FROM s)
+      SELECT 'STRUCT<' || chr(10) ||
+             chr(9) || 'event_id: ' || ${bucketSql("mn_e", "mx_e")} || ',' || chr(10) ||
+             chr(9) || 'event_type: ' ||
+               CASE WHEN len_t > 0 AND len_t < 65356
+                    THEN 'VARCHAR(' || len_t || ')' ELSE 'STRING' END || ',' || chr(10) ||
+             chr(9) || 'value: ' ||
+               CASE WHEN maxs = 0 THEN ${bucketSql("mn_v", "mx_v")}
+                    WHEN prec_v <= 7 THEN 'FLOAT'
+                    WHEN prec_v <= 15 THEN 'DOUBLE'
+                    ELSE 'NUMERIC(' || prec_v || ', ' || maxs || ')' END || chr(10) ||
+             '>' AS hive_type
+      FROM p""")),
     QueryDef("schema_columns", schemaColumns, Some(s"""
       WITH s AS (
         SELECT min(event_id) AS mn_e, max(event_id) AS mx_e,

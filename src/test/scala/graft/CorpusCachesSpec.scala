@@ -28,4 +28,30 @@ class CorpusCachesSpec extends AnyFunSuite {
     assert(graft.operators.SweepSkyline.q86Bowley(spark, dir).collect().toSeq == before)
     assert(graft.similarity.Ann.knnGraph(spark, dir).collect().toSeq == knnBefore)
   }
+
+  test("two-corpus sweep: storage returns to baseline between corpora") {
+    // the scenario the hook exists for: one long session sweeping corpus
+    // after corpus must end each corpus at the storage baseline, or pinned
+    // snapshots (and their lineage-pinned shuffle files) accumulate without
+    // bound across the sweep
+    CorpusCaches.releaseAll()
+    spark.catalog.clearCache()
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    val answers = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").map { d =>
+      val bowley = graft.operators.SweepSkyline.q86Bowley(spark, d).collect().toSeq
+      val knn = graft.similarity.Ann.knnGraph(spark, d).count()
+      assert(spark.sparkContext.getPersistentRDDs.size > baseline.size,
+        s"$d: snapshots should be pinned while the corpus is in use")
+      CorpusCaches.releaseAll()
+      spark.catalog.clearCache()
+      assert(spark.sparkContext.getPersistentRDDs.keySet == baseline,
+        s"$d: storage must return to the pre-corpus baseline after release")
+      (bowley, knn)
+    }
+    // and the release between corpora must not have corrupted either: the
+    // first corpus rebuilt cold answers exactly as it did mid-sweep
+    val rebuilt = graft.operators.SweepSkyline.q86Bowley(spark, "/root/testdata/sf0.001").collect().toSeq
+    assert(rebuilt == answers.head._1)
+    CorpusCaches.releaseAll()
+  }
 }

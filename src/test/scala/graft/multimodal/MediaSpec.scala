@@ -42,15 +42,51 @@ class MediaSpec extends AnyFunSuite {
     assert(Codec.decodeWav(Containers.wav(Array.fill[Byte](8000)(3)))._3 == 1000L)
   }
 
-  test("Codec sniffs magic bytes; non-container payloads hit the stub deterministically") {
+  test("Codec sniffs magic bytes; unrecognized payloads quarantine (throw)") {
     val bytes = "hello world, this is a fake image payload".getBytes("UTF-8")
-    val a = Codec.decode("jpeg", bytes)
-    assert(a == Codec.decode("jpeg", bytes))
-    assert(a._1 >= 64 && a._1 < 64 + 1024 && a._2 >= 64 && a._2 < 64 + 1024)
-    assert(Codec.decode("jpeg", "different".getBytes) != a)
+    // no stub remains: bytes that are not a real container are undecodable,
+    // which is the per-row Try quarantine contract upstream
+    intercept[IllegalArgumentException](Codec.decode("jpeg", bytes))
     // real containers are routed to the real decoders regardless of label
     assert(Codec.decode("whatever", Containers.bmp(bytes))._1 > 0)
     assert(Codec.decode("whatever", Containers.wav(bytes))._3 >= 0L)
+    assert(Codec.decode("whatever", Containers.mp4(bytes))._3 > 0L)
+  }
+
+  test("MP4 round-trip: the box walk reads back the written geometry") {
+    val payload = Array.tabulate[Byte](100)(i => (i + 1).toByte)
+    val mp4 = Containers.mp4(payload)
+    val info = Codec.mp4Info(mp4)
+    // 100 bytes → w=10, h=10 (grayDims), 4 samples of 32 bytes, 40 ms each
+    assert((info.width, info.height) == Containers.grayDims(payload))
+    assert(info.nSamples == 4 && info.sampleBytes == 32)
+    assert(info.durationMs == 4 * 40L)
+    assert(mp4.length == 579 + 4 * 32) // builder geometry = header + data
+    val (w, h, dur, mean, _) = Codec.decodeMp4(mp4)
+    assert((w, h, dur) == (10, 10, 160L))
+    // mean over the PADDED sample region: 100 real bytes + 28 zero pad
+    val expected = payload.map(_ & 0xFF).sum.toDouble / (4 * 32) / 255.0
+    assert(math.abs(mean - expected) < 1e-12)
+    // the sample iterator reassembles payload + zero pad through stsz/stco
+    val frames = Codec.mp4Samples(mp4, 1).toSeq
+    assert(frames.map(_._1) == Seq(0, 1, 2, 3))
+    assert(frames.flatMap(_._2).take(100) == payload.toSeq)
+    assert(frames.flatMap(_._2).drop(100).forall(_ == 0))
+    assert(Codec.mp4Samples(mp4, 2).map(_._1).toSeq == Seq(0, 2))
+  }
+
+  test("MP4 truncation anywhere quarantines: the box walk validates declared sizes") {
+    val payload = Array.tabulate[Byte](300)(i => (i * 7).toByte)
+    val mp4 = Containers.mp4(payload)
+    // a valid file parses; EVERY proper prefix fails (some declared box
+    // end always passes the cut — ftyp/moov for early cuts, mdat for late)
+    assert(Codec.mp4Info(mp4).nSamples == 10)
+    for (cut <- Seq(4, 10, 100, 300, 570, 579, mp4.length / 2, mp4.length - 1)) {
+      assert(scala.util.Try(Codec.mp4Info(mp4.take(cut))).isFailure, s"cut at $cut should fail")
+    }
+    // a box-aligned cut that drops the whole mdat still fails: moov's
+    // sample table then points past EOF (the stco bounds check)
+    assert(scala.util.Try(Codec.mp4Info(mp4.take(16 + 555))).isFailure)
   }
 
   test("extractFeatures streams real containers partition-wise") {
@@ -66,11 +102,12 @@ class MediaSpec extends AnyFunSuite {
     assert(feats.find(_.doc_id == 0).get == again)
   }
 
-  test("sampleFrames chunks the payload with the stride") {
+  test("sampleMp4Frames walks the real sample table with the stride") {
     import spark.implicits._
-    val one = Seq(MediaRecord(1L, Array.fill[Byte](100)(7), "mp4", 100L)).toDS()
-    val frames = sampleFrames(one, frameSize = 32, stride = 2).collect()
-    // 100/32 = 3 frames, stride 2 keeps idx 0 and 2
+    val media = Containers.mp4(Array.fill[Byte](100)(7))
+    val one = Seq(MediaRecord(1L, media, "mp4", media.length.toLong)).toDS()
+    val frames = sampleMp4Frames(one, stride = 2).collect()
+    // ceil(100/32) = 4 samples, stride 2 keeps idx 0 and 2
     assert(frames.map(_.getInt(1)).toSeq.sorted == Seq(0, 2))
     assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 32))
   }

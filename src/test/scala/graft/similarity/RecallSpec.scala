@@ -73,6 +73,17 @@ class RecallSpec extends AnyFunSuite {
     assert(r >= 0.2, f"matryoshka recall@3 $r%.3f below floor 0.2")
   }
 
+  test("knn-graph boundary recall is 24/24 on this corpus") {
+    // the 7/8 replication band exists for exactly this number: the r9
+    // residual miss was a candidate at margin 0.8851, just outside the
+    // old 9/10 band (and invisible to query-side probing — the query sat
+    // far from its own boundary). Pin the full 8×3 ground-truth coverage
+    // so an index change that reopens the boundary hole fails loudly.
+    val hits = Ann.knnGraphRecall(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("n_hit")).collect()(0).getLong(0)
+    assert(hits == 24L, s"knn-graph recall regressed: $hits/24 ground-truth edges found")
+  }
+
   test("matryoshka width-10 shortlist suffices on prefix-concentrated embeddings") {
     import org.apache.spark.sql.functions._
     import graft.similarity.TopK.{explodeRanks, topK}
