@@ -79,11 +79,20 @@ object Dedup {
       .select(col("doc_id"),
         minhashFromHashes(wordShingleHashes(col("text"), 3), k).as("sig"))
       .persist(Tuning.persistLevel)
+    // the band stage ships ONLY (band, bkey, doc_id) — never the 32-long
+    // signature. The r9 sf100 capacity campaign measured this query's
+    // transient spill at ~24 GB, and the anatomy is exactly 8 bands × 2
+    // join sides × ~300 sig-bytes/doc through the bucket shuffle; keying
+    // the band join on bare ids cuts the shuffled bytes ~18× (ids are
+    // 16 B/row) and bounds the per-query working set to the CANDIDATE
+    // pair set instead of corpus × bands. Signatures rejoin once, from
+    // the persisted signature index, only for the pairs that survive
+    // bucketing — the verify stage a 100 TB dedup run runs anyway.
     val banded = sigs.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).as("bkey")))).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bkey"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
     // skew guard, inverted so only the SMALL set is broadcast: the hot
     // (degenerate) bucket keys are few by construction, while the kept-
     // bucket set is O(corpus) and must never be broadcast. Singleton
@@ -92,13 +101,19 @@ object Dedup {
       .agg(count(lit(1)).as("c")).filter(col("c") > 1000)
       .select("band", "bkey")
     val inBuckets = banded.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
-    val a = inBuckets.select(col("band"), col("bkey"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val b = inBuckets.select(col("band"), col("bkey"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bkey"))
+    val a = inBuckets.select(col("band"), col("bkey"), col("doc_id").as("id_a"))
+    val b = inBuckets.select(col("band"), col("bkey"), col("doc_id").as("id_b"))
+    // distinct BEFORE the signature fetch: a pair colliding in several
+    // bands is estimated (and its signatures shuffled) exactly once
+    val cand = a.join(b, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         minhashSimilarity(col("sig_a"), col("sig_b")).as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= 0.5)
       .orderBy("id_a", "id_b")
   }
