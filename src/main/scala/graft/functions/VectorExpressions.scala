@@ -471,6 +471,78 @@ case class Top2CellsExpr(child: Expression, cents: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** TOP-2 SUB-cell assignment inside a HOT level-1 cell — the second level
+ *  of the kNN-graph's split index ([[graft.similarity.Ann]]). `left` is the
+ *  level-1 cell id, `right` the vector; `mats` maps each OVERSIZED cell to
+ *  its sub-seed matrix (rows ordered by ascending member vec_id, so the
+ *  0-based sub index is reproducible in SQL as
+ *  `row_number() OVER (PARTITION BY cell ORDER BY vec_id) - 1`). Rows whose
+ *  cell is not hot return NULL — the split engages only where the level-1
+ *  population exceeds 2× the mean, so at corpora with balanced cells this
+ *  expression is a no-op marker, not a result change. Tie semantics
+ *  identical to [[Top2CellsExpr]] (strict `Double.compare` ⇒ first maximum
+ *  ⇒ lowest sub index), dot metric only. A hot cell always has ≥ 3
+ *  sub-seeds (hot ⇒ pop·k > 2·total ⇒ m = ⌈pop·k/total⌉ ≥ 3), so the
+ *  second slot is always populated. */
+case class SubCellsExpr(left: Expression, right: Expression,
+                        mats: Map[Int, Array[Array[Double]]])
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def prettyName: String = "sub_cells"
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("sub1", IntegerType, nullable = false),
+    StructField("d1", DoubleType, nullable = false),
+    StructField("sub2", IntegerType, nullable = false),
+    StructField("d2", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (IntegerType, ArrayType(FloatType | DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (int, array<float>/array<double>), got ${l.catalogString}, ${r.catalogString}")
+  }
+
+  @transient private lazy val rightIsFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(cellV: Any, v: Any): Any = {
+    val cents = mats.getOrElse(cellV.asInstanceOf[Int], null)
+    if (cents == null || cents.length < 2) return null
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != cents(0).length) return null
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      x(i) = if (rightIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      i += 1
+    }
+    var best = -1; var bestScore = 0.0
+    var second = -1; var secondScore = 0.0
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var dot = 0.0
+      i = 0
+      while (i < n) { dot += x(i) * cent(i); i += 1 }
+      if (best < 0 || java.lang.Double.compare(dot, bestScore) > 0) {
+        second = best; secondScore = bestScore
+        best = c; bestScore = dot
+      } else if (second < 0 || java.lang.Double.compare(dot, secondScore) > 0) {
+        second = c; secondScore = dot
+      }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(best, bestScore, second, secondScore)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SubCellsExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Max-COSINE centroid assignment against a whole centroid matrix, returning
  *  BOTH the winning 0-based index and its cosine in one struct — the
  *  radius-search index build ([[graft.similarity.Ann.rangeSearchIvf]]) needs

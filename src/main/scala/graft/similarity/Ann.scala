@@ -983,7 +983,18 @@ object Ann {
    *  variant did not finish a 200k-vector sf10 spot-run; √n cells make
    *  it n^1.5 total, balanced n^0.5 assignment vs in-cell work). Both
    *  engines derive k from the same ⌈√count⌉ — IEEE sqrt is correctly
-   *  rounded, so the ceil agrees. */
+   *  rounded, so the ceil agrees.
+   *
+   *  And the SKEW is bounded too: with untrained seeds one hot cell can
+   *  hold ~14× the mean (measured at sf10), contributing ~196 mean-cells'
+   *  worth of quadratic pair work on its own. Cells over 2× the mean are
+   *  split into ⌈pop·k/n⌉ Voronoi SUB-cells (seeded by their smallest
+   *  member vec_ids — deterministic and SQL-reproducible), with the same
+   *  12.5% boundary-replication band inside the split, capping expected
+   *  per-key population at the corpus mean regardless of seed skew. At
+   *  the oracle scales no cell exceeds 1.47× the mean, so the split is a
+   *  structural no-op there (hash-identical results) — it engages exactly
+   *  where the skew it bounds exists. See [[buildKnnEdges]]. */
   def knnGraph(spark: SparkSession, dir: String): DataFrame = {
     // the O(3n) edge list feeds BOTH sides of the mutual self-join;
     // without the shared snapshot each branch (and the recall entry)
@@ -1033,9 +1044,21 @@ object Ann {
       DatasetBridge.snapshot(buildKnnEdges(spark, dir)).df
     })
 
+  /** The level-2 split rule, pure and unit-testable: a cell is HOT iff its
+   *  population exceeds 2× the mean (pop·k > 2·n, cross-multiplied), and a
+   *  hot cell splits into m = ⌈pop·k/n⌉ sub-cells. Hot ⇒ pop·k/n > 2 ⇒
+   *  m ≥ 3, so [[graft.functions.SubCellsExpr]]'s second slot always has a
+   *  seed to fill. */
+  private[similarity] def splitWidths(pops: Iterator[(Int, Long)],
+                                      k: Long, n: Long): Map[Int, Int] =
+    pops.collect { case (c, p) if p * k > 2 * n =>
+      c -> ((p * k + n - 1) / n).toInt
+    }.toMap
+
   private def buildKnnEdges(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val k = math.max(16L, math.ceil(math.sqrt(emb.count().toDouble)).toLong)
+    val n = emb.count()
+    val k = math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)
     // seed matrix: k×dim doubles, a driver-side index artifact (the same
     // collect the Lloyd trainer does); assignment is then one map-side
     // [[graft.functions.NearestCellExpr]] projection — the join form it
@@ -1067,29 +1090,90 @@ object Ann {
           col("t2.cell1").as("cell"),
           when(col("t2.d2") * 8 > col("t2.d1") * 7, col("t2.cell2")).as("cell_alt"))
     }.persist(Tuning.persistLevel) // both sides of the in-cell pair join read the assignment
-    // SALTED in-cell pair join: the seed cells are untrained, so one dense
-    // cell can hold ~14× the mean population (measured 6 373 vs 446 at
-    // sf10) and |hot|² pair generation lands in ONE task — a 13 s
+    // LEVEL-2 SPLIT of oversized cells — the bound on Σ|cell|². The seed
+    // cells are untrained, so one dense cell can hold ~14× the mean
+    // population (measured 6 373 vs 446 at sf10); since in-cell pair work
+    // is quadratic, that ONE cell contributes (14·mean)² ≈ 196 mean-cells'
+    // worth — roughly half the suite's pair work at sf10 — and the skew is
+    // unbounded in n. Any cell whose population exceeds 2× the mean
+    // (pop·k > 2·n, cross-multiplied — no division) is split into
+    // m = ⌈pop·k/n⌉ Voronoi sub-cells seeded by its m smallest member
+    // vec_ids (deterministic, SQL-reproducible), capping expected sub-cell
+    // population at the corpus mean. Queries search ONE (cell, sub) key;
+    // candidates near a sub-boundary replicate into their runner-up
+    // sub-cell under the SAME 12.5% band rule as level 1, so the recall
+    // mechanism is identical at both levels. Measured at the oracle scales
+    // (sf0.001/0.01/0.1): max/mean ≤ 1.47 ⇒ NO hot cells ⇒ the split is a
+    // structural no-op there — hash-identical results — and engages only
+    // where the skew it bounds actually exists.
+    val popRows = assigned.groupBy("cell").agg(count(lit(1)).as("pn")).collect()
+    // bounded driver artifact: ≤ k = ⌈√n⌉ rows of (cell, count)
+    val hotM: Map[Int, Int] =
+      splitWidths(popRows.iterator.map(r => r.getInt(0) -> r.getLong(1)), k, n)
+    val subMats: Map[Int, Array[Array[Double]]] =
+      if (hotM.isEmpty) Map.empty
+      else {
+        val maxM = hotM.values.max
+        val hotCells = hotM.keys.toSeq
+        // m smallest member vec_ids per hot cell via the bounded top-k
+        // aggregate (O(maxM) buffer per map task, buffers-only shuffle) —
+        // never a per-cell global sort. -vec_id as the score ⇒ smallest
+        // ids win; exact for ids < 2^53.
+        val idRows = assigned.filter(col("cell").isin(hotCells: _*))
+          .groupBy("cell")
+          .agg(topK(maxM)((-col("vec_id")).cast("double"), col("vec_id")).as("top"))
+          .select(col("cell"), col("top.id").as("ids")).collect()
+        // bounded: Σm ≤ 2k rows (every cell hot ⇒ Σ⌈pop·k/n⌉ < k + #cells)
+        val subIds: Map[Int, Array[Long]] = idRows.iterator.map { r =>
+          r.getInt(0) -> r.getSeq[Long](1).toArray.sorted.take(hotM(r.getInt(0)))
+        }.toMap
+        val allIds = subIds.values.flatten.toSet
+        val embById = emb.filter(col("vec_id").isInCollection(allIds))
+          .select("vec_id", "embedding").collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+        // rows ordered by ascending member vec_id ⇒ sub index j is the
+        // SQL `row_number() OVER (PARTITION BY cell ORDER BY vec_id) - 1`
+        subIds.map { case (c, ids) => c -> ids.map(embById) }
+      }
+    def subCells(cellCol: org.apache.spark.sql.Column,
+                 embCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.graft.ColumnBridge
+      ColumnBridge.column(graft.functions.SubCellsExpr(
+        ColumnBridge.expression(cellCol), ColumnBridge.expression(embCol), subMats))
+    }
+    // SALTED in-(sub)cell pair join: even inside one (cell, sub) key the
+    // pair generation for a populous key would land in ONE task — a 13 s
     // straggler in a stage whose other tasks finish in ~2 s. Query side
     // gets salt = vec_id mod S, candidate side is replicated S× (about
-    // S·n small rows — pennies), so every cell's pair work splits across
+    // S·n small rows — pennies), so every key's pair work splits across
     // S tasks while producing the IDENTICAL pair set. The classic
     // skew-salt; deterministic, so the DuckDB twin is unchanged. */
     val S = 8
-    val salted = assigned.select(col("cell"), pmod(col("vec_id"), lit(S.toLong)).as("salt"),
-      col("vec_id"), col("embedding"))
+    // query side: ONE (cell, sub) key per vector; sub = -1 outside hot cells
+    val salted = assigned.select(col("cell"),
+        coalesce(subCells(col("cell"), col("embedding")).getField("sub1"), lit(-1)).as("sub"),
+        pmod(col("vec_id"), lit(S.toLong)).as("salt"),
+        col("vec_id"), col("embedding"))
     // candidate side: primary cell always, runner-up cell only for the
     // near-boundary rows (cell_alt non-null) — array+explode emits 1 or 2
-    // cell memberships per vector; a (query, candidate) pair can never
-    // repeat because cell1 ≠ cell2
+    // cell memberships per vector (a (query, candidate) pair can never
+    // repeat because cell1 ≠ cell2); each hot-cell membership then fans
+    // into 1 or 2 sub-cells under the same band rule (≤ 4 memberships
+    // total, and exactly 1 for the common far-from-every-boundary row)
     val candidates = assigned.select(
         explode(array_compact(array(col("cell"), col("cell_alt")))).as("cell"),
         col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
-      .select(col("cell"),
+      .select(col("cell"), col("neighbor_id"), col("n_emb"),
+        subCells(col("cell"), col("n_emb")).as("s"))
+      .select(col("cell"), col("neighbor_id"), col("n_emb"),
+        explode(when(col("s").isNull, array(lit(-1)))
+          .otherwise(array_compact(array(col("s.sub1"),
+            when(col("s.d2") * 8 > col("s.d1") * 7, col("s.sub2")))))).as("sub"))
+      .select(col("cell"), col("sub"),
         explode(array((0 until S).map(s => lit(s.toLong)): _*)).as("salt"),
         col("neighbor_id"), col("n_emb"))
     val grouped = salted
-      .join(candidates, Seq("cell", "salt"))
+      .join(candidates, Seq("cell", "sub", "salt"))
       .filter(col("vec_id") =!= col("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"),
         cosine(col("embedding"), col("n_emb")).as("cos"))
@@ -1172,7 +1256,8 @@ object Ann {
     // self join
     QueryDef("ann_knn_graph", knnGraph, Some("""
       WITH kk AS (
-        SELECT greatest(16, cast(ceil(sqrt(cast(count(*) as double))) as bigint)) AS k
+        SELECT greatest(16, cast(ceil(sqrt(cast(count(*) as double))) as bigint)) AS k,
+               count(*) AS n
         FROM embeddings),
       scored AS (
         SELECT e.vec_id, e.embedding, c.vec_id AS cell,
@@ -1186,12 +1271,54 @@ object Ann {
         SELECT vec_id, embedding, cell FROM scored WHERE rn = 1),
       -- boundary-replication multiprobe: candidates whose runner-up cell
       -- scores within 12.5% of the winner are indexed into BOTH cells
-      candidates AS (
+      cand1 AS (
         SELECT vec_id, embedding, cell FROM scored WHERE rn = 1
         UNION ALL
         SELECT s2.vec_id, s2.embedding, s2.cell
         FROM scored s2 JOIN scored s1 ON s1.vec_id = s2.vec_id AND s1.rn = 1
         WHERE s2.rn = 2 AND s2.d * 8 > s1.d * 7),
+      -- level-2 split: any cell over 2x the mean population splits into
+      -- m = ceil(pop*k/n) Voronoi sub-cells seeded by its m smallest
+      -- member vec_ids; same 12.5% band rule for sub-boundary replication
+      hot AS (
+        SELECT cell, cast(((pn * (SELECT k FROM kk) + (SELECT n FROM kk) - 1)
+                 // (SELECT n FROM kk)) as bigint) AS m
+        FROM (SELECT cell, count(*) AS pn FROM assigned GROUP BY cell) p
+        WHERE pn * (SELECT k FROM kk) > 2 * (SELECT n FROM kk)),
+      subseed AS (
+        SELECT cell, vec_id, embedding, rs - 1 AS sub FROM (
+          SELECT a.cell, a.vec_id, a.embedding, h.m,
+                 row_number() OVER (PARTITION BY a.cell ORDER BY a.vec_id) AS rs
+          FROM assigned a JOIN hot h ON h.cell = a.cell) t
+        WHERE rs <= m),
+      qsub AS (
+        SELECT vec_id, cell, sub FROM (
+          SELECT a.vec_id, a.cell, s.sub,
+                 row_number() OVER (PARTITION BY a.vec_id, a.cell
+                   ORDER BY list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[])) DESC,
+                            s.sub) AS rn2
+          FROM assigned a JOIN subseed s ON s.cell = a.cell) t
+        WHERE rn2 = 1),
+      queries AS (
+        SELECT a.vec_id, a.embedding, a.cell, coalesce(q.sub, -1) AS sub
+        FROM assigned a LEFT JOIN qsub q ON q.vec_id = a.vec_id AND q.cell = a.cell),
+      csub AS (
+        SELECT c.vec_id, c.cell, c.embedding, s.sub,
+               list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[])) AS d,
+               row_number() OVER (PARTITION BY c.vec_id, c.cell
+                 ORDER BY list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[])) DESC,
+                          s.sub) AS rn2
+        FROM cand1 c JOIN subseed s ON s.cell = c.cell),
+      candidates AS (
+        SELECT c.vec_id, c.embedding, c.cell, -1 AS sub
+        FROM cand1 c WHERE c.cell NOT IN (SELECT cell FROM hot)
+        UNION ALL
+        SELECT vec_id, embedding, cell, sub FROM csub WHERE rn2 = 1
+        UNION ALL
+        SELECT s2.vec_id, s2.embedding, s2.cell, s2.sub
+        FROM csub s2 JOIN csub s1
+          ON s1.vec_id = s2.vec_id AND s1.cell = s2.cell AND s1.rn2 = 1
+        WHERE s2.rn2 = 2 AND s2.d * 8 > s1.d * 7),
       knn AS (
         SELECT vec_id, neighbor_id, rank FROM (
           SELECT l.vec_id, r.vec_id AS neighbor_id,
@@ -1199,7 +1326,8 @@ object Ann {
                    PARTITION BY l.vec_id
                    ORDER BY list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) DESC,
                             r.vec_id) AS rank
-          FROM assigned l JOIN candidates r ON l.cell = r.cell AND l.vec_id <> r.vec_id) t
+          FROM queries l JOIN candidates r
+            ON l.cell = r.cell AND l.sub = r.sub AND l.vec_id <> r.vec_id) t
         WHERE rank <= 3)
       SELECT k.vec_id, k.neighbor_id, k.rank,
              cast(CASE WHEN m.vec_id IS NOT NULL THEN 1 ELSE 0 END as bigint) AS mutual
@@ -1208,7 +1336,8 @@ object Ann {
       ORDER BY k.vec_id, k.rank""")),
     QueryDef("ann_knn_graph_recall", knnGraphRecall, Some("""
       WITH kk AS (
-        SELECT greatest(16, cast(ceil(sqrt(cast(count(*) as double))) as bigint)) AS k
+        SELECT greatest(16, cast(ceil(sqrt(cast(count(*) as double))) as bigint)) AS k,
+               count(*) AS n
         FROM embeddings),
       scored AS (
         SELECT e.vec_id, e.embedding, c.vec_id AS cell,
@@ -1220,12 +1349,51 @@ object Ann {
         FROM embeddings e JOIN embeddings c ON c.vec_id < (SELECT k FROM kk)),
       assigned AS (
         SELECT vec_id, embedding, cell FROM scored WHERE rn = 1),
-      candidates AS (
+      cand1 AS (
         SELECT vec_id, embedding, cell FROM scored WHERE rn = 1
         UNION ALL
         SELECT s2.vec_id, s2.embedding, s2.cell
         FROM scored s2 JOIN scored s1 ON s1.vec_id = s2.vec_id AND s1.rn = 1
         WHERE s2.rn = 2 AND s2.d * 8 > s1.d * 7),
+      hot AS (
+        SELECT cell, cast(((pn * (SELECT k FROM kk) + (SELECT n FROM kk) - 1)
+                 // (SELECT n FROM kk)) as bigint) AS m
+        FROM (SELECT cell, count(*) AS pn FROM assigned GROUP BY cell) p
+        WHERE pn * (SELECT k FROM kk) > 2 * (SELECT n FROM kk)),
+      subseed AS (
+        SELECT cell, vec_id, embedding, rs - 1 AS sub FROM (
+          SELECT a.cell, a.vec_id, a.embedding, h.m,
+                 row_number() OVER (PARTITION BY a.cell ORDER BY a.vec_id) AS rs
+          FROM assigned a JOIN hot h ON h.cell = a.cell) t
+        WHERE rs <= m),
+      qsub AS (
+        SELECT vec_id, cell, sub FROM (
+          SELECT a.vec_id, a.cell, s.sub,
+                 row_number() OVER (PARTITION BY a.vec_id, a.cell
+                   ORDER BY list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[])) DESC,
+                            s.sub) AS rn2
+          FROM assigned a JOIN subseed s ON s.cell = a.cell) t
+        WHERE rn2 = 1),
+      queries AS (
+        SELECT a.vec_id, a.embedding, a.cell, coalesce(q.sub, -1) AS sub
+        FROM assigned a LEFT JOIN qsub q ON q.vec_id = a.vec_id AND q.cell = a.cell),
+      csub AS (
+        SELECT c.vec_id, c.cell, c.embedding, s.sub,
+               list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[])) AS d,
+               row_number() OVER (PARTITION BY c.vec_id, c.cell
+                 ORDER BY list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[])) DESC,
+                          s.sub) AS rn2
+        FROM cand1 c JOIN subseed s ON s.cell = c.cell),
+      candidates AS (
+        SELECT c.vec_id, c.embedding, c.cell, -1 AS sub
+        FROM cand1 c WHERE c.cell NOT IN (SELECT cell FROM hot)
+        UNION ALL
+        SELECT vec_id, embedding, cell, sub FROM csub WHERE rn2 = 1
+        UNION ALL
+        SELECT s2.vec_id, s2.embedding, s2.cell, s2.sub
+        FROM csub s2 JOIN csub s1
+          ON s1.vec_id = s2.vec_id AND s1.cell = s2.cell AND s1.rn2 = 1
+        WHERE s2.rn2 = 2 AND s2.d * 8 > s1.d * 7),
       knn AS (
         SELECT vec_id, neighbor_id FROM (
           SELECT l.vec_id, r.vec_id AS neighbor_id,
@@ -1233,7 +1401,8 @@ object Ann {
                    PARTITION BY l.vec_id
                    ORDER BY list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])) DESC,
                             r.vec_id) AS rank
-          FROM assigned l JOIN candidates r ON l.cell = r.cell AND l.vec_id <> r.vec_id
+          FROM queries l JOIN candidates r
+            ON l.cell = r.cell AND l.sub = r.sub AND l.vec_id <> r.vec_id
           WHERE l.vec_id < 8) t
         WHERE rank <= 3),
       bf AS (
