@@ -1041,7 +1041,32 @@ object Ann {
   private[similarity] def knnEdgesSnapshot(spark: SparkSession, dir: String): DataFrame =
     knnEdgeCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       import org.apache.spark.sql.graft.DatasetBridge
-      DatasetBridge.snapshot(buildKnnEdges(spark, dir)).df
+      // The top-3 aggregate over the Σ|cell|² pair stream is a typed
+      // (ObjectHashAggregate) aggregate, and Spark's sort-based fallback
+      // triggers on DISTINCT-KEY COUNT (default 128) — not on memory
+      // pressure. Every pair-join task sees thousands of distinct query
+      // vec_ids, so at default settings the partial aggregate abandons its
+      // (tiny: #queries-per-task × k entries) hash map and EXTERNALLY SORTS
+      // the whole pair stream instead — at sf100 that materialized the
+      // ~3e9-row stream as ~47 GB of sort spill and ENOSPC'd a 60 GB
+      // volume, for an aggregation whose live state is a few MB. Raise the
+      // threshold while THIS plan builds (scoped: set before planning,
+      // restored after the eager materialization below, so the 128-key
+      // safety net stays in place for aggregates with genuinely large
+      // per-key buffers elsewhere in the suite).
+      val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, (1 << 22).toString)
+      try {
+        val s = DatasetBridge.snapshot(buildKnnEdges(spark, dir))
+        // materialize inside the conf scope — the snapshot is lazy, and the
+        // fallback decision is made when the pair stage actually runs
+        s.rdd.count()
+        s.df
+      } finally {
+        prev match { case Some(v) => spark.conf.set(key, v)
+                     case None    => spark.conf.unset(key) }
+      }
     })
 
   /** The level-2 split rule, pure and unit-testable: a cell is HOT iff its
