@@ -17,6 +17,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // persisted-RDD blocks (the per-corpus DatasetBridge snapshots) are
+      // NOT compressed by default — shuffle and spill are. At sf100 the
+      // DISK_ONLY artifact set is a first-order term in the scratch
+      // budget; lz4 here is the same codec the shuffles already pay
+      .config("spark.rdd.compress",
+        sys.env.getOrElse("SPARK_GRAFT_RDD_COMPRESS", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first measured query doesn't absorb
@@ -69,6 +75,10 @@ object Bench {
         System.gc()
       }
       prevFamily = family
+      // live attribution for capacity campaigns: the suite logs nothing
+      // per-query otherwise, so an ENOSPC burst in a 4-hour stderr stream
+      // can only be tied to a query by this line's timestamp
+      System.err.println(s"BENCH RUNNING: $name")
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {

@@ -17,6 +17,8 @@ object Profile {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
+      .config("spark.rdd.compress",
+        sys.env.getOrElse("SPARK_GRAFT_RDD_COMPRESS", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()

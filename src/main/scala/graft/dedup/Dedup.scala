@@ -152,32 +152,74 @@ object Dedup {
    *  consumer's `catalog.clearCache()` can't drop it between readers. */
   private val shingleCache =
     graft.CorpusCaches.register(scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
-  private[graft] def shingleIndex(spark: SparkSession, dir: String): DataFrame =
+  /** The PACKED per-document shingle snapshot — ONE ROW PER DOCUMENT
+   *  (doc_id, source, shs: array<long>), not the exploded (doc_id,
+   *  source, sh) stream: the exploded form repeats the doc_id, the
+   *  source string and the per-row overhead ~50× (once per shingle),
+   *  which at sf100 materialized ~1B InternalRows — more resident disk
+   *  than the parquet corpus itself, and the single biggest term in the
+   *  suite's scratch footprint. The packed form stores each value once
+   *  (~20× smaller) and gives per-doc set sizes as a map-side `size()`.
+   *  Shingling still runs once per corpus. */
+  private[graft] def packedShingles(spark: SparkSession, dir: String): DataFrame =
     shingleCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       import org.apache.spark.sql.graft.DatasetBridge
       DatasetBridge.snapshot(Tables.documents(spark, dir)
         .select(col("doc_id"), col("source"),
-          explode(array_distinct(wordShingleHashes(col("text"), 3))).as("sh"))).df
+          array_distinct(wordShingleHashes(col("text"), 3)).as("shs"))).df
     })
+  /** The exploded (doc_id, source, sh) view every 3-gram consumer reads —
+   *  a map-side explode over [[packedShingles]] that pipelines into the
+   *  consumer's first shuffle; Catalyst prunes `source` where unused. */
+  private[graft] def shingleIndex(spark: SparkSession, dir: String): DataFrame =
+    packedShingles(spark, dir)
+      .select(col("doc_id"), col("source"), explode(col("shs")).as("sh"))
 
-  /** The PAIR-COUNT INDEX — (id_a, id_b, inter, n_a, n_b): intersection
-   *  counts of the frequency-capped inverted-index self-join WITH both
-   *  documents' set sizes baked in, computed ONCE per (application, dir)
-   *  and snapshotted like [[shingleIndex]]. Every consumer (Jaccard,
-   *  directed containment, the threshold sweep, and — through
-   *  [[ngramJaccard]] — the cluster-label pipeline) needs exactly
-   *  (inter, |A|, |B|), so the two set-size joins run once at build time
-   *  and each consumer is a pure map-side pass over the artifact — the
-   *  shape a 100 TB run materializes to storage. */
+  /** The QUALIFYING-PAIR INDEX — (id_a, id_b, inter, n_a, n_b) for every
+   *  candidate pair that can appear in ANY row-level consumer's output:
+   *  Jaccard ≥ 0.5 (ngram_jaccard and, through it, the whole
+   *  cluster-label pipeline and lsh_eval's ground truth) or directed
+   *  containment ≥ 0.8 with |sub| ≥ 5 (the containment report), both in
+   *  the consumers' exact integer forms. Snapshotted once per
+   *  (application, dir), WITH LINEAGE TRUNCATED.
+   *
+   *  This replaces a snapshot of the FULL pair-count table, which did not
+   *  survive sf100: the sub-threshold mass is ~99.98% of all candidate
+   *  pairs (113.0M of 113.05M at sf10 — only the threshold sweep ever
+   *  reads them, and only as a COUNT), so the full snapshot materialized
+   *  ~1e9 5-long rows of resident scratch; worse, its kept lineage pinned
+   *  the corpus-sized posting and pair shuffles behind it for the memo's
+   *  lifetime. The qualifying set is O(near-dup pairs) — tens of
+   *  thousands of rows at any measured scale — and the stream that
+   *  distills it is transient: shuffles reaped at the post-build GC. */
   private val pairCache =
     graft.CorpusCaches.register(scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
-  private[graft] def shinglePairCounts(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def qualifyingPairCounts(spark: SparkSession, dir: String): DataFrame =
     pairCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
       import org.apache.spark.sql.graft.DatasetBridge
-      DatasetBridge.snapshot(shinglePairCountsOn(
-        shingleIndex(spark, dir).select("doc_id", "sh"),
-        docShingleCounts(spark, dir))).df
+      DatasetBridge.snapshot(
+        shinglePairCounts(spark, dir).filter(
+          // ngramJaccard's keep: inter/(n_a+n_b-inter) >= 0.5 — exact in
+          // integers (the double division can't round a strict miss up to
+          // 0.5 below 2^52)
+          (col("inter") * 2 >= col("n_a") + col("n_b") - col("inter")) ||
+          // containment's keep, both directions, its exact half-up form
+          (col("n_a") >= 5 && expr("(2 * inter * 10000 + n_a) div (2 * n_a)") >= 8000L) ||
+          (col("n_b") >= 5 && expr("(2 * inter * 10000 + n_b) div (2 * n_b)") >= 8000L)),
+        truncateLineage = true).df
     })
+
+  /** The TRANSIENT full pair-count stream — one pass of the posting-array
+   *  suffix pairing over the shared shingle snapshot, set sizes attached
+   *  by broadcast (the counts table is O(docs) — 5M rows / ~80 MB at
+   *  sf100, far cheaper to replicate than to re-shuffle-and-sort the
+   *  ~1e9-row pair stream twice through a sort-merge join). NOT
+   *  snapshotted: consumers that need sub-threshold pairs read them as a
+   *  stream and keep only aggregates. */
+  private[graft] def shinglePairCounts(spark: SparkSession, dir: String): DataFrame =
+    shinglePairCountsOn(
+      shingleIndex(spark, dir).select("doc_id", "sh"),
+      docShingleCounts(spark, dir))
 
   /** The pair-count pipeline over an arbitrary (doc_id, sh) shingle table
    *  — the seam DedupQualitySpec drives with an ADVERSARIAL corpus (one
@@ -203,8 +245,11 @@ object Dedup {
           size(col("ds")) - col("i") - lit(1))).as("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
-      .join(counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      // broadcast, not equi-shuffle: the counts side is O(docs) while the
+      // pair stream is O(Σ C(|posting|,2)) — a sort-merge join here would
+      // re-shuffle and fully sort the billion-row stream twice
+      .join(broadcast(counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a")), "id_a")
+      .join(broadcast(counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b")), "id_b")
   }
 
   /** Exact n-gram Jaccard via inverted index: distinct word-3-gram per doc,
@@ -236,23 +281,24 @@ object Dedup {
    *  of the shingle family: every Jaccard/containment consumer needs it,
    *  and deriving it is a full groupBy over the ~50-shingles-per-doc
    *  index (measured ~10 s per consumer at sf10 for an O(docs)-row
-   *  result). Snapshotted once per (application, dir) alongside
-   *  [[shingleIndex]] and [[shinglePairCounts]]. */
-  private val shingleCountCache =
-    graft.CorpusCaches.register(scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+   *  result). Since the index went packed ([[packedShingles]]) this is a
+   *  pure map-side `size(shs)` projection over the snapshot — no shuffle,
+   *  no snapshot of its own, nothing to pin. (It previously re-grouped
+   *  the exploded stream: one corpus-sized shuffle per build, ~10 s at
+   *  sf10, pinned on disk for the memo's lifetime.) */
   private[graft] def docShingleCounts(spark: SparkSession, dir: String): DataFrame =
-    shingleCountCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
-      import org.apache.spark.sql.graft.DatasetBridge
-      DatasetBridge.snapshot(shingleIndex(spark, dir).select("doc_id", "sh")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))).df
-    })
+    packedShingles(spark, dir)
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"))
+      .filter(col("n_sh") > 0)
 
   /** THRESHOLD SWEEP — how many candidate pairs fall in each Jaccard
    *  band (≥0.9, ≥0.8, ≥0.7, ≥0.5, below): the calibration table behind
    *  "where do we set the near-dup cutoff" — run BEFORE committing a
    *  threshold, so the dedup rate at each choice is known in advance.
-   *  One pass over the shared candidate-pair counts (the shingle
-   *  inverted index — no new corpus scan); the band test is
+   *  One pass over the TRANSIENT pair stream ([[shinglePairCounts]]) —
+   *  this is the one consumer that reads the ~99.98% sub-threshold pair
+   *  mass, and it keeps only 5 counters, so the stream aggregates in
+   *  place and nothing is materialized; the band test is
    *  cross-multiplied integer (`inter·10⁴ ≥ band·union`), so bucket
    *  membership can't float-flip at a boundary. Output: 5 rows. */
   def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
@@ -267,7 +313,7 @@ object Dedup {
   }
 
   private def ngramJaccardCompute(spark: SparkSession, dir: String): DataFrame =
-    shinglePairCounts(spark, dir)
+    qualifyingPairCounts(spark, dir)
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
@@ -288,7 +334,7 @@ object Dedup {
    *  `(2·inter·10⁴ + n_sub) div (2·n_sub)` — so the DuckDB twin matches
    *  bit-for-bit with no float comparison at the threshold. */
   def containment(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = shinglePairCounts(spark, dir)
+    val pairs = qualifyingPairCounts(spark, dir)
     val directed = pairs
       .select(col("id_a").as("id_sub"), col("id_b").as("id_super"), col("inter"), col("n_a").as("n_sub"))
       .unionByName(pairs.select(col("id_b").as("id_sub"), col("id_a").as("id_super"), col("inter"), col("n_b").as("n_sub")))

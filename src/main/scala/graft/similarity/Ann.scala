@@ -1058,11 +1058,13 @@ object Ann {
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, (1 << 22).toString)
       try {
-        val s = DatasetBridge.snapshot(buildKnnEdges(spark, dir))
-        // materialize inside the conf scope — the snapshot is lazy, and the
-        // fallback decision is made when the pair stage actually runs
-        s.rdd.count()
-        s.df
+        // truncateLineage: the O(3n) edge list otherwise pins the Σ|cell|²
+        // pair-stage shuffles behind it on disk for the memo's lifetime
+        // (released only through CorpusCaches.releaseAll, which drops this
+        // memo in the same sweep). Also materializes inside the conf
+        // scope — the snapshot is lazy, and the fallback decision is made
+        // when the pair stage actually runs.
+        DatasetBridge.snapshot(buildKnnEdges(spark, dir), truncateLineage = true).df
       } finally {
         prev match { case Some(v) => spark.conf.set(key, v)
                      case None    => spark.conf.unset(key) }

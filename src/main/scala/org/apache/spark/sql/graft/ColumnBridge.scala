@@ -47,10 +47,28 @@ object DatasetBridge {
   // accumulating one persisted artifact per (application, dir) forever
   private val live = new java.util.concurrent.ConcurrentLinkedQueue[Snapshot]()
 
-  def snapshot(df: org.apache.spark.sql.DataFrame): Snapshot = {
+  /** @param truncateLineage cut the RDD's lineage after materializing
+   *  (local checkpoint semantics). A plain persisted snapshot KEEPS its
+   *  build lineage, which means every shuffle in the build chain stays
+   *  pinned on executor disks for the snapshot's lifetime — for a small
+   *  artifact distilled from a corpus-sized shuffle (candidate-pair
+   *  tables, kNN edge lists) the pinned chain can be 100× the artifact.
+   *  Truncation lets the ContextCleaner reap those shuffles at the next
+   *  GC. The trade: an evicted block can no longer recompute — so this is
+   *  only for artifacts released exclusively through
+   *  [[graft.CorpusCaches.releaseAll]], which drops the memo in the same
+   *  sweep (the builder reruns from source; correctness never depended on
+   *  the cache). The level keeps its disk component, so local-mode blocks
+   *  are never evicted, only explicitly released. */
+  def snapshot(df: org.apache.spark.sql.DataFrame,
+               truncateLineage: Boolean = false): Snapshot = {
     val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val rdd = df.queryExecution.toRdd.map(_.copy())
     rdd.persist(level)
+    if (truncateLineage) {
+      rdd.localCheckpoint() // keeps `level` (disk added if absent)
+      rdd.count()           // materialize now: truncation happens at the first action
+    }
     val s = Snapshot(spark.internalCreateDataFrame(rdd, df.schema), rdd)
     live.add(s)
     s
