@@ -78,7 +78,7 @@ object Bench {
       // live attribution for capacity campaigns: the suite logs nothing
       // per-query otherwise, so an ENOSPC burst in a 4-hour stderr stream
       // can only be tied to a query by this line's timestamp
-      System.err.println(s"BENCH RUNNING: $name")
+      System.err.println(s"BENCH RUNNING: $name at ${java.time.Instant.now()}")
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
