@@ -1083,6 +1083,23 @@ object Ann {
     }.toMap
 
   private def buildKnnEdges(spark: SparkSession, dir: String): DataFrame = {
+    val (salted, candidates) = knnIndexSides(spark, dir)
+    val grouped = salted
+      .join(candidates, Seq("cell", "sub", "salt"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine(col("embedding"), col("n_emb")).as("cos"))
+      .groupBy("vec_id")
+      .agg(topK(3)(col("cos"), col("neighbor_id")).as("top"))
+    explodeRanks(grouped, "vec_id", "neighbor_id")
+  }
+
+  /** The two sides of the in-(sub)cell pair join, exposed separately so
+   *  [[graft.KnnCensus]] can measure the EXACT pair cardinality without
+   *  running the join (group each side by the join key and multiply the
+   *  per-key counts) — the diagnostic for "where does the build's time
+   *  go" at scales the oracle sweep never reaches. */
+  private[graft] def knnIndexSides(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val emb = Tables.embeddings(spark, dir)
     val n = emb.count()
     val k = math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)
@@ -1199,14 +1216,7 @@ object Ann {
       .select(col("cell"), col("sub"),
         explode(array((0 until S).map(s => lit(s.toLong)): _*)).as("salt"),
         col("neighbor_id"), col("n_emb"))
-    val grouped = salted
-      .join(candidates, Seq("cell", "sub", "salt"))
-      .filter(col("vec_id") =!= col("neighbor_id"))
-      .select(col("vec_id"), col("neighbor_id"),
-        cosine(col("embedding"), col("n_emb")).as("cos"))
-      .groupBy("vec_id")
-      .agg(topK(3)(col("cos"), col("neighbor_id")).as("top"))
-    explodeRanks(grouped, "vec_id", "neighbor_id")
+    (salted, candidates)
   }
 
   /** Brute-force radius-search oracle, shared by ann_range_search and
