@@ -238,6 +238,9 @@ object Dedup {
     val postings = docShingles.groupBy("sh")
       .agg(sort_array(collect_list("doc_id")).as("ds"))
       .filter(size(col("ds")) <= 100)
+    val nDocs = counts.count()
+    def attach(df: DataFrame): DataFrame =
+      if (nDocs <= BroadcastDocLimit) broadcast(df) else df
     postings
       .select(col("ds"), posexplode(col("ds")).as(Seq("i", "id_a")))
       .select(col("id_a"),
@@ -247,10 +250,23 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
       // broadcast, not equi-shuffle: the counts side is O(docs) while the
       // pair stream is O(Σ C(|posting|,2)) — a sort-merge join here would
-      // re-shuffle and fully sort the billion-row stream twice
-      .join(broadcast(counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a")), "id_a")
-      .join(broadcast(counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b")), "id_b")
+      // re-shuffle and fully sort the billion-row stream twice. SIZE-GATED
+      // (r11): two (long, long) columns are ~16 B/row plus hashed-relation
+      // overhead, so 5M docs at sf100 is ~80 MB — fine — but the table
+      // grows linearly in corpus doc count and past ~16M docs the driver
+      // collect + executor replication stops being the cheap side; beyond
+      // the gate fall back to the shuffled equi-join and let AQE plan it.
+      // The count() that decides the gate also EAGERLY materializes the
+      // counts side (it scans the packed-shingle snapshot), so the
+      // broadcast build never races spark.sql.broadcastTimeout against a
+      // cold corpus-sized snapshot computation.
+      .join(attach(counts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a")), "id_a")
+      .join(attach(counts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b")), "id_b")
   }
+
+  /** Docs-side row bound for the pair-stream count joins: ≤ this many rows
+   *  broadcast (~16 B/row ⇒ ~256 MB worst case), above it shuffle. */
+  private val BroadcastDocLimit = 16L * 1000 * 1000
 
   /** Exact n-gram Jaccard via inverted index: distinct word-3-gram per doc,
    *  self-join on shingle (frequency-capped), intersection counts per pair,

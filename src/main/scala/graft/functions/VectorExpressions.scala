@@ -413,7 +413,11 @@ case class NearestCellExpr(child: Expression, cents: Array[Array[Double]],
  *  tie semantics to [[NearestCellExpr]] and the SQL
  *  `row_number() ORDER BY dot DESC, id` twin (strict `>` everywhere ⇒
  *  first maximum wins ⇒ lowest cell id on equal scores, for BOTH slots).
- *  Dot metric only — the kNN-graph cell rule. Requires ≥ 2 centroids. */
+ *  Dot metric only; the kNN-graph caller pre-NORMALIZES the centroid rows
+ *  driver-side, which turns this argmax into the cosine (directional)
+ *  rule — dot(x, ĉ) = ‖x‖·cos θ, and ‖x‖ is constant per row, so both the
+ *  argmax and the d2/d1 band ratio are exactly the cosine ones (the
+ *  DuckDB twin ranks on list_cosine_similarity). Requires ≥ 2 centroids. */
 case class Top2CellsExpr(child: Expression, cents: Array[Array[Double]])
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
@@ -481,9 +485,12 @@ case class Top2CellsExpr(child: Expression, cents: Array[Array[Double]])
  *  population exceeds 2× the mean, so at corpora with balanced cells this
  *  expression is a no-op marker, not a result change. Tie semantics
  *  identical to [[Top2CellsExpr]] (strict `Double.compare` ⇒ first maximum
- *  ⇒ lowest sub index), dot metric only. A hot cell always has ≥ 3
- *  sub-seeds (hot ⇒ pop·k > 2·total ⇒ m = ⌈pop·k/total⌉ ≥ 3), so the
- *  second slot is always populated. */
+ *  ⇒ lowest sub index), dot metric only — the caller pre-normalizes the
+ *  sub-seed rows, making this the cosine rule (see [[Top2CellsExpr]]). A
+ *  hot cell starts with m ≥ 3 sub-seeds (hot ⇒ pop·k > 2·total ⇒
+ *  m = ⌈pop·k/total⌉ ≥ 3); exact-duplicate seed vectors are dropped by
+ *  the caller, and if < 2 distinct rows remain the `cents.length < 2`
+ *  guard below returns null ⇒ the cell stays unsplit. */
 case class SubCellsExpr(left: Expression, right: Expression,
                         mats: Map[Int, Array[Array[Double]]])
     extends BinaryExpression

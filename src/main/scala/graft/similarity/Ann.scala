@@ -1053,7 +1053,12 @@ object Ann {
       // threshold while THIS plan builds (scoped: set before planning,
       // restored after the eager materialization below, so the 128-key
       // safety net stays in place for aggregates with genuinely large
-      // per-key buffers elsewhere in the suite).
+      // per-key buffers elsewhere in the suite). CONCURRENCY CAVEAT: the
+      // conf is session-global for the build window — any query PLANNED
+      // concurrently in the same session would silently inherit the 4M-key
+      // threshold. The bench/verify harness is strictly sequential, and
+      // parallel test suites use their own sessions; do not run concurrent
+      // queries on a session while this snapshot builds cold.
       val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, (1 << 22).toString)
@@ -1082,6 +1087,18 @@ object Ann {
       c -> ((p * k + n - 1) / n).toInt
     }.toMap
 
+  /** L2-normalize one seed row, driver-side (left-to-right double Σv²,
+   *  one multiply per element). Zero-norm rows pass through unchanged —
+   *  a zero seed scores 0.0 against every vector, same as before the
+   *  normalization (no corpus ships zero vectors; checked at all oracle
+   *  scales — this is belt-and-braces against a NaN matrix). */
+  private[similarity] def normalizeRow(v: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    if (s == 0.0) v
+    else { val inv = 1.0 / math.sqrt(s); v.map(_ * inv) }
+  }
+
   private def buildKnnEdges(spark: SparkSession, dir: String): DataFrame = {
     val (salted, candidates) = knnIndexSides(spark, dir)
     val grouped = salted
@@ -1107,9 +1124,21 @@ object Ann {
     // collect the Lloyd trainer does); assignment is then one map-side
     // [[graft.functions.NearestCellExpr]] projection — the join form it
     // replaces pushed a k× row expansion through a corpus-wide hash
-    // argmax (17 s of the 45 s sf10 total)
+    // argmax (17 s of the 45 s sf10 total).
+    // COSINE assignment: every seed row is L2-NORMALIZED here, once,
+    // driver-side — dot(x, ĉ) = ‖x‖·cos θ, and the ‖x‖ factor is constant
+    // within one vector's argmax and cancels out of the 8·d2 > 7·d1 band
+    // ratio, so the assignment below is purely DIRECTIONAL. The r10
+    // census proved the unnormalized argmax is norm-biased at scale: the
+    // longest seed is a "norm magnet" that re-absorbs its cell after any
+    // population split — 1.23e12 exact pairs at sf100 (434× the balanced
+    // n²/k model), one sub-cell holding 1.17M of 2M vectors, a 53-minute
+    // CPU-bound build. The DuckDB twin makes the identical move by
+    // ranking on list_cosine_similarity (= the same order: it divides the
+    // dot by the two constant-per-row norms).
     val seedMatrix: Array[Array[Double]] = emb.filter(col("vec_id") < k).orderBy("vec_id")
-      .select("embedding").collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .select("embedding").collect()
+      .map(r => normalizeRow(r.getSeq[Float](0).map(_.toDouble).toArray))
     // TOP-2 soft assignment for the boundary-replication multiprobe: a
     // vector's true nearest neighbor can sit just across the Voronoi
     // boundary where the in-cell search never sees it. Measured at
@@ -1125,15 +1154,34 @@ object Ann {
     // the pair-work census grows only 4.6%/5.6% over the 9/10 rule
     // (15 476 vs 14 789 pairs at sf0.01; 130 417 vs 123 490 at sf0.1) —
     // well inside the 1.2× budget.
-    val assigned = {
+    val withT2 = {
       import org.apache.spark.sql.graft.ColumnBridge
       val t2 = ColumnBridge.column(graft.functions.Top2CellsExpr(
         ColumnBridge.expression(col("embedding")), seedMatrix))
       emb.select(col("vec_id"), col("embedding"), t2.as("t2"))
         .select(col("vec_id"), col("embedding"),
-          col("t2.cell1").as("cell"),
-          when(col("t2.d2") * 8 > col("t2.d1") * 7, col("t2.cell2")).as("cell_alt"))
+          col("t2.cell1").as("cell1"), col("t2.cell2").as("cell2"),
+          (col("t2.d2") * 8 > col("t2.d1") * 7).as("band"))
     }.persist(Tuning.persistLevel) // both sides of the in-cell pair join read the assignment
+    // SINGLETON-CELL DISSOLUTION: under the directional (cosine) argmax a
+    // seed whose direction attracts no second vector leaves its lone
+    // member (usually the seed itself, self-cosine 1) alone in the cell —
+    // zero candidates, zero edges, and nobody else can find it. Any cell
+    // with population 1 is dissolved: its member joins its runner-up cell
+    // on BOTH the query and the candidate side (the band replica is
+    // suppressed for it — the primary now IS cell2, and a (query,
+    // candidate) pair must not repeat). Mean population is n/k = ⌈√n⌉, so
+    // at corpus scale singletons are vanishingly rare and this is a
+    // small-n completeness guard, not a scale mechanism; pops0 is a
+    // bounded ≤ k-row driver artifact the level-2 split collects anyway.
+    val pops0 = withT2.groupBy("cell1").agg(count(lit(1)).as("pn")).collect()
+    val singles: Set[Int] =
+      pops0.iterator.filter(_.getLong(1) == 1L).map(_.getInt(0)).toSet
+    def isSingle(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (singles.isEmpty) lit(false) else c.isInCollection(singles)
+    val assigned = withT2.select(col("vec_id"), col("embedding"),
+      when(isSingle(col("cell1")), col("cell2")).otherwise(col("cell1")).as("cell"),
+      when(col("band") && !isSingle(col("cell1")), col("cell2")).as("cell_alt"))
     // LEVEL-2 SPLIT of oversized cells — the bound on Σ|cell|². The seed
     // cells are untrained, so one dense cell can hold ~14× the mean
     // population (measured 6 373 vs 446 at sf10); since in-cell pair work
@@ -1175,9 +1223,21 @@ object Ann {
         val embById = emb.filter(col("vec_id").isInCollection(allIds))
           .select("vec_id", "embedding").collect()
           .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
-        // rows ordered by ascending member vec_id ⇒ sub index j is the
-        // SQL `row_number() OVER (PARTITION BY cell ORDER BY vec_id) - 1`
-        subIds.map { case (c, ids) => c -> ids.map(embById) }
+        // rows ordered by ascending member vec_id, MINUS exact-duplicate
+        // vectors (raw float equality, first id kept — mirrored in the
+        // twin's `PARTITION BY cell, embedding` dedup): the first-max
+        // assignment can never pick a later duplicate, and once seeds are
+        // normalized a duplicate would tie d1 = d2 and band-replicate
+        // EVERY candidate into a query-less sub-cell. Sub index j is then
+        // the SQL `row_number() OVER (PARTITION BY cell ORDER BY vec_id)
+        // - 1` over the deduped rows; each row normalized like level 1
+        // (if dedup leaves < 2 seeds the cell's members are near-copies —
+        // SubCellsExpr returns null ⇒ the cell stays unsplit, which emits
+        // the same pair set the degenerate all-tied split would)
+        subIds.map { case (c, ids) =>
+          val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+          c -> ids.map(embById).filter(v => seen.add(v.toSeq)).map(normalizeRow)
+        }
       }
     def subCells(cellCol: org.apache.spark.sql.Column,
                  embCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
@@ -1193,17 +1253,44 @@ object Ann {
     // S tasks while producing the IDENTICAL pair set. The classic
     // skew-salt; deterministic, so the DuckDB twin is unchanged. */
     val S = 8
+    // SUB-SINGLETON dissolution — the level-2 mirror of the level-1 rule:
+    // a population-1 sub-cell is a sliver whose lone member has zero
+    // candidates and is findable by nobody; redirect it to its runner-up
+    // sub on BOTH sides (band replica suppressed when redirected — the
+    // primary now IS sub2). Query-member pops per (cell, sub1) are a
+    // bounded ≤ Σm ≤ 2k-row driver artifact, one cheap aggregate over the
+    // cached assignment; at corpus scale sub pops average ~n/k = √n, so
+    // like level 1 this is a small-n completeness guard.
+    val subSingles: Set[Long] =
+      if (subMats.isEmpty) Set.empty
+      else assigned
+        .select(col("cell"),
+          subCells(col("cell"), col("embedding")).getField("sub1").as("sub1"))
+        .filter(col("sub1").isNotNull)
+        .groupBy("cell", "sub1").agg(count(lit(1)).as("pn")).collect()
+        .iterator.filter(_.getLong(2) == 1L)
+        .map(r => r.getInt(0).toLong * SubKeyBase + r.getInt(1)).toSet
+    def isSubSingle(cellCol: org.apache.spark.sql.Column,
+                    subCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (subSingles.isEmpty) lit(false)
+      else (cellCol.cast("long") * SubKeyBase + subCol).isInCollection(subSingles)
     // query side: ONE (cell, sub) key per vector; sub = -1 outside hot cells
-    val salted = assigned.select(col("cell"),
-        coalesce(subCells(col("cell"), col("embedding")).getField("sub1"), lit(-1)).as("sub"),
+    val salted = assigned
+      .select(col("cell"), col("vec_id"), col("embedding"),
+        subCells(col("cell"), col("embedding")).as("s"))
+      .select(col("cell"),
+        when(col("s").isNull, lit(-1))
+          .when(isSubSingle(col("cell"), col("s.sub1")), col("s.sub2"))
+          .otherwise(col("s.sub1")).as("sub"),
         pmod(col("vec_id"), lit(S.toLong)).as("salt"),
         col("vec_id"), col("embedding"))
     // candidate side: primary cell always, runner-up cell only for the
     // near-boundary rows (cell_alt non-null) — array+explode emits 1 or 2
     // cell memberships per vector (a (query, candidate) pair can never
-    // repeat because cell1 ≠ cell2); each hot-cell membership then fans
-    // into 1 or 2 sub-cells under the same band rule (≤ 4 memberships
-    // total, and exactly 1 for the common far-from-every-boundary row)
+    // repeat because cell1 ≠ cell2, and a dissolved row's replica slot is
+    // suppressed); each hot-cell membership then fans into 1 or 2
+    // sub-cells under the same band rule (≤ 4 memberships total, and
+    // exactly 1 for the common far-from-every-boundary row)
     val candidates = assigned.select(
         explode(array_compact(array(col("cell"), col("cell_alt")))).as("cell"),
         col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
@@ -1211,13 +1298,20 @@ object Ann {
         subCells(col("cell"), col("n_emb")).as("s"))
       .select(col("cell"), col("neighbor_id"), col("n_emb"),
         explode(when(col("s").isNull, array(lit(-1)))
-          .otherwise(array_compact(array(col("s.sub1"),
-            when(col("s.d2") * 8 > col("s.d1") * 7, col("s.sub2")))))).as("sub"))
+          .otherwise(array_compact(array(
+            when(isSubSingle(col("cell"), col("s.sub1")), col("s.sub2"))
+              .otherwise(col("s.sub1")),
+            when((col("s.d2") * 8 > col("s.d1") * 7) &&
+                 !isSubSingle(col("cell"), col("s.sub1")), col("s.sub2")))))).as("sub"))
       .select(col("cell"), col("sub"),
         explode(array((0 until S).map(s => lit(s.toLong)): _*)).as("salt"),
         col("neighbor_id"), col("n_emb"))
     (salted, candidates)
   }
+
+  /** Pair-encoding base for the (cell, sub) singleton set: sub indices are
+   *  bounded by m ≤ k+1 ≪ 1e6, so cell·1e6 + sub is collision-free. */
+  private val SubKeyBase = 1000000L
 
   /** Brute-force radius-search oracle, shared by ann_range_search and
    *  ann_range_ivf (the sound prune changes the plan, never the answer). */
@@ -1296,24 +1390,40 @@ object Ann {
         SELECT greatest(16, cast(ceil(sqrt(cast(count(*) as double))) as bigint)) AS k,
                count(*) AS n
         FROM embeddings),
+      -- COSINE assignment (r11): rank on list_cosine_similarity, the same
+      -- directional order as the engine's normalized-seed dot (cosine
+      -- divides the dot by the two per-row-constant norms, so the argmax
+      -- and the 8*d2 > 7*d1 band ratio are unchanged by either norm)
       scored AS (
         SELECT e.vec_id, e.embedding, c.vec_id AS cell,
-               list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS d,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS d,
                row_number() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
                           c.vec_id) AS rn
         FROM embeddings e JOIN embeddings c ON c.vec_id < (SELECT k FROM kk)),
+      -- singleton-cell dissolution (r11): a population-1 cell's lone
+      -- member joins its runner-up cell on BOTH the query and candidate
+      -- side; its band replica is suppressed (the primary now IS cell2)
+      pop1 AS (
+        SELECT cell FROM scored WHERE rn = 1
+        GROUP BY cell HAVING count(*) = 1),
       assigned AS (
-        SELECT vec_id, embedding, cell FROM scored WHERE rn = 1),
+        SELECT s1.vec_id, s1.embedding,
+               CASE WHEN s1.cell IN (SELECT cell FROM pop1)
+                    THEN s2.cell ELSE s1.cell END AS cell
+        FROM scored s1 JOIN scored s2
+          ON s2.vec_id = s1.vec_id AND s2.rn = 2
+        WHERE s1.rn = 1),
       -- boundary-replication multiprobe: candidates whose runner-up cell
       -- scores within 12.5% of the winner are indexed into BOTH cells
       cand1 AS (
-        SELECT vec_id, embedding, cell FROM scored WHERE rn = 1
+        SELECT vec_id, embedding, cell FROM assigned
         UNION ALL
         SELECT s2.vec_id, s2.embedding, s2.cell
         FROM scored s2 JOIN scored s1 ON s1.vec_id = s2.vec_id AND s1.rn = 1
-        WHERE s2.rn = 2 AND s2.d * 8 > s1.d * 7),
+        WHERE s2.rn = 2 AND s2.d * 8 > s1.d * 7
+          AND s1.cell NOT IN (SELECT cell FROM pop1)),
       -- level-2 split: any cell over 2x the mean population splits into
       -- m = ceil(pop*k/n) Voronoi sub-cells seeded by its m smallest
       -- member vec_ids; same 12.5% band rule for sub-boundary replication
@@ -1322,40 +1432,71 @@ object Ann {
                  // (SELECT n FROM kk)) as bigint) AS m
         FROM (SELECT cell, count(*) AS pn FROM assigned GROUP BY cell) p
         WHERE pn * (SELECT k FROM kk) > 2 * (SELECT n FROM kk)),
+      -- sub-seeds: the m smallest member vec_ids, minus EXACT-duplicate
+      -- vectors (raw embedding equality, first id kept) — under cosine a
+      -- duplicate would tie d1 = d2 and band-replicate every candidate
+      -- into a sub-cell no query searches; mirrors the engine's dedup
       subseed AS (
-        SELECT cell, vec_id, embedding, rs - 1 AS sub FROM (
-          SELECT a.cell, a.vec_id, a.embedding, h.m,
-                 row_number() OVER (PARTITION BY a.cell ORDER BY a.vec_id) AS rs
-          FROM assigned a JOIN hot h ON h.cell = a.cell) t
-        WHERE rs <= m),
-      qsub AS (
-        SELECT vec_id, cell, sub FROM (
+        SELECT cell, vec_id, embedding,
+               row_number() OVER (PARTITION BY cell ORDER BY vec_id) - 1 AS sub
+        FROM (
+          SELECT cell, vec_id, embedding,
+                 row_number() OVER (PARTITION BY cell, embedding ORDER BY vec_id) AS rd
+          FROM (
+            SELECT a.cell, a.vec_id, a.embedding, h.m,
+                   row_number() OVER (PARTITION BY a.cell ORDER BY a.vec_id) AS rs
+            FROM assigned a JOIN hot h ON h.cell = a.cell) t
+          WHERE rs <= m) d
+        WHERE rd = 1),
+      qsub0 AS (
+        SELECT vec_id, cell, sub, rn2 FROM (
           SELECT a.vec_id, a.cell, s.sub,
                  row_number() OVER (PARTITION BY a.vec_id, a.cell
-                   ORDER BY list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[])) DESC,
+                   ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[])) DESC,
                             s.sub) AS rn2
           FROM assigned a JOIN subseed s ON s.cell = a.cell) t
-        WHERE rn2 = 1),
+        WHERE rn2 <= 2),
+      -- sub-singleton dissolution, the level-2 mirror of pop1: a
+      -- population-1 sub-cell's lone member joins its runner-up sub
+      spop1 AS (
+        SELECT cell, sub FROM qsub0 WHERE rn2 = 1
+        GROUP BY cell, sub HAVING count(*) = 1),
+      qsub AS (
+        SELECT q1.vec_id, q1.cell,
+               CASE WHEN sp.cell IS NOT NULL AND q2.sub IS NOT NULL
+                    THEN q2.sub ELSE q1.sub END AS sub
+        FROM qsub0 q1
+        LEFT JOIN spop1 sp ON sp.cell = q1.cell AND sp.sub = q1.sub
+        LEFT JOIN qsub0 q2 ON q2.vec_id = q1.vec_id AND q2.cell = q1.cell AND q2.rn2 = 2
+        WHERE q1.rn2 = 1),
       queries AS (
         SELECT a.vec_id, a.embedding, a.cell, coalesce(q.sub, -1) AS sub
         FROM assigned a LEFT JOIN qsub q ON q.vec_id = a.vec_id AND q.cell = a.cell),
       csub AS (
         SELECT c.vec_id, c.cell, c.embedding, s.sub,
-               list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[])) AS d,
+               list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[])) AS d,
                row_number() OVER (PARTITION BY c.vec_id, c.cell
-                 ORDER BY list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[])) DESC,
+                 ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[])) DESC,
                           s.sub) AS rn2
         FROM cand1 c JOIN subseed s ON s.cell = c.cell),
       candidates AS (
         SELECT c.vec_id, c.embedding, c.cell, -1 AS sub
         FROM cand1 c WHERE c.cell NOT IN (SELECT cell FROM hot)
         UNION ALL
-        SELECT vec_id, embedding, cell, sub FROM csub WHERE rn2 = 1
+        SELECT c1.vec_id, c1.embedding, c1.cell,
+               CASE WHEN sp.cell IS NOT NULL AND c2.sub IS NOT NULL
+                    THEN c2.sub ELSE c1.sub END AS sub
+        FROM csub c1
+        LEFT JOIN spop1 sp ON sp.cell = c1.cell AND sp.sub = c1.sub
+        LEFT JOIN csub c2 ON c2.vec_id = c1.vec_id AND c2.cell = c1.cell AND c2.rn2 = 2
+        WHERE c1.rn2 = 1
         UNION ALL
         SELECT s2.vec_id, s2.embedding, s2.cell, s2.sub
-        FROM csub s2 JOIN csub s1
+        FROM csub s2
+        JOIN csub s1
           ON s1.vec_id = s2.vec_id AND s1.cell = s2.cell AND s1.rn2 = 1
-        WHERE s2.rn2 = 2 AND s2.d * 8 > s1.d * 7),
+        LEFT JOIN spop1 sp ON sp.cell = s1.cell AND sp.sub = s1.sub
+        WHERE s2.rn2 = 2 AND s2.d * 8 > s1.d * 7 AND sp.cell IS NULL),
       knn AS (
         SELECT vec_id, neighbor_id, rank FROM (
           SELECT l.vec_id, r.vec_id AS neighbor_id,
@@ -1376,61 +1517,108 @@ object Ann {
         SELECT greatest(16, cast(ceil(sqrt(cast(count(*) as double))) as bigint)) AS k,
                count(*) AS n
         FROM embeddings),
+      -- COSINE assignment (r11): rank on list_cosine_similarity, the same
+      -- directional order as the engine's normalized-seed dot (cosine
+      -- divides the dot by the two per-row-constant norms, so the argmax
+      -- and the 8*d2 > 7*d1 band ratio are unchanged by either norm)
       scored AS (
         SELECT e.vec_id, e.embedding, c.vec_id AS cell,
-               list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS d,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS d,
                row_number() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
                           c.vec_id) AS rn
         FROM embeddings e JOIN embeddings c ON c.vec_id < (SELECT k FROM kk)),
+      -- singleton-cell dissolution (r11): a population-1 cell's lone
+      -- member joins its runner-up cell on BOTH the query and candidate
+      -- side; its band replica is suppressed (the primary now IS cell2)
+      pop1 AS (
+        SELECT cell FROM scored WHERE rn = 1
+        GROUP BY cell HAVING count(*) = 1),
       assigned AS (
-        SELECT vec_id, embedding, cell FROM scored WHERE rn = 1),
+        SELECT s1.vec_id, s1.embedding,
+               CASE WHEN s1.cell IN (SELECT cell FROM pop1)
+                    THEN s2.cell ELSE s1.cell END AS cell
+        FROM scored s1 JOIN scored s2
+          ON s2.vec_id = s1.vec_id AND s2.rn = 2
+        WHERE s1.rn = 1),
       cand1 AS (
-        SELECT vec_id, embedding, cell FROM scored WHERE rn = 1
+        SELECT vec_id, embedding, cell FROM assigned
         UNION ALL
         SELECT s2.vec_id, s2.embedding, s2.cell
         FROM scored s2 JOIN scored s1 ON s1.vec_id = s2.vec_id AND s1.rn = 1
-        WHERE s2.rn = 2 AND s2.d * 8 > s1.d * 7),
+        WHERE s2.rn = 2 AND s2.d * 8 > s1.d * 7
+          AND s1.cell NOT IN (SELECT cell FROM pop1)),
       hot AS (
         SELECT cell, cast(((pn * (SELECT k FROM kk) + (SELECT n FROM kk) - 1)
                  // (SELECT n FROM kk)) as bigint) AS m
         FROM (SELECT cell, count(*) AS pn FROM assigned GROUP BY cell) p
         WHERE pn * (SELECT k FROM kk) > 2 * (SELECT n FROM kk)),
+      -- sub-seeds: the m smallest member vec_ids, minus EXACT-duplicate
+      -- vectors (raw embedding equality, first id kept) — under cosine a
+      -- duplicate would tie d1 = d2 and band-replicate every candidate
+      -- into a sub-cell no query searches; mirrors the engine's dedup
       subseed AS (
-        SELECT cell, vec_id, embedding, rs - 1 AS sub FROM (
-          SELECT a.cell, a.vec_id, a.embedding, h.m,
-                 row_number() OVER (PARTITION BY a.cell ORDER BY a.vec_id) AS rs
-          FROM assigned a JOIN hot h ON h.cell = a.cell) t
-        WHERE rs <= m),
-      qsub AS (
-        SELECT vec_id, cell, sub FROM (
+        SELECT cell, vec_id, embedding,
+               row_number() OVER (PARTITION BY cell ORDER BY vec_id) - 1 AS sub
+        FROM (
+          SELECT cell, vec_id, embedding,
+                 row_number() OVER (PARTITION BY cell, embedding ORDER BY vec_id) AS rd
+          FROM (
+            SELECT a.cell, a.vec_id, a.embedding, h.m,
+                   row_number() OVER (PARTITION BY a.cell ORDER BY a.vec_id) AS rs
+            FROM assigned a JOIN hot h ON h.cell = a.cell) t
+          WHERE rs <= m) d
+        WHERE rd = 1),
+      qsub0 AS (
+        SELECT vec_id, cell, sub, rn2 FROM (
           SELECT a.vec_id, a.cell, s.sub,
                  row_number() OVER (PARTITION BY a.vec_id, a.cell
-                   ORDER BY list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[])) DESC,
+                   ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[])) DESC,
                             s.sub) AS rn2
           FROM assigned a JOIN subseed s ON s.cell = a.cell) t
-        WHERE rn2 = 1),
+        WHERE rn2 <= 2),
+      -- sub-singleton dissolution, the level-2 mirror of pop1: a
+      -- population-1 sub-cell's lone member joins its runner-up sub
+      spop1 AS (
+        SELECT cell, sub FROM qsub0 WHERE rn2 = 1
+        GROUP BY cell, sub HAVING count(*) = 1),
+      qsub AS (
+        SELECT q1.vec_id, q1.cell,
+               CASE WHEN sp.cell IS NOT NULL AND q2.sub IS NOT NULL
+                    THEN q2.sub ELSE q1.sub END AS sub
+        FROM qsub0 q1
+        LEFT JOIN spop1 sp ON sp.cell = q1.cell AND sp.sub = q1.sub
+        LEFT JOIN qsub0 q2 ON q2.vec_id = q1.vec_id AND q2.cell = q1.cell AND q2.rn2 = 2
+        WHERE q1.rn2 = 1),
       queries AS (
         SELECT a.vec_id, a.embedding, a.cell, coalesce(q.sub, -1) AS sub
         FROM assigned a LEFT JOIN qsub q ON q.vec_id = a.vec_id AND q.cell = a.cell),
       csub AS (
         SELECT c.vec_id, c.cell, c.embedding, s.sub,
-               list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[])) AS d,
+               list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[])) AS d,
                row_number() OVER (PARTITION BY c.vec_id, c.cell
-                 ORDER BY list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[])) DESC,
+                 ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[])) DESC,
                           s.sub) AS rn2
         FROM cand1 c JOIN subseed s ON s.cell = c.cell),
       candidates AS (
         SELECT c.vec_id, c.embedding, c.cell, -1 AS sub
         FROM cand1 c WHERE c.cell NOT IN (SELECT cell FROM hot)
         UNION ALL
-        SELECT vec_id, embedding, cell, sub FROM csub WHERE rn2 = 1
+        SELECT c1.vec_id, c1.embedding, c1.cell,
+               CASE WHEN sp.cell IS NOT NULL AND c2.sub IS NOT NULL
+                    THEN c2.sub ELSE c1.sub END AS sub
+        FROM csub c1
+        LEFT JOIN spop1 sp ON sp.cell = c1.cell AND sp.sub = c1.sub
+        LEFT JOIN csub c2 ON c2.vec_id = c1.vec_id AND c2.cell = c1.cell AND c2.rn2 = 2
+        WHERE c1.rn2 = 1
         UNION ALL
         SELECT s2.vec_id, s2.embedding, s2.cell, s2.sub
-        FROM csub s2 JOIN csub s1
+        FROM csub s2
+        JOIN csub s1
           ON s1.vec_id = s2.vec_id AND s1.cell = s2.cell AND s1.rn2 = 1
-        WHERE s2.rn2 = 2 AND s2.d * 8 > s1.d * 7),
+        LEFT JOIN spop1 sp ON sp.cell = s1.cell AND sp.sub = s1.sub
+        WHERE s2.rn2 = 2 AND s2.d * 8 > s1.d * 7 AND sp.cell IS NULL),
       knn AS (
         SELECT vec_id, neighbor_id FROM (
           SELECT l.vec_id, r.vec_id AS neighbor_id,

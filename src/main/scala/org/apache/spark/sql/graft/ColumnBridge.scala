@@ -74,9 +74,16 @@ object DatasetBridge {
     s
   }
 
-  /** Unpersist every snapshot this application has taken. Safe at any
-   *  point: the RDDs keep lineage, so a memoized DataFrame that outlives
-   *  its release simply recomputes. */
+  /** Unpersist every snapshot this application has taken. For plain
+   *  snapshots this is safe at any point — the RDDs keep lineage, so a
+   *  memoized DataFrame that outlives its release simply recomputes. A
+   *  `truncateLineage = true` snapshot is the EXCEPTION: localCheckpoint
+   *  discards its lineage, so a stale reference to one of those frames is
+   *  permanently invalid after release (block-not-found on next use, not
+   *  a recompute). The memo registries honor this by dropping their
+   *  entries in the same [[graft.CorpusCaches.releaseAll]] sweep —
+   *  consumers must re-enter the memoized builders, never hold a frame
+   *  across a release. */
   def releaseAll(): Unit = {
     var s = live.poll()
     while (s != null) { s.release(); s = live.poll() }

@@ -47,15 +47,17 @@ class KnnSplitSpec extends AnyFunSuite {
 
     val emb = graft.Tables.embeddings(spark, dirTmp)
     val k = 25L
-    import graft.functions.TextFunctions.{cosine, dot}
+    import graft.functions.TextFunctions.cosine
 
-    // prove the corpus shape: reproduce the level-1 argmax and check one
-    // cell really exceeds 2× the mean — i.e. the e2e run below MUST have
-    // taken the split path (splitWidths is deterministic on these pops)
+    // prove the corpus shape: reproduce the level-1 argmax (COSINE — the
+    // engine normalizes its seed rows, so the assignment is directional)
+    // and check one cell really exceeds 2× the mean — i.e. the e2e run
+    // below MUST have taken the split path (splitWidths is deterministic
+    // on these pops)
     val seeds = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
     val pops = emb.crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("cell"), dot(col("embedding"), col("c_emb")).as("d"))
+      .select(col("vec_id"), col("cell"), cosine(col("embedding"), col("c_emb")).as("d"))
       .groupBy("vec_id")
       .agg(max_by(col("cell"), struct(col("d"), (-col("cell")).as("nid"))).as("cell"))
       .groupBy("cell").count().collect()

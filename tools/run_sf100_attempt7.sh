@@ -1,5 +1,5 @@
 #!/bin/bash
-# sf100 full-suite capacity campaign, attempt 6 (post shingle-pipeline + agg-fallback fixes)
+# sf100 full-suite capacity campaign, attempt 7 (post shingle-pipeline + agg-fallback fixes)
 cd /root/repo
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
