@@ -1136,6 +1136,15 @@ object Ann {
     // CPU-bound build. The DuckDB twin makes the identical move by
     // ranking on list_cosine_similarity (= the same order: it divides the
     // dot by the two constant-per-row norms).
+    // Seed choice stays FIRST-k (measured, r11): a stride-sampled level-1
+    // seed set was tried and reverted — on id-correlated corpora it does
+    // balance level-1 cells, but it collapsed boundary recall at the
+    // oracle scales (17/24 ground-truth edges lost at sf0.01: on weakly
+    // clustered random vectors an IVF's single-probe queries depend on
+    // the query-side geometry the first-k rule gives this suite's pinned
+    // query set). Level-1 imbalance on id-correlated corpora is instead
+    // the LEVEL-2 split's job, whose stride-sampled sub-seeds (below) cut
+    // the sf100 pair census 40× without touching any level-1 boundary.
     val seedMatrix: Array[Array[Double]] = emb.filter(col("vec_id") < k).orderBy("vec_id")
       .select("embedding").collect()
       .map(r => normalizeRow(r.getSeq[Float](0).map(_.toDouble).toArray))
@@ -1189,9 +1198,10 @@ object Ann {
     // worth — roughly half the suite's pair work at sf10 — and the skew is
     // unbounded in n. Any cell whose population exceeds 2× the mean
     // (pop·k > 2·n, cross-multiplied — no division) is split into
-    // m = ⌈pop·k/n⌉ Voronoi sub-cells seeded by its m smallest member
-    // vec_ids (deterministic, SQL-reproducible), capping expected sub-cell
-    // population at the corpus mean. Queries search ONE (cell, sub) key;
+    // m = ⌈pop·k/n⌉ Voronoi sub-cells, STRIDE-SAMPLED from the cell's
+    // members (deterministic, SQL-reproducible — see the sub-seed block
+    // below), capping expected sub-cell population at the corpus mean.
+    // Queries search ONE (cell, sub) key;
     // candidates near a sub-boundary replicate into their runner-up
     // sub-cell under the SAME 12.5% band rule as level 1, so the recall
     // mechanism is identical at both levels. Measured at the oracle scales
@@ -1205,39 +1215,60 @@ object Ann {
     val subMats: Map[Int, Array[Array[Double]]] =
       if (hotM.isEmpty) Map.empty
       else {
-        val maxM = hotM.values.max
         val hotCells = hotM.keys.toSeq
-        // m smallest member vec_ids per hot cell via the bounded top-k
-        // aggregate (O(maxM) buffer per map task, buffers-only shuffle) —
-        // never a per-cell global sort. -vec_id as the score ⇒ smallest
-        // ids win; exact for ids < 2^53.
-        val idRows = assigned.filter(col("cell").isin(hotCells: _*))
-          .groupBy("cell")
-          .agg(topK(maxM)((-col("vec_id")).cast("double"), col("vec_id")).as("top"))
-          .select(col("cell"), col("top.id").as("ids")).collect()
+        val popMap: Map[Int, Long] =
+          popRows.iterator.map(r => r.getInt(0) -> r.getLong(1)).toMap
+        // STRIDE-SAMPLED sub-seeds (r11): the FIRST member of each of m
+        // equal-width rank buckets over the cell's members in vec_id
+        // order (rank r selected iff r = 1 or ⌊(r−1)·m/pn⌋ > ⌊(r−2)·m/pn⌋
+        // — exactly m rows, pure integer arithmetic, floor-division-safe
+        // on both engines since every operand is nonnegative for r ≥ 2).
+        // The previous rule — the m SMALLEST member vec_ids — sampled the
+        // cell's ids, not its density: on any corpus where vec_id
+        // correlates with content (ScaleGen's copies; real corpora with
+        // time-ordered ids) all m seeds came from one content region, and
+        // the sf100 census showed ONE sub-seed absorbing 865k of a 1M-
+        // member cell (1.06e12 pairs, 374× the balanced model) because no
+        // seed pointed into the corpus's dense direction cone.
+        // Stride-by-rank is a density-proportional sample: a region with
+        // x% of the cell's members contributes ~x% of the sub-seeds, so
+        // expected sub populations are ~pn/m ≈ the corpus mean. The
+        // window sort touches only hot-cell members — exactly the skew
+        // mass the split exists to cut, ≪ one corpus shuffle.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cell").orderBy("vec_id")
+        val hotMeta = {
+          import spark.implicits._
+          hotCells.map(c => (c, hotM(c).toLong, popMap(c))).toDF("cell", "m", "pn")
+        }
+        val selRows = assigned.filter(col("cell").isin(hotCells: _*))
+          .select(col("cell"), col("vec_id"), col("embedding"))
+          .withColumn("rs", row_number().over(w))
+          .join(broadcast(hotMeta), "cell")
+          .filter(col("rs") === 1 ||
+            expr("((rs - 1) * m) div pn") > expr("((rs - 2) * m) div pn"))
+          .select("cell", "vec_id", "embedding").collect()
         // bounded: Σm ≤ 2k rows (every cell hot ⇒ Σ⌈pop·k/n⌉ < k + #cells)
-        val subIds: Map[Int, Array[Long]] = idRows.iterator.map { r =>
-          r.getInt(0) -> r.getSeq[Long](1).toArray.sorted.take(hotM(r.getInt(0)))
-        }.toMap
-        val allIds = subIds.values.flatten.toSet
-        val embById = emb.filter(col("vec_id").isInCollection(allIds))
-          .select("vec_id", "embedding").collect()
-          .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
         // rows ordered by ascending member vec_id, MINUS exact-duplicate
         // vectors (raw float equality, first id kept — mirrored in the
         // twin's `PARTITION BY cell, embedding` dedup): the first-max
-        // assignment can never pick a later duplicate, and once seeds are
-        // normalized a duplicate would tie d1 = d2 and band-replicate
-        // EVERY candidate into a query-less sub-cell. Sub index j is then
-        // the SQL `row_number() OVER (PARTITION BY cell ORDER BY vec_id)
-        // - 1` over the deduped rows; each row normalized like level 1
-        // (if dedup leaves < 2 seeds the cell's members are near-copies —
-        // SubCellsExpr returns null ⇒ the cell stays unsplit, which emits
-        // the same pair set the degenerate all-tied split would)
-        subIds.map { case (c, ids) =>
-          val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
-          c -> ids.map(embById).filter(v => seen.add(v.toSeq)).map(normalizeRow)
-        }
+        // assignment can never pick a later duplicate, and a duplicate
+        // would tie d1 = d2 and band-replicate EVERY candidate into a
+        // query-less sub-cell. Sub index j is then the SQL `row_number()
+        // OVER (PARTITION BY cell ORDER BY vec_id) - 1` over the deduped
+        // selection; each row normalized like level 1 (if dedup leaves
+        // < 2 seeds the cell's members are near-copies — SubCellsExpr
+        // returns null ⇒ the cell stays unsplit, which emits the same
+        // pair set the degenerate all-tied split would)
+        selRows.iterator
+          .map(r => (r.getInt(0), r.getLong(1),
+            r.getSeq[Float](2).map(_.toDouble).toArray))
+          .toArray.groupBy(_._1)
+          .map { case (c, rows) =>
+            val ordered = rows.sortBy(_._2).map(_._3)
+            val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+            c -> ordered.filter(v => seen.add(v.toSeq)).map(normalizeRow)
+          }
       }
     def subCells(cellCol: org.apache.spark.sql.Column,
                  embCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
@@ -1428,14 +1459,18 @@ object Ann {
       -- m = ceil(pop*k/n) Voronoi sub-cells seeded by its m smallest
       -- member vec_ids; same 12.5% band rule for sub-boundary replication
       hot AS (
-        SELECT cell, cast(((pn * (SELECT k FROM kk) + (SELECT n FROM kk) - 1)
+        SELECT cell, pn,
+               cast(((pn * (SELECT k FROM kk) + (SELECT n FROM kk) - 1)
                  // (SELECT n FROM kk)) as bigint) AS m
         FROM (SELECT cell, count(*) AS pn FROM assigned GROUP BY cell) p
         WHERE pn * (SELECT k FROM kk) > 2 * (SELECT n FROM kk)),
-      -- sub-seeds: the m smallest member vec_ids, minus EXACT-duplicate
-      -- vectors (raw embedding equality, first id kept) — under cosine a
-      -- duplicate would tie d1 = d2 and band-replicate every candidate
-      -- into a sub-cell no query searches; mirrors the engine's dedup
+      -- sub-seeds: STRIDE-SAMPLED — the first member of each of m
+      -- equal-width rank buckets over the cell's members in vec_id order
+      -- (density-proportional; the m-smallest-ids rule sampled one
+      -- content region on id-correlated corpora), minus EXACT-duplicate
+      -- vectors (raw embedding equality, first id kept) — a duplicate
+      -- would tie d1 = d2 and band-replicate every candidate into a
+      -- sub-cell no query searches; mirrors the engine's selection
       subseed AS (
         SELECT cell, vec_id, embedding,
                row_number() OVER (PARTITION BY cell ORDER BY vec_id) - 1 AS sub
@@ -1443,10 +1478,10 @@ object Ann {
           SELECT cell, vec_id, embedding,
                  row_number() OVER (PARTITION BY cell, embedding ORDER BY vec_id) AS rd
           FROM (
-            SELECT a.cell, a.vec_id, a.embedding, h.m,
+            SELECT a.cell, a.vec_id, a.embedding, h.m, h.pn,
                    row_number() OVER (PARTITION BY a.cell ORDER BY a.vec_id) AS rs
             FROM assigned a JOIN hot h ON h.cell = a.cell) t
-          WHERE rs <= m) d
+          WHERE rs = 1 OR ((rs - 1) * m) // pn > ((rs - 2) * m) // pn) d
         WHERE rd = 1),
       qsub0 AS (
         SELECT vec_id, cell, sub, rn2 FROM (
@@ -1550,14 +1585,18 @@ object Ann {
         WHERE s2.rn = 2 AND s2.d * 8 > s1.d * 7
           AND s1.cell NOT IN (SELECT cell FROM pop1)),
       hot AS (
-        SELECT cell, cast(((pn * (SELECT k FROM kk) + (SELECT n FROM kk) - 1)
+        SELECT cell, pn,
+               cast(((pn * (SELECT k FROM kk) + (SELECT n FROM kk) - 1)
                  // (SELECT n FROM kk)) as bigint) AS m
         FROM (SELECT cell, count(*) AS pn FROM assigned GROUP BY cell) p
         WHERE pn * (SELECT k FROM kk) > 2 * (SELECT n FROM kk)),
-      -- sub-seeds: the m smallest member vec_ids, minus EXACT-duplicate
-      -- vectors (raw embedding equality, first id kept) — under cosine a
-      -- duplicate would tie d1 = d2 and band-replicate every candidate
-      -- into a sub-cell no query searches; mirrors the engine's dedup
+      -- sub-seeds: STRIDE-SAMPLED — the first member of each of m
+      -- equal-width rank buckets over the cell's members in vec_id order
+      -- (density-proportional; the m-smallest-ids rule sampled one
+      -- content region on id-correlated corpora), minus EXACT-duplicate
+      -- vectors (raw embedding equality, first id kept) — a duplicate
+      -- would tie d1 = d2 and band-replicate every candidate into a
+      -- sub-cell no query searches; mirrors the engine's selection
       subseed AS (
         SELECT cell, vec_id, embedding,
                row_number() OVER (PARTITION BY cell ORDER BY vec_id) - 1 AS sub
@@ -1565,10 +1604,10 @@ object Ann {
           SELECT cell, vec_id, embedding,
                  row_number() OVER (PARTITION BY cell, embedding ORDER BY vec_id) AS rd
           FROM (
-            SELECT a.cell, a.vec_id, a.embedding, h.m,
+            SELECT a.cell, a.vec_id, a.embedding, h.m, h.pn,
                    row_number() OVER (PARTITION BY a.cell ORDER BY a.vec_id) AS rs
             FROM assigned a JOIN hot h ON h.cell = a.cell) t
-          WHERE rs <= m) d
+          WHERE rs = 1 OR ((rs - 1) * m) // pn > ((rs - 2) * m) // pn) d
         WHERE rd = 1),
       qsub0 AS (
         SELECT vec_id, cell, sub, rn2 FROM (
