@@ -362,32 +362,56 @@ object Dedup {
       .orderBy("id_sub", "id_super")
   }
 
-  /** Embedding-cosine near-dup: hyperplane LSH bucket join, exact cosine
-   *  verification on bucket-colliding pairs only. Emits the top-20
-   *  candidates with an `is_dup` (cos ≥ 0.9) verdict — on this corpus the
-   *  vectors are random so no pair crosses the threshold, and the candidate
-   *  ranking proves the bucket+verify machinery end-to-end. Signature
-   *  width scales with the corpus ([[graft.similarity.Ann.sigBits]]:
-   *  bits ≈ log2(n/64), floor 8) so bucket population stays bounded and the
-   *  intra-bucket join never goes quadratic as data grows. */
+  /** Embedding-cosine near-dup: hyperplane LSH buckets, exact cosine
+   *  verification on RANK-WINDOWED bucket-colliding pairs. Emits the
+   *  top-20 candidates with an `is_dup` (cos ≥ 0.9) verdict — on this
+   *  corpus the vectors are random so no pair crosses the threshold, and
+   *  the candidate ranking proves the bucket+verify machinery end-to-end.
+   *  Signature width scales with the corpus
+   *  ([[graft.similarity.Ann.sigBits]]: bits ≈ log2(n/64), floor 8) so
+   *  MEAN bucket population stays bounded as data grows — but no
+   *  near-dup-preserving hash can bound the MAX: a corpus whose dense
+   *  direction cone holds a million genuinely-pairwise-similar vectors
+   *  puts them all in one bucket BY DESIGN (that is what "similar pairs
+   *  collide" means), and the full in-bucket self-join did Σpop² ≈ 5e11
+   *  cosines at sf100 (ScaleGen's per-copy offset builds exactly such a
+   *  cone). The candidate cap — this family's analogue of the shingle
+   *  stop-cap — is a RANK WINDOW: each member is compared to its
+   *  [[EmbedPairWindow]] predecessors in vec_id order within the bucket,
+   *  so candidates are Σ pop·min(pop−1, W) — linear in every bucket's
+   *  population. At the oracle scales every bucket holds far fewer than
+   *  W members, so the window covers the whole bucket and the pair set
+   *  is IDENTICAL to the full join; the cap engages only where the full
+   *  join is quadratic. The DuckDB twin applies the same window via
+   *  `b.rs − a.rs BETWEEN 1 AND W` on the identical rank. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val dim = 64
     val emb = Tables.embeddings(spark, dir)
     val bits = graft.similarity.Ann.sigBits(emb.count())
-    val sigs = emb
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("vec_id")
+      .rowsBetween(-EmbedPairWindow, -1)
+    emb
       .select(col("vec_id"), col("embedding"),
         hyperplaneSig(col("embedding"), bits, dim).as("bucket"))
-      .persist(Tuning.persistLevel) // plane dot-products per vector; consumed by both join sides
-    val a = sigs.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = sigs.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    a.join(b, "bucket")
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        cosine(col("emb_a"), col("emb_b")).as("cos"))
+      .withColumn("prev", collect_list(struct(col("vec_id"), col("embedding"))).over(w))
+      .select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+        explode(col("prev")).as("p"))
+      // predecessors have strictly smaller vec_id, so id_a < id_b holds by
+      // construction; cosine is argument-order-exact (the dot's per-index
+      // products and both norms are symmetric in IEEE arithmetic)
+      .select(col("p.vec_id").as("id_a"), col("id_b"),
+        cosine(col("p.embedding"), col("emb_b")).as("cos"))
       .select(col("id_a"), col("id_b"), (col("cos") >= 0.9).as("is_dup"), col("cos"))
       .orderBy(col("cos").desc, col("id_a"), col("id_b"))
       .limit(20)
   }
+
+  /** Rank-window width for [[embeddingNearDup]]'s in-bucket candidate
+   *  generation: comfortably above any oracle-scale bucket population
+   *  (window = whole bucket there ⇒ pair-set identical to the full
+   *  self-join), and the linear-cost bound everywhere else. */
+  private[graft] val EmbedPairWindow = 64
 
   /** Span-level dedup (the tractable kin of Lee et al. 2022's exact
    *  substring dedup, and of C4's line dedup): documents split into
@@ -477,12 +501,16 @@ object Dedup {
     val xyTerms = (0 until HyperplaneOracle.Dim)
       .map(j => s"${HyperplaneOracle.elem("a", j)}*${HyperplaneOracle.elem("b", j)}")
     s"""
-      WITH ${HyperplaneOracle.sigCtes}
+      WITH ${HyperplaneOracle.sigCtes},
+      s2 AS (
+        SELECT *, row_number() OVER (PARTITION BY sig ORDER BY vec_id) AS rs
+        FROM s)
       SELECT id_a, id_b, cos >= 0.9 AS is_dup, cos FROM (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                CASE WHEN sqrt(a.nrm) * sqrt(b.nrm) = 0 THEN 0.0
                     ELSE (${xyTerms.mkString(" + ")}) / (sqrt(a.nrm) * sqrt(b.nrm)) END AS cos
-        FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id) p
+        FROM s2 a JOIN s2 b
+          ON a.sig = b.sig AND b.rs - a.rs BETWEEN 1 AND $EmbedPairWindow) p
       ORDER BY cos DESC, id_a, id_b LIMIT 20
     """
   }
