@@ -474,9 +474,22 @@ object Dedup {
     val assigned = graft.similarity.Ann.assignCellsScalable(emb, centroids)
       .select(col("cell"), col("vec_id"), col("embedding"))
       .persist(Tuning.persistLevel) // trained assignment feeds both sides of the pair join
+    // SALTED pair join (r11): a trained cell over a dense region can
+    // still hold 10²–10³× the mean population (ScaleGen's direction cone
+    // at sf100), and an unsalted equi-join grinds that cell's pop²/2
+    // pairs in ONE task — the a9 campaign measured 3 single-core
+    // stragglers while 29 cores idled. dup side takes salt = dup_id mod
+    // S, the id_a side replicates S× — identical pair set, the work of
+    // every fat cell split across S tasks. Same discipline as the
+    // kNN-graph pair join; the DuckDB oracle is unchanged (a pure
+    // parallelization of the same pairs).
+    val S = 8
     val a = assigned.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = assigned.select(col("cell"), col("vec_id").as("dup_id"), col("embedding").as("emb_b"))
-    a.join(b, "cell")
+      .select(col("cell"), col("id_a"), col("emb_a"),
+        explode(array((0 until S).map(s => lit(s.toLong)): _*)).as("salt"))
+    val b = assigned.select(col("cell"), col("vec_id").as("dup_id"), col("embedding").as("emb_b"),
+      pmod(col("vec_id"), lit(S.toLong)).as("salt"))
+    a.join(b, Seq("cell", "salt"))
       .filter(col("id_a") < col("dup_id"))
       .filter(cosine(col("emb_a"), col("emb_b")) >= 0.3)
       .groupBy("dup_id")
