@@ -471,31 +471,43 @@ object Dedup {
     // the same ⌈√count⌉ (KmeansOracle.KDyn).
     val k = math.max(16, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
     val centroids = graft.similarity.Ann.trainedCentroids(spark, dir, k, 3)
-    val assigned = graft.similarity.Ann.assignCellsScalable(emb, centroids)
+    // RANK-WINDOWED in-cell pairing (r11): √n trained cells bound the
+    // MEAN population, but a genuinely dense semantic region — ScaleGen's
+    // direction cone holds ~1M pairwise-similar vectors at sf100 — lands
+    // in O(1) cells BY DESIGN (that is what clustering does), and the
+    // full in-cell pair join is then intrinsically ~1e12 cosines: the a9
+    // campaign measured it at 41+ min on 3 single-core stragglers, and
+    // salting it (a10) only spread the same ~17 core-hours wider. The
+    // candidate cap — the same discipline as [[embeddingNearDup]] and
+    // the shingle stop-cap — compares each member to its
+    // [[SemDedupWindow]] rank-predecessors (by vec_id) within the cell,
+    // making candidates linear in every cell's population. At the oracle
+    // scales every trained cell holds far fewer than W members, so the
+    // window covers the whole cell and the result is IDENTICAL to the
+    // full join; the DuckDB twin applies the same window on the same
+    // rank. kept_id stays "smallest earlier similar member IN WINDOW" —
+    // at any scale where the window truncates, the kept representative
+    // is the nearest-by-id earlier dup, the natural incremental-dedup
+    // answer.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell").orderBy("vec_id")
+      .rowsBetween(-SemDedupWindow, -1)
+    graft.similarity.Ann.assignCellsScalable(emb, centroids)
       .select(col("cell"), col("vec_id"), col("embedding"))
-      .persist(Tuning.persistLevel) // trained assignment feeds both sides of the pair join
-    // SALTED pair join (r11): a trained cell over a dense region can
-    // still hold 10²–10³× the mean population (ScaleGen's direction cone
-    // at sf100), and an unsalted equi-join grinds that cell's pop²/2
-    // pairs in ONE task — the a9 campaign measured 3 single-core
-    // stragglers while 29 cores idled. dup side takes salt = dup_id mod
-    // S, the id_a side replicates S× — identical pair set, the work of
-    // every fat cell split across S tasks. Same discipline as the
-    // kNN-graph pair join; the DuckDB oracle is unchanged (a pure
-    // parallelization of the same pairs).
-    val S = 8
-    val a = assigned.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-      .select(col("cell"), col("id_a"), col("emb_a"),
-        explode(array((0 until S).map(s => lit(s.toLong)): _*)).as("salt"))
-    val b = assigned.select(col("cell"), col("vec_id").as("dup_id"), col("embedding").as("emb_b"),
-      pmod(col("vec_id"), lit(S.toLong)).as("salt"))
-    a.join(b, Seq("cell", "salt"))
-      .filter(col("id_a") < col("dup_id"))
-      .filter(cosine(col("emb_a"), col("emb_b")) >= 0.3)
+      .withColumn("prev", collect_list(struct(col("vec_id"), col("embedding"))).over(w))
+      .select(col("vec_id").as("dup_id"), col("embedding").as("emb_b"),
+        explode(col("prev")).as("p"))
+      .filter(cosine(col("p.embedding"), col("emb_b")) >= 0.3)
       .groupBy("dup_id")
-      .agg(min(col("id_a")).as("kept_id"), count(lit(1)).as("n_sim"))
+      .agg(min(col("p.vec_id")).as("kept_id"), count(lit(1)).as("n_sim"))
       .orderBy("dup_id")
   }
+
+  /** Rank-window width for [[semanticDedup]]'s in-cell candidate
+   *  generation: comfortably above any oracle-scale trained-cell
+   *  population (window = whole cell there ⇒ result identical to the
+   *  full pair join), linear-cost everywhere else. */
+  private[graft] val SemDedupWindow = 256
 
   /** GENERATED DuckDB oracle for [[embeddingNearDup]] — the LSH bucket
    *  assignment is exactly reproducible in SQL because every piece is

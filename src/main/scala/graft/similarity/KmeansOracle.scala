@@ -156,11 +156,16 @@ object KmeansOracle {
     s"""
        |      WITH ${trainedCtesFor(KDyn)},
        |      v AS MATERIALIZED (SELECT vec_id, ($nrm) AS nrm FROM embeddings),
+       |      r AS (
+       |        SELECT *, row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rs
+       |        FROM a$Iters),
        |      p AS (
        |        SELECT b.vec_id AS dup_id, a.vec_id AS id_a,
        |               CASE WHEN sqrt(va.nrm) * sqrt(vb.nrm) = 0 THEN 0.0
        |                    ELSE ($xy) / (sqrt(va.nrm) * sqrt(vb.nrm)) END AS cos
-       |        FROM a$Iters a JOIN a$Iters b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |        FROM r a JOIN r b
+       |          ON a.cell = b.cell
+       |         AND b.rs - a.rs BETWEEN 1 AND ${graft.dedup.Dedup.SemDedupWindow}
        |        JOIN v va ON va.vec_id = a.vec_id
        |        JOIN v vb ON vb.vec_id = b.vec_id)
        |      SELECT dup_id, min(id_a) AS kept_id, cast(count(*) as bigint) AS n_sim
