@@ -35,13 +35,22 @@ object BenchFormat {
     "sf([0-9.]*[0-9])/?$".r.findFirstMatchIn(sfDir).map(_.group(1))
       .getOrElse("\"" + sfDir + "\"")
 
+  /** `"calib":N` — the host-speed probe (fixed CPU+shuffle work, timed at
+   *  bench start), so cross-host comparisons of scaled runs are
+   *  machine-attributable instead of hand-calibrated (r10 did the 1.30×
+   *  host-drift analysis by hand; this field makes it data). Placed before
+   *  the queries map so it always survives the budget truncation. */
+  private def calibJson(calib: Option[Double]): String =
+    calib.map(c => s""","calib":${fmt(c, 2)}""").getOrElse("")
+
   private def build(total: Double, qs: Seq[(String, Double)], sfDir: String,
-                    decimals: Int, omitted: Int, errJson: String): String = {
+                    decimals: Int, omitted: Int, errJson: String,
+                    calib: Option[Double]): String = {
     val body = qs.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, decimals) }
       .mkString("{", ",", "}")
     val omit = if (omitted > 0) s""","omitted":$omitted""" else ""
-    s"""{"metric":"total","value":${fmt(total, decimals)},"unit":"sec","queries":$body$omit$errJson,"sf":${sfJson(sfDir)}}"""
+    s"""{"metric":"total","value":${fmt(total, decimals)},"unit":"sec"${calibJson(calib)},"queries":$body$omit$errJson,"sf":${sfJson(sfDir)}}"""
   }
 
   /** `"errors":N` (+ failed names, budget permitting) — a crashed query must
@@ -53,14 +62,14 @@ object BenchFormat {
     else s""","errors":${errNames.size}"""
 
   def line(total: Double, queries: Seq[(String, Double)], sfDir: String,
-           errNames: Seq[String] = Nil): String = {
+           errNames: Seq[String] = Nil, calib: Option[Double] = None): String = {
     val errFull = errJson(errNames, withNames = true)
     val errCount = errJson(errNames, withNames = false)
-    val two = build(total, queries, sfDir, 2, 0, errFull)
+    val two = build(total, queries, sfDir, 2, 0, errFull, calib)
     if (two.length <= Budget) return two
-    val one = build(total, queries, sfDir, 1, 0, errFull)
+    val one = build(total, queries, sfDir, 1, 0, errFull, calib)
     if (one.length <= Budget) return one
-    val oneCnt = build(total, queries, sfDir, 1, 0, errCount)
+    val oneCnt = build(total, queries, sfDir, 1, 0, errCount, calib)
     if (oneCnt.length <= Budget) return oneCnt
     // Last resort: drop the fastest queries (least informative for a perf
     // grader) until the line fits; the count of dropped entries is explicit.
@@ -69,17 +78,18 @@ object BenchFormat {
     var keep = queries.size
     while (keep > 1) {
       keep -= 1
-      val l = build(total, bySlow.take(keep), sfDir, 1, queries.size - keep, errCount)
+      val l = build(total, bySlow.take(keep), sfDir, 1, queries.size - keep, errCount, calib)
       if (l.length <= Budget) return l
     }
-    build(total, bySlow.take(1), sfDir, 1, queries.size - 1, errCount)
+    build(total, bySlow.take(1), sfDir, 1, queries.size - 1, errCount, calib)
   }
 
   /** Full-resolution form for the bench_result.json side channel. Query
    *  failures (if any) ride along as an `"errors"` map — a failed query's
    *  duration alone would read as a plausible measurement. */
   def fullLine(total: Double, queries: Seq[(String, Double)], sfDir: String,
-               errors: Seq[(String, String)] = Nil): String = {
+               errors: Seq[(String, String)] = Nil,
+               calib: Option[Double] = None): String = {
     val body = queries.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, 4) }
       .mkString("{", ",", "}")
@@ -87,6 +97,6 @@ object BenchFormat {
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
         .mkString(""","errors":{""", ",", "}")
-    s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","queries":$body$errs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec"${calibJson(calib)},"queries":$body$errs,"sf":"$sfDir"}"""
   }
 }

@@ -74,4 +74,18 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(node.get("queries").get("a").asDouble == 12.3457)
     assert(node.get("value").asDouble == 12.3457)
   }
+
+  test("calibration field survives the budget truncation on both forms") {
+    // worst case: the full real inventory at max-width timings, where the
+    // compact line is already omitting entries — calib must still be there
+    val qs = names.map(n => n -> 99.94)
+    val line = BenchFormat.line(qs.map(_._2).sum, qs, "/root/testdata/sf0.1",
+      Nil, Some(7.4567))
+    assert(line.length <= BenchFormat.Budget)
+    assert(mapper.readTree(line).get("calib").asDouble == 7.46)
+    val full = BenchFormat.fullLine(1.0, Seq("a" -> 1.0), "/d", Nil, Some(7.4567))
+    assert(mapper.readTree(full).get("calib").asDouble == 7.46)
+    // and absent when not measured (legacy callers)
+    assert(!mapper.readTree(BenchFormat.fullLine(1.0, Seq("a" -> 1.0), "/d")).has("calib"))
+  }
 }
