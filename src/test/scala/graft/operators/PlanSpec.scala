@@ -328,11 +328,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("dedup_semantic: cell equi-join (no cartesian), bounded per-cell pairs, no window") {
-    val p = plan("dedup_semantic")
-    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
-      "the within-cell pair join must be an equi-join on cell")
+  test("dedup_semantic & dedup_embedding: rank-window pairing rides the cell/bucket key, no cartesian") {
+    // In-cell candidate pairing is a rank window over SemDedupWindow /
+    // EmbedPairWindow predecessors (linear in cell population — the sf100
+    // direction cone made the former pair JOIN intrinsically ~1e12 cosines),
+    // so the plan must show a window PARTITIONED BY the cell/bucket key and
+    // never a global window or a cartesian pair stage.
+    for ((q, key) <- Seq("dedup_semantic" -> "cell", "dedup_embedding" -> "bucket")) {
+      val df = graft.SparkEntry.queries(q)(spark, dir)
+      assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(windows.nonEmpty, s"$q should pair candidates via the rank window")
+      windows.foreach { w =>
+        val keys = w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).toSet
+        assert(keys.contains(key), s"$q pair window must partition by $key (got $keys)")
+      }
+    }
   }
 
   test("pipeline_domain_mix: per-source aggregate + 1-row broadcast scalar, no real join") {
