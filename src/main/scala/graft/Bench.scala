@@ -153,6 +153,16 @@ object Bench {
       if (sec > 2.0) System.err.println(
         s"BENCH DONE: $name ${BenchFormat.fmt(sec, 2)}s at ${java.time.Instant.now()}")
       results += (name -> sec)
+      // Reap each sink query's round-trip scratch the moment its min-of-two
+      // completes: the family's outputs total ~16 GB at sf100, and in
+      // attempt 12 they landed on a volume whose free-space floor was
+      // already ~13 GB (dead snapshot lineage from earlier families —
+      // the flags that bound that floor had been dropped since attempt 7)
+      // and ran it dry: three sink writes ENOSPC'd and their poisoned
+      // write memos broke the in-suite retries. Per-query reaping bounds
+      // the family's resident scratch to the single largest output;
+      // nothing outside the family reads these directories.
+      if (name.startsWith("sink_")) graft.sources.Sinks.cleanup(spark)
     }
     // A dying SparkContext (executor OOM kill, shutdown hook, operator kill)
     // must end the suite, not cascade: every post-stop query fails in ~6 ms

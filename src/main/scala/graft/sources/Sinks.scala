@@ -17,6 +17,47 @@ object Sinks {
    *  plan dumps too, which must not re-run the heavy write. */
   private val written = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Catalog tables registered by THIS process (the bucketed-join pair) —
+   *  tracked so [[cleanup]] can drop them with their backing files. */
+  private val registeredTables = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def rmrf(path: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(f =>
+            try java.nio.file.Files.deleteIfExists(f) catch { case _: Throwable => () })
+    } catch { case _: Throwable => () }
+
+  /** First-writer-wins write memo that HEALS ON FAILURE: a write that
+   *  throws (ENOSPC mid-campaign is the measured case — sf100 attempt 12
+   *  lost three sink queries this way) removes its memo entry and its
+   *  partial output, so a retry in the same application re-runs the write
+   *  instead of reading a missing or truncated directory. */
+  private[sources] def writeOnce(out: String)(write: => Unit): Unit =
+    if (written.add(out)) {
+      try write
+      catch { case t: Throwable => written.remove(out); rmrf(out); throw t }
+    }
+
+  /** Delete every sink output THIS process has written and clear the write
+   *  memos — each sink query rebuilds its own scratch on next entry. A
+   *  capacity campaign calls this after each sink query: at sf100 the
+   *  family's round-trip outputs total ~16 GB, which accumulated until the
+   *  volume ran dry (attempt 12's ENOSPC); reaped per-query the transient
+   *  peak is the single largest output (~3 GB). */
+  def cleanup(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    registeredTables.iterator().asScala.toVector.foreach { t =>
+      try spark.sql(s"DROP TABLE IF EXISTS `$t`") catch { case _: Throwable => () }
+    }
+    registeredTables.clear()
+    written.iterator().asScala.toVector.foreach(rmrf)
+    written.clear()
+  }
+
   /** Write documents partitioned by `lang`, read back with a lang filter —
    *  the read plan prunes to one partition directory (PartitionFilters in
    *  `graft.Plans sink_partition_pruning`), so the count touches only the
@@ -27,7 +68,7 @@ object Sinks {
   def partitionPruning(spark: SparkSession, dir: String): DataFrame = {
     val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_sink_" +
       s"${spark.sparkContext.applicationId}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    if (written.add(out)) {
+    writeOnce(out) {
       Tables.documents(spark, dir)
         .write.mode("overwrite").partitionBy("lang").parquet(out)
     }
@@ -72,7 +113,14 @@ object Sinks {
     // lake the same rule applies: pick buckets for the TABLE's size so
     // each bucket lands near the cluster's split target.
     val nBuckets = nBucketsForKey
-    if (written.add(base)) {
+    writeOnce(base) {
+      // a failed PREVIOUS attempt may have left one of the pair registered;
+      // saveAsTable(overwrite) would survive that, but drop defensively so
+      // the heal path always starts from a clean catalog
+      try {
+        spark.sql(s"DROP TABLE IF EXISTS `$tOrders`")
+        spark.sql(s"DROP TABLE IF EXISTS `$tLine`")
+      } catch { case _: Throwable => () }
       // repartition on the bucket key first: ONE file per bucket, which is
       // the layout Spark trusts to elide the merge-join sort (with several
       // files per bucket only per-file order is known and it re-sorts)
@@ -80,10 +128,12 @@ object Sinks {
         .repartition(nBuckets, col("o_orderkey"))
         .write.mode("overwrite").bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"$base/orders").saveAsTable(tOrders)
+      registeredTables.add(tOrders)
       Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice")
         .repartition(nBuckets, col("l_orderkey"))
         .write.mode("overwrite").bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$base/lineitem").saveAsTable(tLine)
+      registeredTables.add(tLine)
     }
     spark.table(tOrders).join(spark.table(tLine),
       col("o_orderkey") === col("l_orderkey"))
@@ -98,7 +148,7 @@ object Sinks {
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_csv_" +
       s"${spark.sparkContext.applicationId}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    if (written.add(out)) {
+    writeOnce(out) {
       Tables.events(spark, dir)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         .write.mode("overwrite").option("header", "true").csv(out)
@@ -121,9 +171,15 @@ object Sinks {
    *  proves string payload fidelity through the JSON escape/unescape
    *  round trip, not just numeric survival. */
   def ndjsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_ndjson_" +
+    // "ndjsonsink", not "ndjson": graft.operators.SchemerQueries's
+    // schema-driven-read dump uses /tmp/graft_ndjson_<appId>_<dir> for its
+    // EVENTS projection — same key, different content. The two never
+    // collided only because the schema family always ran first and never
+    // re-read after the sink family's overwrite; distinct prefixes make
+    // the independence structural.
+    val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_ndjsonsink_" +
       s"${spark.sparkContext.applicationId}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    if (written.add(out)) {
+    writeOnce(out) {
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("lang"), col("source"), col("text"), col("n_chars"))
         .write.mode("overwrite").json(out)
@@ -147,7 +203,7 @@ object Sinks {
   def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_orc_" +
       s"${spark.sparkContext.applicationId}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    if (written.add(out)) {
+    writeOnce(out) {
       Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
           col("l_extendedprice"))
@@ -204,7 +260,7 @@ object Sinks {
     val (ru, rh) = (math.max(xu - mu, 1L), math.max(xh - mh, 1L))
     val out = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_zorder_" +
       s"${spark.sparkContext.applicationId}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    if (written.add(out)) {
+    writeOnce(out) {
       val gx = expr(s"(user_id - $mu) * 255 div $ru") // integer div: 0..255 grid
       val gy = expr(s"(hr - $mh) * 255 div $rh")
       ev.withColumn("z", zKey(gx, gy))
@@ -244,7 +300,7 @@ object Sinks {
   def compactSmallFiles(spark: SparkSession, dir: String): DataFrame = {
     val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_compact_" +
       s"${spark.sparkContext.applicationId}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    if (written.add(root)) {
+    writeOnce(root) {
       Tables.events(spark, dir)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         .repartition(64) // the fragmented state a micro-batch writer leaves
@@ -282,7 +338,7 @@ object Sinks {
   def schemaMergeRead(spark: SparkSession, dir: String): DataFrame = {
     val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_evolve_" +
       s"${spark.sparkContext.applicationId}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    if (written.add(root)) {
+    writeOnce(root) {
       val o = Tables.orders(spark, dir)
       o.filter(col("o_orderkey") % 2 === 0)
         .select(col("o_orderkey"), col("o_totalprice"))
