@@ -285,25 +285,39 @@ object GraphOps {
     def degrees(e: DataFrame): DataFrame =
       e.select(col("x").as("n")).unionAll(e.select(col("y").as("n")))
         .groupBy("n").agg(count(lit(1)).as("d"))
-    var und = bulkCoPurchaseEdges(spark, dir)
-    // deliberately NO intermediate persist: a cached round would hide
-    // runtime stats from AQE and the keep-joins degrade from broadcast
-    // to sort-merge (measured 2-3× slower). The later census branches
-    // re-derive earlier peels, but each round is a handful of
-    // AQE-broadcast joins over the one cached edge snapshot — recompute
-    // is cheaper than losing the broadcasts
-    val perRound = (1 to 3).map { r =>
-      val deg = degrees(und)
-      val keep = deg.filter(col("d") >= k).select("n")
-      und = und
-        .join(keep.select(col("n").as("x")), "x")
-        .join(keep.select(col("n").as("y")), "y")
-        .select("x", "y")
-      und.agg(count(lit(1)).as("n_edges"))
-        .crossJoin(degrees(und).agg(count(lit(1)).as("n_nodes")))
-        .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
+    // SNAPSHOT each peel round (the starComponents state-management
+    // discipline): the previous recompute-per-census form nested round
+    // r's plan inside round r+1's TWICE (keep-join + census branches) —
+    // the final unioned plan reached ~3,850 physical operators / 936
+    // Exchanges at 3 rounds (plans/r11/graph_kcore_before.txt), so the
+    // suite paid O(rounds²) execution AND seconds of Catalyst planning.
+    // Each round now materializes once into a persisted InternalRow RDD,
+    // the census aggregates are collected per round (two 1-row
+    // aggregates — bounded driver bookkeeping, the q71 discipline), and
+    // the previous round's blocks release the moment the next round is
+    // materialized, so peak extra storage is one round's edge set. AQE
+    // still sizes the keep-joins from runtime shuffle stats, exactly as
+    // before — the join inputs are the same exchanges, just fed by a
+    // snapshot scan instead of a re-derived subtree.
+    import org.apache.spark.sql.graft.DatasetBridge
+    var cur: DataFrame = bulkCoPurchaseEdges(spark, dir)
+    var curSnap: DatasetBridge.Snapshot = null
+    val census = (1 to 3).map { r =>
+      val keep = degrees(cur).filter(col("d") >= k).select("n")
+      val next = DatasetBridge.snapshot(
+        cur.join(keep.select(col("n").as("x")), "x")
+          .join(keep.select(col("n").as("y")), "y")
+          .select("x", "y"))
+      val nEdges = next.df.agg(count(lit(1))).head().getLong(0) // materializes the round
+      val nNodes = degrees(next.df).agg(count(lit(1))).head().getLong(0)
+      if (curSnap != null) curSnap.release()
+      curSnap = next
+      cur = next.df
+      (r.toLong, nNodes, nEdges)
     }
-    perRound.reduce(_ unionAll _).orderBy("round")
+    if (curSnap != null) curSnap.release() // census values are collected; nothing re-reads the frame
+    import spark.implicits._
+    census.toDF("round", "n_nodes", "n_edges").orderBy("round")
   }
 
   /** CONNECTED-COMPONENT CENSUS over the co-purchase graph — the top-10

@@ -48,6 +48,45 @@ object ScalableRank {
     (ranked, total)
   }
 
+  /** Adds BOTH the exact global 1-based row number AND the exact INCLUSIVE
+   *  global running sum of `valueCol` under `sortCols` (a total order) in
+   *  ONE range exchange — for consumers that want a rank and a cumulative
+   *  measure of the same ordering (the Pareto/Lorenz/Gini family), where
+   *  running [[withGlobalRowNumber]] and [[withGroupedPrefixSum]] separately
+   *  would pay the identical range shuffle twice. Same two-phase shape:
+   *  range-partition, collect per-slice (count, sum) — O(#partitions)
+   *  driver rows — window locally, add both offsets.
+   *  Returns (df, totalRows, totalSum). */
+  def withRowNumberAndPrefixSum(df: DataFrame, sortCols: Seq[Column], valueCol: String,
+                                rnCol: String, sumCol: String): (DataFrame, Long, Long) = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(Tuning.persistLevel) // scanned twice: slice stats, then the local windows
+    val stats = ranged.groupBy("__pid")
+      .agg(count(lit(1)).as("__c"), sum(col(valueCol)).cast("long").as("__s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val total = stats.map(_._2).sum
+    val totalSum = stats.map(_._3).sum
+    val rnOff = stats.scanLeft(0L)((acc, t) => acc + t._2).init
+    val sumOff = stats.scanLeft(0L)((acc, t) => acc + t._3).init
+    val offsetDf = broadcast(
+      spark.createDataFrame(stats.zip(rnOff).zip(sumOff)
+        .map { case (((pid, _, _), ro), so) => (pid, ro, so) }.toSeq)
+        .toDF("__pid", "__rnoff", "__sumoff"))
+    val localW = Window.partitionBy("__pid").orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = ranged
+      .withColumn("__lrn", count(lit(1)).over(localW))
+      .withColumn("__lsum", sum(col(valueCol)).over(localW).cast("long"))
+      .join(offsetDf, "__pid")
+      .withColumn(rnCol, (col("__rnoff") + col("__lrn")).cast("bigint"))
+      .withColumn(sumCol, (col("__sumoff") + col("__lsum")).cast("bigint"))
+      .drop("__pid", "__lrn", "__lsum", "__rnoff", "__sumoff")
+    (out, total, totalSum)
+  }
+
   /** VALUES at specific global ranks in ONE scan — the pure-percentile
    *  shape, for callers that only need the value at a rank (not the full
    *  row): the value at global rank r under ANY tie-broken total order

@@ -30,4 +30,33 @@ object SharedHistograms {
         expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as decimal(38,0))")
           .cast("long").as("cents"))
     }
+
+  /** The per-corpus PART-REVENUE RANK artifact the revenue-concentration
+   *  family (q74 ABC, q75 Gini, q76 Lorenz) is a pure functional of:
+   *  one row per part — `(l_partkey, r = lifetime revenue cents,
+   *  i = exact global row number ascending by (r, l_partkey),
+   *  cum = inclusive ascending prefix sum of r)` — plus the two scalars
+   *  every consumer needs, `n` (parts) and `t` (total cents). Before this
+   *  artifact each of the three queries re-ran the SAME 600M-row lineitem
+   *  scan + part aggregate + range exchange (three full builds per run);
+   *  now the build runs once per (application, corpus) and each consumer
+   *  is an O(parts) aggregate over the snapshot. Descending-order
+   *  cumulatives derive exactly as `t - cum + r` (per-class outputs are
+   *  invariant to tie order within equal-revenue groups: the cumulative
+   *  values within a tie group form the same set under either
+   *  orientation), and ntile buckets derive from `i` and `n` with
+   *  [[ScalableRank.withNtile]]'s exact arithmetic. */
+  private val revRankCache = graft.CorpusCaches.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), (DataFrame, Long, Long)])
+  def partRevenueRanked(spark: SparkSession, dir: String): (DataFrame, Long, Long) =
+    revRankCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      import org.apache.spark.sql.graft.DatasetBridge
+      val rev = Tables.lineitem(spark, dir)
+        .groupBy(col("l_partkey"))
+        .agg(expr("cast(sum(cast(cast(l_extendedprice as decimal(12,2)) * 100 as decimal(38,0))) as long)")
+          .as("r"))
+      val (ranked, n, t) = ScalableRank.withRowNumberAndPrefixSum(
+        rev, Seq(col("r"), col("l_partkey")), "r", "i", "cum")
+      (DatasetBridge.snapshot(ranked).df, n, t)
+    })
 }

@@ -202,28 +202,24 @@ object SweepSkyline {
    *  task. Class boundaries are cross-multiplied integer compares on
    *  the INCLUSIVE cumulative cents. */
   def q74Abc(spark: SparkSession, dir: String): DataFrame = {
-    val rev = Tables.lineitem(spark, dir)
-      .groupBy(col("l_partkey"))
-      .agg(expr("cast(sum(cast(cast(l_extendedprice as decimal(12,2)) * 100 as decimal(38,0))) as long)").as("r"))
-      .withColumn("nr", -col("r"))
-      .withColumn("g", lit(1))
-      // three replays downstream (total, the range sampler, the
-      // repartition) — persist the 2M-row aggregate, not the 60M scan
-      .persist(Tuning.persistLevel)
-    val total = broadcast(rev.agg(sum("r").as("t")))
-    ScalableRank
-      .withGroupedPrefixSum(rev, Seq("g"), Seq("nr", "l_partkey"), "r", "prev")
-      .withColumn("cum", col("prev") + col("r"))
-      .crossJoin(total)
+    // one aggregate over the shared part-revenue rank artifact
+    // ([[SharedHistograms.partRevenueRanked]]) instead of a private
+    // lineitem scan + descending range exchange: the descending inclusive
+    // cumulative derives exactly from the artifact's ascending one as
+    // `t - cum + r` (within an equal-revenue tie group the cumulative
+    // values form the same SET under either tie order, so the per-class
+    // counts and sums — the only outputs — are identical).
+    val (art, _, t) = SharedHistograms.partRevenueRanked(spark, dir)
+    art
+      .withColumn("cum", lit(t) - col("cum") + col("r"))
       .withColumn("cls",
-        when(col("cum") * 100 <= col("t") * 80, "A")
-          .when(col("cum") * 100 <= col("t") * 95, "B")
+        when(col("cum") * 100 <= lit(t) * 80, "A")
+          .when(col("cum") * 100 <= lit(t) * 95, "B")
           .otherwise("C"))
       .groupBy("cls")
       .agg(count(lit(1)).as("n_parts"), sum("r").as("class_cents"))
-      .crossJoin(total)
       .select(col("cls"), col("n_parts"), col("class_cents"),
-        expr("(2 * class_cents * 10000 + t) div (2 * t)").as("share_bp"))
+        expr(s"(2 * class_cents * 10000 + ${t}L) div (2 * ${t}L)").as("share_bp"))
       .orderBy("cls")
   }
 
@@ -236,11 +232,9 @@ object SweepSkyline {
    *  integer sums in decimal(38) (rank·revenue products overflow long);
    *  one final division at the output boundary. */
   def q75Gini(spark: SparkSession, dir: String): DataFrame = {
-    val rev = Tables.lineitem(spark, dir)
-      .groupBy(col("l_partkey"))
-      .agg(expr("cast(sum(cast(cast(l_extendedprice as decimal(12,2)) * 100 as decimal(38,0))) as long)").as("r"))
-    val (ranked, n) = ScalableRank.withGlobalRowNumber(
-      rev, Seq(col("r"), col("l_partkey")), "i")
+    // the ascending rank i is exactly the artifact's row number — one
+    // aggregate over the shared snapshot, no private scan or exchange
+    val (ranked, n, _) = SharedHistograms.partRevenueRanked(spark, dir)
     ranked.agg(
         sum((col("i") * col("r")).cast("decimal(38,0)")).as("sir"),
         sum(col("r").cast("decimal(38,0)")).as("sr"))
@@ -254,17 +248,25 @@ object SweepSkyline {
    *  revenue; the cumulative pass runs over the TEN per-decile rows
    *  (bounded, the q63 discipline); shares are half-up integer bp. */
   def q76Lorenz(spark: SparkSession, dir: String): DataFrame = {
-    val rev = Tables.lineitem(spark, dir)
-      .groupBy(col("l_partkey"))
-      .agg(expr("cast(sum(cast(cast(l_extendedprice as decimal(12,2)) * 100 as decimal(38,0))) as long)").as("r"))
-    val byDecile = ScalableRank
-      .withNtile(rev, Seq(col("r"), col("l_partkey")), 10, "decile")
+    // decile from the artifact's row number with [[ScalableRank.withNtile]]'s
+    // exact SQL-standard arithmetic (first n % 10 buckets get one extra
+    // row) — no private scan, no second range exchange
+    val (art, n, _) = SharedHistograms.partRevenueRanked(spark, dir)
+    val small = n / 10
+    val nBig = n % 10
+    val big = small + 1
+    val bucket =
+      when(col("i") <= nBig * big, expr(s"(i - 1) div ${big}L"))
+        .otherwise(lit(nBig) + expr(s"(i - 1 - ${nBig * big}L) div ${math.max(small, 1L)}L"))
+    val byDecile = art
+      .withColumn("decile", (bucket + 1).cast("bigint"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_parts"), sum(col("r").cast("decimal(38,0)")).as("dc"))
     val w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    byDecile
+    val wAll = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byDecile // ten rows: the global windows are bounded, not a data funnel
       .withColumn("cum", sum("dc").over(w))
-      .crossJoin(broadcast(rev.agg(sum(col("r").cast("decimal(38,0)")).as("t"))))
+      .withColumn("t", sum("dc").over(wAll))
       .select(col("decile"), col("n_parts"),
         col("dc").cast("string").as("decile_cents"),
         expr("cast((2 * cum * 10000 + t) div (2 * t) as bigint)").as("cum_share_bp"))
