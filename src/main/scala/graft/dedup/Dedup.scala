@@ -598,11 +598,14 @@ object Dedup {
       val mins = nbrs.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
       // snapshot: `large` is consumed three times below (mins2 + both
       // union branches of `small`) — without the barrier each consumer
-      // re-runs the join+aggregate subtree
+      // re-runs the join+aggregate subtree. NO distinct here: raw
+      // large-star output is exactly one row per directed v>u edge (≤ the
+      // round's edge count, never an inflation), `mins2` is dedup-blind,
+      // and `small`'s distinct dedupes with map-side partial aggregation
+      // anyway — dropping it removes one full exchange per round.
       val large = DatasetBridge.snapshot(
         nbrs.join(mins, "u").filter(col("v") > col("u"))
-          .select(col("v").as("hi"), col("m").as("lo"))
-          .distinct())
+          .select(col("v").as("hi"), col("m").as("lo")))
       // SMALL-STAR: orient edges from each node to its SMALLER neighbors;
       // m = min of those; every smaller neighbor and u itself link to m.
       // m ≤ lo < hi keeps the (hi, lo) canonical form without re-sorting.

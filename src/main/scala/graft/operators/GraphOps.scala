@@ -245,23 +245,31 @@ object GraphOps {
    *  O(visited × degree). The visited set accumulates as a union of
    *  per-hop frames (3 unions of (long, long) rows). */
   def bfsReach(spark: SparkSession, dir: String): DataFrame = {
+    // SNAPSHOT each hop frontier (the starComponents/kcore state
+    // discipline): hop h's expansion referenced `visited` twice (frontier
+    // filter + anti-join), so the un-snapshotted plan DOUBLED per hop
+    // (~107 KB formatted at 3 hops, plans/r11/graph_bfs_reach_before.txt)
+    // and re-derived every earlier hop's join inside the final action.
+    // Each hop is now a constant-size plan over LogicalRDD leaves; the
+    // frontier is exactly the previous hop's snapshot (no dist filter),
+    // and the visited set is a union of the ≤ h small node frames.
+    import org.apache.spark.sql.graft.DatasetBridge
     val und = bulkCoPurchaseEdges(spark, dir)
     val edges = und.select(col("x").as("src"), col("y").as("dst"))
       .unionAll(und.select(col("y").as("src"), col("x").as("dst")))
     val seed = edges.groupBy("src").agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("src")).limit(1)
       .select(col("src").as("node"), lit(0L).as("dist"))
-    var visited = seed
+    val hops = scala.collection.mutable.ArrayBuffer(DatasetBridge.snapshot(seed).df)
     for (h <- 1 to 3) {
-      val frontier = visited.filter(col("dist") === (h - 1).toLong)
-        .select(col("node").as("src"))
-      val next = edges.join(frontier, "src")
+      val visited = hops.reduce(_ unionAll _)
+      val next = edges.join(hops.last.select(col("node").as("src")), "src")
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .select(col("node"), lit(h.toLong).as("dist"))
-      visited = visited.unionAll(next)
+      hops += DatasetBridge.snapshot(next).df
     }
-    visited.groupBy("dist")
+    hops.reduce(_ unionAll _).groupBy("dist")
       .agg(count(lit(1)).as("n_nodes"), min("node").as("min_node"))
       .orderBy("dist")
   }
