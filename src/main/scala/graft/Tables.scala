@@ -58,14 +58,28 @@ object Tables {
       |                + (CASE WHEN punct*10 <= len1 THEN 2000 ELSE 600 END))*64*len1
       |             + 2000*alpha*64) + 64*len1) // (128*len1)""".stripMargin
 
-  def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
-    // runtime-settable SQL confs; must be on before the events read resolves.
-    // UTC pins the NTZ interpretation in normalizeTs (no-op when the entry
-    // point already set it — Verify, tests — or the host default is UTC).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    normalizeTs(spark.read.parquet(s"$sfDir/$table.parquet"))
-  }
+  /** Memoized resolved table frames, one per (application, corpus, table).
+   *  A fresh `spark.read.parquet` per call re-lists the directory and
+   *  re-reads the parquet footer for schema inference on EVERY query —
+   *  across a 249-query suite that is hundreds of redundant driver-side
+   *  metadata reads (the catalog-metadata cache any warehouse keeps).
+   *  The memoized value is a LOGICAL PLAN over an immutable file set
+   *  (testdata is read-only), never data: every action still scans
+   *  parquet. Registered with [[CorpusCaches]] like every other
+   *  per-corpus memo. */
+  private val dfCache = CorpusCaches.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame])
+
+  def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    dfCache.getOrElseUpdate((spark.sparkContext.applicationId, sfDir, table), {
+      // runtime-settable SQL confs; must be on before the events read resolves.
+      // UTC pins the NTZ interpretation in normalizeTs (no-op when the entry
+      // point already set it — Verify, tests — or the host default is UTC);
+      // both bind at analysis time, so the memoized plan keeps them.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      normalizeTs(spark.read.parquet(s"$sfDir/$table.parquet"))
+    })
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

@@ -550,6 +550,122 @@ case class SubCellsExpr(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused PRODUCT-QUANTIZATION encoder — quantize one vector on the global
+ *  scale `gs` (the [[graft.similarity.Ann.pqTopKOf]] chain:
+ *  qᵢ = ⌊127·xᵢ/gs + 0.5⌋, exact in double) and encode each of the M
+ *  w-dim subvectors as its nearest of K codebook rows, ties to the lowest
+ *  codeword — ONE primitive loop per row. Replaces the HOF pipeline
+ *  (transform-quantize, then per subspace an array_min over K zip_with/
+ *  aggregate squared-distance lambdas: M·K·w ≈ 1000 interpreted lambda
+ *  steps per corpus row, the measured bulk of ann_pq's scan cost).
+ *  Bit-identical to that chain on dense inputs: same widen→divide→floor
+ *  order, same integer squared distances, same `dist·K + c` argmin pack.
+ *  The codebook rides the expression as plan data (the NearestCellExpr
+ *  discipline). NULL for a null/misshapen/null-bearing vector. */
+case class PqEncodeExpr(child: Expression, gs: Double, cb: Array[Array[Long]],
+    subDim: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "pq_encode"
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float>/array<double>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val childIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val dim: Int = cb.headOption.map(_.length).getOrElse(0)
+  @transient private lazy val m: Int = if (subDim > 0) dim / subDim else 0
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != dim || cb.isEmpty) return null
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = if (childIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      q(i) = math.floor(127.0d * x / gs + 0.5d).toLong
+      i += 1
+    }
+    val k = cb.length
+    val codes = new Array[Long](m)
+    var s = 0
+    while (s < m) {
+      val off = s * subDim
+      var bestPacked = Long.MaxValue
+      var c = 0
+      while (c < k) {
+        val cw = cb(c)
+        var d = 0L
+        var j = 0
+        while (j < subDim) {
+          val diff = q(off + j) - cw(off + j)
+          d += diff * diff
+          j += 1
+        }
+        val packed = d * k + c
+        if (packed < bestPacked) bestPacked = packed
+        c += 1
+      }
+      codes(s) = bestPacked % k
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** ADC lookup-sum — score one PQ code against one query's M×K distance
+ *  table: Σₛ qt[s][code[s]], the asymmetric-distance scan of
+ *  [[graft.similarity.Ann.pqTopKOf]]. One primitive loop per (corpus row ×
+ *  query) replaces the interpreted `aggregate(zip_with(element_at))` pair.
+ *  NULL when either side is null (dense inputs never are). */
+case class PqAdcExpr(left: Expression, right: Expression) extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "pq_adc"
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(ArrayType(LongType, _), _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<array<bigint>>, array<bigint>), " +
+        s"got ${l.catalogString}, ${r.catalogString}")
+  }
+
+  override def nullSafeEval(t: Any, c: Any): Any = {
+    val qt = t.asInstanceOf[ArrayData]
+    val code = c.asInstanceOf[ArrayData]
+    val msub = code.numElements()
+    if (qt.numElements() != msub) return null
+    var s = 0
+    var acc = 0L
+    while (s < msub) {
+      val row = qt.getArray(s)
+      acc += row.getLong(code.getLong(s).toInt)
+      s += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqAdcExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Max-COSINE centroid assignment against a whole centroid matrix, returning
  *  BOTH the winning 0-based index and its cosine in one struct — the
  *  radius-search index build ([[graft.similarity.Ann.rangeSearchIvf]]) needs

@@ -219,10 +219,17 @@ object GraphOps {
     val edges = und.select(col("x").as("src"), col("y").as("dst"))
       .unionAll(und.select(col("y").as("src"), col("x").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    // the wedge-pair aggregate is the dominant exchange (Σ deg² rows):
+    // pack (a, b) into one bigint key (part keys < 2³², the triangles
+    // discipline) so the shuffle carries 8 key bytes instead of 16 and
+    // the map-side hash partial aggregation keys on a single long
     val pairs = edges.select(col("src").as("n"), col("dst").as("a"))
       .join(edges.select(col("src").as("n"), col("dst").as("b")), "n")
       .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+      .select((col("a") * lit(4294967296L) + col("b")).as("ab"))
+      .groupBy("ab").agg(count(lit(1)).as("cn"))
+      .select(expr("ab div 4294967296").as("a"),
+        pmod(col("ab"), lit(4294967296L)).as("b"), col("cn"))
     pairs
       .join(und.select(col("x").as("a"), col("y").as("b")), Seq("a", "b"), "left_anti")
       .join(deg.select(col("src").as("a"), col("d").as("da")), "a")

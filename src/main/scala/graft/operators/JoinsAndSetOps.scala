@@ -295,15 +295,22 @@ object JoinsAndSetOps {
     // the generated pair stream and the aggregate's key space), then
     // emit both rule directions from the counted row. Arrays are sorted,
     // so pairing each element with its suffix yields exactly the u < v
-    // unordered pairs.
+    // unordered pairs. The pair key PACKS into one bigint (u·2³² + v —
+    // part keys < 2³²): the pair aggregate is the query's dominant
+    // exchange (billions of rows at sf100), and one 8-byte key halves
+    // its shuffled key bytes and gives the map-side hash partial
+    // aggregation a single-long key instead of a two-column row.
     val undirected = baskets
       .select(col("items"), posexplode(col("items")).as(Seq("i", "u")))
       .select(col("u"),
         explode(slice(col("items"), col("i") + lit(2),
           size(col("items")) - col("i") - lit(1))).as("v"))
-      .groupBy(col("u"), col("v"))
+      .select((col("u") * lit(4294967296L) + col("v")).as("uv")) // fused map-side
+      .groupBy(col("uv"))
       .agg(count(lit(1)).as("pair_n"))
       .filter(col("pair_n") >= 3)
+      .select(expr("uv div 4294967296").as("u"),
+        pmod(col("uv"), lit(4294967296L)).as("v"), col("pair_n"))
     // both rule directions from ONE counted row (a unionAll of two
     // selects over `undirected` would duplicate the whole 90M-pair agg
     // subplan — the non-deterministic collect_set upstream defeats

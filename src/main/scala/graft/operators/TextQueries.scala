@@ -400,13 +400,15 @@ object TextQueries {
       .persist(Tuning.persistLevel) // BOTH rank passes read the scored frame: without the
                  // barrier each pass re-runs the tokenize+quality
                  // expressions over the full corpus (the minhash lesson)
+    // CHAINED rank passes (the q81 discipline): the second pass ranks the
+    // first pass's output — each rank depends only on its own sort key,
+    // so chaining is exact and the old rank-frame join on doc_id (one
+    // more full shuffle of both n-row rank frames) disappears.
     val (ra, n) = ScalableRank.withGlobalRowNumber(
       d, Seq(col("ntok"), col("doc_id")), "ra")
     val rb = ScalableRank.withGlobalRowNumber(
-      d, Seq(col("qbp"), col("doc_id")), "rb")._1
-    ra.select(col("doc_id"), col("ra"))
-      .join(rb.select(col("doc_id"), col("rb")), "doc_id")
-      .agg(sum(expr("cast((ra - rb) as decimal(38,0)) * (ra - rb)")).as("sd2"))
+      ra, Seq(col("qbp"), col("doc_id")), "rb")._1
+    rb.agg(sum(expr("cast((ra - rb) as decimal(38,0)) * (ra - rb)")).as("sd2"))
       .select(lit(n).as("n_docs"), col("sd2").cast("string").as("sum_d2"),
         expr(s"""1.0 - 6.0 * cast(sd2 as double)
                / (cast($n as double) * (cast($n as double) * $n - 1))""").as("spearman_rho"))
@@ -449,17 +451,25 @@ object TextQueries {
    *  (groupBy shingle for first-owner, groupBy doc for the roll-up) and
    *  a broadcast-size source join — no new corpus scan, no new index. */
   def noveltyBySource(spark: SparkSession, dir: String): DataFrame = {
-    val sh = graft.dedup.Dedup.shingleIndex(spark, dir).select("doc_id", "sh")
-    val first = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
-    val perDoc = sh.join(first, "sh")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_sh"),
-        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L)).as("n_novel"))
-    perDoc.join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+    // a doc's novel count = #shingles whose index-wide min owner is the
+    // doc — countable per first-owner straight off the first-owner
+    // aggregate, so the old index⋈first-owner join (a full re-shuffle of
+    // the exploded shingle stream, the query's dominant exchange) is
+    // gone; per-doc totals are a map-side size() over the PACKED
+    // snapshot (shingles are array_distinct'd per doc, so size = the old
+    // per-doc row count, and docs with zero shingles were absent from
+    // the exploded form — filtered to match).
+    val novelPerDoc = graft.dedup.Dedup.shingleIndex(spark, dir)
+      .groupBy("sh").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    graft.dedup.Dedup.packedShingles(spark, dir)
+      .select(col("doc_id"), col("source"), size(col("shs")).cast("long").as("n_sh"))
+      .filter(col("n_sh") > 0)
+      .join(novelPerDoc, Seq("doc_id"), "left")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_sh")).as("shingles"),
-        sum(col("n_novel")).as("novel"))
+        sum(coalesce(col("n_novel"), lit(0L))).as("novel"))
       .withColumn("novel_bp", expr("novel * 10000 div shingles"))
       .orderBy("source")
   }
@@ -478,13 +488,25 @@ object TextQueries {
    *  20-row size table joins broadcast. At very large source counts the
    *  hot-shingle cap of the pair index applies the same way. */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val ss = graft.dedup.Dedup.shingleIndex(spark, dir)
-      .select(col("source"), col("sh")).distinct()
-      .persist(Tuning.persistLevel) // three consumers: the size table and both join sides
-    val sizes = ss.groupBy("source").agg(count(lit(1)).as("n"))
-    ss.select(col("source").as("src_a"), col("sh"))
-      .join(ss.select(col("source").as("src_b"), col("sh")), "sh")
-      .filter(col("src_a") < col("src_b"))
+    // ONE exchange instead of distinct + self-join: group the index by
+    // shingle collecting the (≤ |sources|, bounded) owner set —
+    // collect_set dedupes map-side exactly like the old distinct — then
+    // emit each set's sorted pairs MAP-SIDE with higher-order array
+    // expressions (array_sort uses the same binary string order as the
+    // old src_a < src_b filter). The pair counts partial-aggregate to
+    // ≤ |sources|² rows per task; sizes fall out of the same grouped
+    // frame, which the two consumers read through one persist.
+    val ownerSets = graft.dedup.Dedup.shingleIndex(spark, dir)
+      .groupBy("sh").agg(array_sort(collect_set(col("source"))).as("srcs"))
+      .persist(Tuning.persistLevel) // two consumers: pair counts and sizes
+    val sizes = ownerSets.select(explode(col("srcs")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    ownerSets
+      .select(explode(expr(
+        """flatten(transform(srcs, (a, i) ->
+             transform(slice(srcs, i + 2, size(srcs) - i - 1), b -> struct(a, b))))"""))
+        .as("p"))
+      .select(col("p.a").as("src_a"), col("p.b").as("src_b"))
       .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("source").as("src_a"), col("n").as("na")), "src_a")
       .join(sizes.select(col("source").as("src_b"), col("n").as("nb")), "src_b")

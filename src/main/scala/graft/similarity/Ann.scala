@@ -729,19 +729,19 @@ object Ann {
     def subv(s: Int): Column = slice(col("q"), s * w + 1, w)
     def sqd(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
-    // per-subspace code: argmin over K codewords, ties → lowest codeword
-    val codes = array((0 until M).map { s =>
-      pmod(array_min(zip_with(cwLit(s), sequence(lit(0L), lit((K - 1).toLong)),
-        (cw, c) => sqd(subv(s), cw) * K + c)), lit(K.toLong))
-    }: _*)
     // each query ships its 8×16 ADC table, built once on the broadcast side
+    // (8 rows — the HOF form is fine there; the CORPUS-side encode and the
+    // per-(row, query) ADC lookup-sum run as fused native expressions:
+    // the HOF encode cost M·K·w ≈ 1000 interpreted lambda steps per row)
     val qtab = array((0 until M).map(s => transform(cwLit(s), cw => sqd(subv(s), cw))): _*)
-    val encoded = quant.select(col("vec_id"), codes.as("code"))
+    import org.apache.spark.sql.graft.ColumnBridge
+    val codes = ColumnBridge.column(graft.functions.PqEncodeExpr(
+      ColumnBridge.expression(col("embedding")), gs, cb, w))
+    val encoded = emb.select(col("vec_id"), codes.as("code"))
     val queries = broadcast(quant.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), qtab.as("qt")))
-    val adc = aggregate(
-      zip_with(col("qt"), col("code"), (t, cd) => element_at(t, (cd + 1).cast("int"))),
-      lit(0L), (acc, x) => acc + x)
+    val adc = ColumnBridge.column(graft.functions.PqAdcExpr(
+      ColumnBridge.expression(col("qt")), ColumnBridge.expression(col("code"))))
     val grouped = encoded.crossJoin(queries)
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("pq_dist"))
