@@ -74,9 +74,13 @@ object GraphOps {
     val und = bulkCoPurchaseEdges(spark, dir)
     val edges = und.select(col("x").as("src"), col("y").as("dst"))
       .unionAll(und.select(col("y").as("src"), col("x").as("dst")))
-    val withDeg = edges
-      .join(edges.groupBy("src").agg(count(lit(1)).as("od")), "src")
-    var rank = withDeg.select(col("src").as("node")).distinct()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("od"))
+    val withDeg = edges.join(deg, "src")
+    // seed ranks from the degree table's keys — the same node set the old
+    // `withDeg.select(src).distinct()` produced, without paying a second
+    // full exchange for the distinct (the degree aggregate's exchange is
+    // shared with the join via ReuseExchange)
+    var rank = deg.select(col("src").as("node"))
       .withColumn("rank", lit(seed))
     for (_ <- 1 to 3) {
       rank = withDeg.join(rank.withColumnRenamed("node", "src"), "src")

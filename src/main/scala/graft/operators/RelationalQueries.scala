@@ -189,19 +189,15 @@ object RelationalQueries {
    *  (whose DuckDB view only has micros) computes the identical result.
    *  Gap convention: a new session starts at gap >= 30 min (half-open),
    *  matching Spark's native session_window so q30 agrees on any data. */
-  def q15Sessionize(spark: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    val sess = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
-      .withColumn("new_sess",
-        when(col("ts_us") - lag("ts_us", 1).over(byUser) >= 1800000000L, 1).otherwise(0))
-      .withColumn("sess_id", sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    sess.groupBy("user_id", "sess_id")
-      .agg(count(lit(1)).as("sess_len"))
+  def q15Sessionize(spark: SparkSession, dir: String): DataFrame =
+    // the shared per-corpus gap-session artifact
+    // ([[SessionAndSkew.gapSessions]]) carries per-session event counts;
+    // the census is one bounded aggregate over it (q67 reads the same
+    // build — one sessionization window per run instead of two)
+    SessionAndSkew.gapSessions(spark, dir)
       .groupBy("user_id")
-      .agg(count(lit(1)).as("n_sessions"), max("sess_len").as("max_len"))
+      .agg(count(lit(1)).as("n_sessions"), max(col("n_events")).as("max_len"))
       .orderBy("user_id")
-  }
 
   val defs: Vector[QueryDef] = Vector(
     QueryDef("q1_pricing_summary", q1PricingSummary, Some("""

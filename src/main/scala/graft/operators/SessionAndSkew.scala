@@ -4,6 +4,7 @@ import graft.Tuning
 import graft.Tables
 import graft.Tables.QueryDef
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -23,6 +24,33 @@ import org.apache.spark.sql.functions._
  * UNsalted join.
  */
 object SessionAndSkew {
+
+  /** The per-corpus GAP-SESSION artifact — one row per (user, session):
+   *  `(user_id, sess_id, s_us, e_us, n_events)` under the suite-wide
+   *  30-min half-open gap rule, built ONCE per (application, corpus) and
+   *  snapshotted. q15's census and q67's concurrency sweep previously
+   *  each ran the identical sessionization window over the full event
+   *  log; both are now pure functionals of this table (the
+   *  per-corpus-artifact discipline of the shingle index / edge base).
+   *  q30 deliberately stays on the native session_window operator — it
+   *  exists to exercise that operator, not to share this plan. */
+  private val sessCache = graft.CorpusCaches.register(
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+  private[operators] def gapSessions(spark: SparkSession, dir: String): DataFrame =
+    sessCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      import org.apache.spark.sql.graft.DatasetBridge
+      val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      DatasetBridge.snapshot(
+        Tables.events(spark, dir)
+          .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+          .withColumn("new_sess",
+            when(col("ts_us") - lag("ts_us", 1).over(byUser) >= 1800000000L, 1).otherwise(0))
+          .withColumn("sess_id",
+            sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sess_id")
+          .agg(min("ts_us").as("s_us"), max("ts_us").as("e_us"),
+            count(lit(1)).as("n_events"))).df
+    })
 
   /** Gap-based sessions per user via the native session_window operator;
    *  emits the same per-user session census as q15 (30-min gap). */

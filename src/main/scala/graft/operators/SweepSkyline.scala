@@ -45,20 +45,13 @@ object SweepSkyline {
    *  Hours with no boundary events carry a constant concurrency and are
    *  not reported (the report is about where the sweep CHANGES). */
   def q67Concurrency(spark: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    val sess = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
-      .withColumn("new_sess",
-        when(col("ts_us") - lag("ts_us", 1).over(byUser) >= 1800000000L, 1).otherwise(0))
-      .withColumn("sess_id",
-        sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("user_id", "sess_id")
-      .agg(min("ts_us").as("s_us"), max("ts_us").as("e_us"))
-      // the 20M-row sessionization window must run ONCE: downstream the
-      // range partitioner's sample job plus the repartition each replay
-      // their input, and a two-branch union would double every replay
-      .persist(Tuning.persistLevel)
-    val bounds = sess
+    // sessions come from the shared per-corpus artifact
+    // ([[SessionAndSkew.gapSessions]] — one sessionization feeds q15 AND
+    // q67 instead of two identical window passes); the snapshot also
+    // plays the persist-barrier role the old in-query persist had: the
+    // range sampler and the repartition replay a LogicalRDD scan, not
+    // the 20M-row window
+    val bounds = SessionAndSkew.gapSessions(spark, dir)
       .select(explode(array(
         struct(col("s_us").as("us"), lit(1).as("delta"), col("user_id")),
         struct(col("e_us").as("us"), lit(-1).as("delta"), col("user_id")))).as("b"))
