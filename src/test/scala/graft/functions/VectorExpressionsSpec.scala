@@ -117,6 +117,46 @@ class VectorExpressionsSpec extends AnyFunSuite {
            rows(2).getInt(2) == 2) // negative dots: ordering still by value desc, id asc
   }
 
+  test("PqEncodeExpr/PqAdcExpr equal the HOF quantize+encode+ADC chain exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge
+    val M = 8; val K = 4; val w = 8; val dim = M * w
+    val rnd = new scala.util.Random(23)
+    val vecs = Seq.fill(48)(Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    val df = vecs.map(Tuple1(_)).toDF("embedding")
+    val gs = vecs.map(_.map(x => math.abs(x.toDouble)).max).max
+    // the exact HOF chain PqEncodeExpr replaced (old pqTopKOf internals)
+    val quantized = transform(col("embedding"), x =>
+      floor(lit(127.0d) * x.cast("double") / lit(gs) + lit(0.5d)))
+    val cb: Array[Array[Long]] = vecs.take(K).map(_.map(x =>
+      math.floor(127.0d * x.toDouble / gs + 0.5d).toLong)).toArray
+    def cwLit(s: Int) = array((0 until K).map(c =>
+      array((0 until w).map(i => lit(cb(c)(s * w + i))): _*)): _*)
+    def subv(q: org.apache.spark.sql.Column, s: Int) = slice(q, s * w + 1, w)
+    def sqd(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+    val hofCodes = array((0 until M).map { s =>
+      pmod(array_min(zip_with(cwLit(s), sequence(lit(0L), lit((K - 1).toLong)),
+        (cw, c) => sqd(subv(quantized, s), cw) * K + c)), lit(K.toLong))
+    }: _*)
+    val qtab = array((0 until M).map(s => transform(cwLit(s), cw => sqd(subv(quantized, s), cw))): _*)
+    val nativeCodes = ColumnBridge.column(graft.functions.PqEncodeExpr(
+      ColumnBridge.expression(col("embedding")), gs, cb, w))
+    val hofAdc = aggregate(
+      zip_with(col("qt"), col("code"), (t, cd) => element_at(t, (cd + 1).cast("int"))),
+      lit(0L), (acc, x) => acc + x)
+    val nativeAdc = ColumnBridge.column(graft.functions.PqAdcExpr(
+      ColumnBridge.expression(col("qt")), ColumnBridge.expression(col("code"))))
+    val rows = df.select(hofCodes.as("hof"), nativeCodes.as("native"), qtab.as("qt"))
+      .withColumn("code", col("native"))
+      .select(col("hof"), col("native"), hofAdc.as("hof_adc"), nativeAdc.as("native_adc"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), "codes diverge from the HOF form")
+      assert(r.getLong(2) == r.getLong(3), "ADC diverges from the HOF form")
+    }
+  }
+
   test("hyperplaneSig interpreted path agrees with codegen path") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
