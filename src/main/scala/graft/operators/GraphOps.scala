@@ -321,19 +321,29 @@ object GraphOps {
     import org.apache.spark.sql.graft.DatasetBridge
     var cur: DataFrame = bulkCoPurchaseEdges(spark, dir)
     var curSnap: DatasetBridge.Snapshot = null
+    // the DEGREE TABLE is itself a per-round snapshot doing double duty:
+    // round r's keep-filter reads it, and round r's node census is just
+    // its ROW COUNT (free at materialization) — so each round runs
+    // exactly two jobs (edge count, degree count) with no redundant
+    // degree exchange for the census
+    var deg: DatasetBridge.Snapshot = DatasetBridge.snapshot(degrees(cur))
     val census = (1 to 3).map { r =>
-      val keep = degrees(cur).filter(col("d") >= k).select("n")
+      val keep = deg.df.filter(col("d") >= k).select("n")
       val next = DatasetBridge.snapshot(
         cur.join(keep.select(col("n").as("x")), "x")
           .join(keep.select(col("n").as("y")), "y")
           .select("x", "y"))
-      val nEdges = next.df.agg(count(lit(1))).head().getLong(0) // materializes the round
-      val nNodes = degrees(next.df).agg(count(lit(1))).head().getLong(0)
+      val nEdges = next.rdd.count() // materializes the round's edge set
+      val degNext = DatasetBridge.snapshot(degrees(next.df))
+      val nNodes = degNext.rdd.count() // materializes; rows = surviving nodes
+      deg.release()
       if (curSnap != null) curSnap.release()
+      deg = degNext
       curSnap = next
       cur = next.df
       (r.toLong, nNodes, nEdges)
     }
+    deg.release()
     if (curSnap != null) curSnap.release() // census values are collected; nothing re-reads the frame
     import spark.implicits._
     census.toDF("round", "n_nodes", "n_edges").orderBy("round")
