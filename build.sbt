@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// MEASUREMENT-CONTRACT FIX (r12): the driver regex-parses the bench's one
+// JSON line out of the run's stdout tail, and in EVERY round r1-r11 it got
+// `parsed: null` — the forked run's default LoggedOutput strategy wraps
+// each stdout line as "[info] <line>" (and interleaves the bench's stderr
+// as log lines), so the tail never contains a line that IS the JSON
+// object. Inheriting sbt's raw stdout prints the line unprefixed at column
+// 0 and keeps the bench's stderr out of the captured stdout entirely.
+// Timing methodology, env handling and the JSON key set are untouched.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
