@@ -70,16 +70,19 @@ object Tables {
   private val dfCache = CorpusCaches.register(
     scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame])
 
-  def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
-    dfCache.getOrElseUpdate((spark.sparkContext.applicationId, sfDir, table), {
-      // runtime-settable SQL confs; must be on before the events read resolves.
-      // UTC pins the NTZ interpretation in normalizeTs (no-op when the entry
-      // point already set it — Verify, tests — or the host default is UTC);
-      // both bind at analysis time, so the memoized plan keeps them.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.conf.set("spark.sql.session.timeZone", "UTC")
-      normalizeTs(spark.read.parquet(s"$sfDir/$table.parquet"))
-    })
+  def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    // runtime-settable SQL confs; must be on before the events read resolves.
+    // UTC pins the NTZ interpretation in normalizeTs (no-op when the entry
+    // point already set it — Verify, tests — or the host default is UTC);
+    // both bind at analysis time, so the memoized plan keeps them. Applied
+    // on EVERY call (they are per-SESSION state, the memo is per-APP): a
+    // second session in the same application must still get the conf
+    // pinning even when it arrives on a cache hit.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    dfCache.getOrElseUpdate((spark.sparkContext.applicationId, sfDir, table),
+      normalizeTs(spark.read.parquet(s"$sfDir/$table.parquet")))
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

@@ -70,6 +70,17 @@ object GraphOps {
    *  ranks fit (AQE decides), degenerating to a co-partitioned shuffle
    *  join at node counts where they don't. Top-20 via TakeOrdered. */
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    // DELIBERATELY NOT snapshot-per-iteration (measured r12): unlike
+    // kcore/bfs — whose loops referenced the running state TWICE per round
+    // and so doubled the plan — this loop references `rank` exactly once
+    // per round: the plan grows LINEARLY and nothing re-executes, because
+    // ReuseExchange serves every round's keep-join from the ONE edge
+    // exchange. A snapshot-per-iteration rewrite (rank + degree-attached
+    // edges as per-round LogicalRDD leaves, eager count per round) was
+    // built and measured SLOWER — sf0.1 steady 0.97-1.06 s (this form) vs
+    // 1.28-2.15 s, sf1 best 1.67 vs 2.45-2.56 s, interleaved A/B — since
+    // LogicalRDD leaves carry no partitioning, so every round RE-SHUFFLES
+    // the edge-sized withDeg table the nested form shuffles once.
     val seed = 1000000000L
     val und = bulkCoPurchaseEdges(spark, dir)
     val edges = und.select(col("x").as("src"), col("y").as("dst"))
@@ -224,9 +235,12 @@ object GraphOps {
       .unionAll(und.select(col("y").as("src"), col("x").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
     // the wedge-pair aggregate is the dominant exchange (Σ deg² rows):
-    // pack (a, b) into one bigint key (part keys < 2³², the triangles
-    // discipline) so the shuffle carries 8 key bytes instead of 16 and
-    // the map-side hash partial aggregation keys on a single long
+    // pack (a, b) into one bigint key so the shuffle carries 8 key bytes
+    // instead of 16 and the map-side hash partial aggregation keys on a
+    // single long. Exact while the HIGH id < 2³¹ (a·2³² needs the sign
+    // bit beyond that): part keys reach ~2·10⁸ at sf100 and ~2.1·10⁹
+    // only around sf10k — revisit the pack if the generators ever grow
+    // keys past 2³¹
     val pairs = edges.select(col("src").as("n"), col("dst").as("a"))
       .join(edges.select(col("src").as("n"), col("dst").as("b")), "n")
       .filter(col("a") < col("b"))
@@ -271,6 +285,16 @@ object GraphOps {
     val seed = edges.groupBy("src").agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("src")).limit(1)
       .select(col("src").as("node"), lit(0L).as("dist"))
+    // DELIBERATELY one final action, snapshots NOT released per hop
+    // (measured r12): an eager per-hop census (collect one bounded row as
+    // each hop materializes, release behind it — the kcore discipline) was
+    // built and measured SLOWER (sf0.1 steady 1.06-1.24 s this form vs
+    // 1.22-1.49; sf1 1.28-1.67 vs 1.82-2.14): the census adds 4
+    // driver-synchronized jobs per invocation and removes only the cheap
+    // final union-aggregate, while the storage it frees — ≤4 NODE-sized
+    // (long, long) hop frames — is negligible next to the corpus
+    // artifacts. kcore releases per round because its state is EDGE-sized
+    // and shrinking it is the algorithm; hop frontiers are not that case.
     val hops = scala.collection.mutable.ArrayBuffer(DatasetBridge.snapshot(seed).df)
     for (h <- 1 to 3) {
       val visited = hops.reduce(_ unionAll _)

@@ -296,7 +296,8 @@ object JoinsAndSetOps {
     // emit both rule directions from the counted row. Arrays are sorted,
     // so pairing each element with its suffix yields exactly the u < v
     // unordered pairs. The pair key PACKS into one bigint (u·2³² + v —
-    // part keys < 2³²): the pair aggregate is the query's dominant
+    // exact while the HIGH id < 2³¹, i.e. part keys ≲ 2.1·10⁹ ≈ sf10k;
+    // they reach ~2·10⁸ at sf100): the pair aggregate is the query's dominant
     // exchange (billions of rows at sf100), and one 8-byte key halves
     // its shuffled key bytes and gives the map-side hash partial
     // aggregation a single-long key instead of a two-column row.

@@ -56,16 +56,23 @@ object ScalableRank {
    *  would pay the identical range shuffle twice. Same two-phase shape:
    *  range-partition, collect per-slice (count, sum) — O(#partitions)
    *  driver rows — window locally, add both offsets.
-   *  Returns (df, totalRows, totalSum). */
+   *  Returns (df, totalRows, totalSum, release): `release` unpersists the
+   *  build's range-partitioned scratch frame — call it once the caller has
+   *  materialized its own copy of the result (snapshot), otherwise a full
+   *  input-sized cached frame stays pinned for the application lifetime. */
   def withRowNumberAndPrefixSum(df: DataFrame, sortCols: Seq[Column], valueCol: String,
-                                rnCol: String, sumCol: String): (DataFrame, Long, Long) = {
+                                rnCol: String, sumCol: String): (DataFrame, Long, Long, () => Unit) = {
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val ranged = df.repartitionByRange(parts, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       .persist(Tuning.persistLevel) // scanned twice: slice stats, then the local windows
     val stats = ranged.groupBy("__pid")
-      .agg(count(lit(1)).as("__c"), sum(col(valueCol)).cast("long").as("__s"))
+      // coalesce: a non-empty slice whose values are ALL NULL sums to NULL
+      // (none of the current callers feed nullable values, but getLong on
+      // a null would NPE rather than rank wrong — keep it impossible)
+      .agg(count(lit(1)).as("__c"),
+        coalesce(sum(col(valueCol)).cast("long"), lit(0L)).as("__s"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     val total = stats.map(_._2).sum
     val totalSum = stats.map(_._3).sum
@@ -84,7 +91,7 @@ object ScalableRank {
       .withColumn(rnCol, (col("__rnoff") + col("__lrn")).cast("bigint"))
       .withColumn(sumCol, (col("__sumoff") + col("__lsum")).cast("bigint"))
       .drop("__pid", "__lrn", "__lsum", "__rnoff", "__sumoff")
-    (out, total, totalSum)
+    (out, total, totalSum, () => { ranged.unpersist(blocking = false); () })
   }
 
   /** VALUES at specific global ranks in ONE scan — the pure-percentile

@@ -55,8 +55,14 @@ object SharedHistograms {
         .groupBy(col("l_partkey"))
         .agg(expr("cast(sum(cast(cast(l_extendedprice as decimal(12,2)) * 100 as decimal(38,0))) as long)")
           .as("r"))
-      val (ranked, n, t) = ScalableRank.withRowNumberAndPrefixSum(
+      val (ranked, n, t, releaseScratch) = ScalableRank.withRowNumberAndPrefixSum(
         rev, Seq(col("r"), col("l_partkey")), "r", "i", "cum")
-      (DatasetBridge.snapshot(ranked).df, n, t)
+      val snap = DatasetBridge.snapshot(ranked)
+      // materialize the artifact NOW so the rank build's range-partitioned
+      // scratch frame can release immediately instead of staying pinned
+      // (part-level, application-lifetime) behind a lazy first consumer
+      snap.rdd.count()
+      releaseScratch()
+      (snap.df, n, t)
     })
 }
