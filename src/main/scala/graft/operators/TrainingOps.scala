@@ -154,12 +154,17 @@ object TrainingOps {
    *  cross-multiplication against the corpus mean), so the rule is
    *  invariant to corpus growth, unlike any absolute count cutoff.
    *
-   *  Shape: one pass builds the bigram table (hash shuffle on the pair),
-   *  a second scores the pair stream against it (equi-join on the pair
-   *  key; the LM table broadcasts while the vocabulary² fits and degrades
-   *  to a co-partitioned join beyond), then two small aggregates. The
-   *  (types, total) calibration is a 1-row frame, joined broadcast. */
+   *  Shape (rewritten r12, guide §2.4): the corpus count of a row's OWN
+   *  pair is a WINDOW over the pair key, not a separate aggregate joined
+   *  back — so the pair stream is exchanged ONCE (by (l, r)) instead of
+   *  twice (once aggregated into the LM table, once as the scoring join's
+   *  probe side) and the merge join disappears; a same-window row_number
+   *  marks one row per distinct pair, from which the (types, total)
+   *  calibration is a bounded aggregate. The token strings are projected
+   *  away right after the window, so the persisted two-consumer frame
+   *  carries only (doc_id, source, cnt, rn) — no string payload. */
   def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val pairs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
@@ -167,10 +172,17 @@ object TrainingOps {
         "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1)," +
           " (l, r) -> named_struct('l', l, 'r', r))")).as("p"))
       .select(col("doc_id"), col("source"), col("p.l").as("l"), col("p.r").as("r"))
-      .persist(Tuning.persistLevel) // scored against its own aggregate — two consumers
-    val lm = pairs.groupBy("l", "r").agg(count(lit(1)).as("cnt"))
-    val cal = broadcast(lm.agg(count(lit(1)).as("types"), sum("cnt").as("tot")))
-    pairs.join(lm, Seq("l", "r")).crossJoin(cal)
+    val byPair = Window.partitionBy("l", "r")
+    // rn's intra-group order is irrelevant: only "exactly one row per
+    // distinct pair has rn = 1" is consumed (types/tot), true for any order
+    val scored = pairs
+      .withColumn("cnt", count(lit(1)).over(byPair))
+      .withColumn("rn", row_number().over(byPair.orderBy("doc_id")))
+      .select(col("doc_id"), col("source"), col("cnt"), col("rn"))
+      .persist(Tuning.persistLevel) // calibration + per-doc rollup consumers
+    val cal = broadcast(scored.filter(col("rn") === 1)
+      .agg(count(lit(1)).as("types"), sum("cnt").as("tot")))
+    scored.crossJoin(cal)
       .groupBy("doc_id", "source")
       .agg(count(lit(1)).as("nbi"),
         sum(when(col("cnt") * col("types") > col("tot"), 1L).otherwise(0L)).as("fam"))
