@@ -550,12 +550,27 @@ object Dedup {
    *  edges, never documents; the convergence check is one tiny aggregate
    *  per round (count + order-independent hash of the edge set), not a
    *  data collect. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame =
-    starComponents(pairs, maxIter)._1
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
+                          preCanonical: Boolean = false): DataFrame =
+    starComponents(pairs, maxIter, preCanonical)._1
 
   /** [[connectedComponents]] plus the number of rounds taken — exposed so
-   *  the spec can assert the O(log n) bound on a path graph. */
-  private[graft] def starComponents(pairs: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+   *  the spec can assert the O(log n) bound on a path graph.
+   *
+   *  `preCanonical` (r12, §2.4 remove shuffles): the caller GUARANTEES the
+   *  pair set is already distinct with no self-pairs (one row per
+   *  undirected edge under (greatest, least) orientation). The wrapper
+   *  then skips its defensive distinct — a full edge-set exchange — AND
+   *  the round-0 snapshot materialization (the input, e.g. the memoized
+   *  co-purchase edge base, is typically already snapshot-backed, so
+   *  round 1 reads it directly; the loop never releases a frame it does
+   *  not own). Wrong use shows up loudly: a duplicated input row breaks
+   *  the signature's xor convergence check, it does not corrupt labels
+   *  silently — but the flag is still only set where the invariant is
+   *  provable (graph_components: the edge snapshot is x<y distinct by
+   *  construction, asserted by GraphOpsSpec). */
+  private[graft] def starComponents(pairs: DataFrame, maxIter: Int = 50,
+                                    preCanonical: Boolean = false): (DataFrame, Int) = {
     // iterative-algorithm state management: SNAPSHOT each round's edge set
     // (persisted InternalRow RDD wrapped as a LogicalRDD frame,
     // [[org.apache.spark.sql.graft.DatasetBridge]]), don't just persist
@@ -571,10 +586,16 @@ object Dedup {
     // canonical directed form: every undirected edge stored once as
     // (hi > lo); self-pairs carry no component information (isolated
     // self-pair nodes are re-added as singleton labels at the end)
-    var edges = DatasetBridge.snapshot(pairs
+    val canonical = pairs
       .select(greatest(col("id_a"), col("id_b")).as("hi"),
         least(col("id_a"), col("id_b")).as("lo"))
-      .filter(col("hi") =!= col("lo")).distinct())
+    // round-0 state: either the defensive dedup snapshot, or (preCanonical)
+    // the caller's frame read in place — `ownedEdges` tracks whether the
+    // loop owns the current frame's storage and may release it
+    var ownedEdges: org.apache.spark.sql.graft.DatasetBridge.Snapshot =
+      if (preCanonical) null
+      else DatasetBridge.snapshot(canonical.filter(col("hi") =!= col("lo")).distinct())
+    var edgesDf: DataFrame = if (preCanonical) canonical else ownedEdges.df
     // order-independent edge-set signature: (count, XOR of per-edge hashes —
     // xor, not sum: summing longs trips ANSI overflow, and edges are
     // distinct so nothing cancels). Equal signatures across a round ⇒ the
@@ -586,15 +607,35 @@ object Dedup {
       val r = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("hi"), col("lo"))), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
-    var sig = signature(edges.df)
+    // Star-fixpoint predicate (r12): the edge set is a disjoint union of
+    // min-centered stars ⇔ every hi has out-degree 1 AND no node appears
+    // as both hi and lo. (⇒ each component is then bipartite member→center
+    // with center < every member, so center = component min; large-star
+    // and small-star are both identities on such a graph — the proof the
+    // signature criterion reaches only one full round later, by running a
+    // whole round and observing the no-op.) Checking it directly lets the
+    // loop stop the round the graph BECOMES stars instead of paying a
+    // 4-exchange verification round to watch nothing change. Cost: one
+    // hash exchange over 2|E| rows — so it only runs when the cheap
+    // signature says it could pass (edge count stable, hash still moving).
+    def isStarFixpoint(e: DataFrame): Boolean = {
+      val bad = e.select(col("hi").as("n"), lit(1L).as("h"), lit(0L).as("l"))
+        .union(e.select(col("lo").as("n"), lit(0L).as("h"), lit(1L).as("l")))
+        .groupBy("n").agg(sum("h").as("nh"), sum("l").as("nl"))
+        .agg(coalesce(sum(when((col("nh") > 0 && col("nl") > 0) || col("nh") > 1, 1L)
+          .otherwise(0L)), lit(0L)))
+        .head().getLong(0)
+      bad == 0L
+    }
+    var sig = signature(edgesDf)
     var rounds = 0
     var converged = sig._1 == 0L
     while (!converged && rounds < maxIter) {
       // LARGE-STAR: for each node u, m = min(N(u) ∪ {u}); every neighbor
       // STRICTLY GREATER than u re-links to m. Neighborhoods are read in
       // both directions; one groupBy + one join per round.
-      val nbrs = edges.df.select(col("hi").as("u"), col("lo").as("v"))
-        .union(edges.df.select(col("lo").as("u"), col("hi").as("v")))
+      val nbrs = edgesDf.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edgesDf.select(col("lo").as("u"), col("hi").as("v")))
       val mins = nbrs.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
       // snapshot: `large` is consumed three times below (mins2 + both
       // union branches of `small`) — without the barrier each consumer
@@ -615,19 +656,34 @@ object Dedup {
         .select(col("lo").as("hi"), col("m").as("lo"))
         .union(joined.select(col("hi"), col("m").as("lo")))
         .distinct())
+      val t0 = System.nanoTime()
       val nextSig = signature(small.df) // materializes small; large/edges now free
       large.release()
-      edges.release()
-      edges = small
-      converged = nextSig == sig
+      if (ownedEdges != null) ownedEdges.release()
+      ownedEdges = small
+      edgesDf = small.df
+      // identical signature = the round was a no-op (free detection, but
+      // one round late); stable count + moved hash = the set changed while
+      // staying the same size, which is how the final contraction round
+      // looks — worth one predicate pass to stop NOW instead of paying a
+      // full verification round next.
+      converged = nextSig == sig ||
+        (nextSig._1 == sig._1 && isStarFixpoint(small.df))
       sig = nextSig
       rounds += 1
+      // round-count instrumentation (r12): capacity campaigns attribute CC
+      // cost to ROUNDS × per-round volume, and until now the count was only
+      // observable by attaching a debugger. One bounded stderr line per
+      // round — edge count is free (the signature aggregate already
+      // computed it), the duration covers this round's materialize+check.
+      System.err.println(f"CC ROUND $rounds%d: ${nextSig._1}%d edges, " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s${if (converged) " (fixpoint)" else ""}")
     }
     // at the star fixpoint every edge is (member, root): members label to
     // their root, each root labels to itself (min() collapses the two roles
     // into one row per node, and stays correct if maxIter cut the loop)
-    val starLabels = edges.df.select(col("hi").as("node"), col("lo").as("label"))
-      .union(edges.df.select(col("lo").as("node"), col("lo").as("label")))
+    val starLabels = edgesDf.select(col("hi").as("node"), col("lo").as("label"))
+      .union(edgesDf.select(col("lo").as("node"), col("lo").as("label")))
       .groupBy("node").agg(min(col("label")).as("label"))
     // nodes whose ONLY evidence is a self-pair have no edges but are still
     // nodes of the input graph — emit them as singleton clusters

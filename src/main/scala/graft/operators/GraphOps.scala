@@ -387,8 +387,15 @@ object GraphOps {
    *  not the driver gate. */
   def components(spark: SparkSession, dir: String): DataFrame = {
     val und = bulkCoPurchaseEdges(spark, dir)
+    // preCanonical: the edge snapshot is one row per undirected edge with
+    // x < y strict (distinct, self-loop-free, by construction in
+    // [[bulkCoPurchaseEdges]]) — the CC wrapper's defensive
+    // canonicalize+distinct would be a full 5M-row-at-sf10 exchange plus a
+    // redundant snapshot of a frame that is already snapshot-backed (r12,
+    // guide §2.4); GraphOpsSpec pins the equivalence against the defensive
+    // path.
     graft.dedup.Dedup.connectedComponents(
-        und.select(col("x").as("id_a"), col("y").as("id_b")))
+        und.select(col("x").as("id_a"), col("y").as("id_b")), preCanonical = true)
       .groupBy(col("label").as("component"))
       .agg(count(lit(1)).as("n_members"), max("node").as("max_member"))
       .orderBy(col("n_members").desc, col("component"))

@@ -79,6 +79,38 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(rounds <= 2 * 6 + 4, s"took $rounds rounds")
   }
 
+  test("preCanonical path equals the defensive path on canonical inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val n = 40 + trial * 20
+      // canonical: distinct x < y pairs, no self-loops — the
+      // bulkCoPurchaseEdges invariant graph_components relies on
+      val pairs = Seq.fill(n * 2)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      if (pairs.nonEmpty) {
+        val df = pairs.toDF("id_a", "id_b")
+        def labelsOf(pre: Boolean) =
+          Dedup.connectedComponents(df, preCanonical = pre).collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(labelsOf(true) == labelsOf(false), s"trial $trial")
+        assert(labelsOf(true) == unionFind(pairs), s"trial $trial vs union-find")
+      }
+    }
+  }
+
+  test("graph_components edge base satisfies the preCanonical invariant") {
+    // the production caller's guarantee, asserted against real testdata:
+    // one row per undirected edge, x < y strict, no duplicates
+    val und = graft.operators.GraphOps.bulkCoPurchaseEdges(spark, "/root/testdata/sf0.001")
+    val bad = und.filter(org.apache.spark.sql.functions.col("x") >=
+      org.apache.spark.sql.functions.col("y")).count()
+    assert(bad == 0L)
+    assert(und.count() == und.distinct().count())
+  }
+
   test("dedup_clusters members sum to the docs appearing in ngram pairs") {
     val dir = "/root/testdata/sf0.001"
     val pairs = Dedup.ngramJaccard(spark, dir).select("id_a", "id_b").collect()
