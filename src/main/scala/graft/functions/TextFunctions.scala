@@ -22,10 +22,19 @@ object TextFunctions {
     when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
 
-  /** Token count without materializing the token array — plain length
-   *  arithmetic, which also makes it expressible in any SQL oracle. Counts
-   *  single-space-separated words (the corpus format). */
-  def tokenCount(text: Column): Column =
+  /** Token count without materializing the token array — single-pass
+   *  native byte scan ([[TokenCountExpr]], r12), bit-identical to the
+   *  length-arithmetic column form it replaced ([[tokenCountColumnForm]],
+   *  kept as the oracle-expressible reference and pinned by CharStatSpec).
+   *  Counts single-space-separated words (the corpus format). */
+  def tokenCount(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(TokenCountExpr(ColumnBridge.expression(text)))
+  }
+
+  /** The pre-r12 column form of [[tokenCount]] — plain length arithmetic,
+   *  expressible in any SQL oracle; the spec pins the native twin to it. */
+  private[graft] def tokenCountColumnForm(text: Column): Column =
     when(length(trim(text)) === 0, lit(0))
       .otherwise(length(trim(text)) - length(translate(trim(text), " ", "")) + 1)
 
@@ -87,8 +96,21 @@ object TextFunctions {
    *  for len ≤ 10¹⁶ — the ratio can never fall within 5.5e-18 above 0.1),
    *  and the word-length gate uses the exact `(nonspace·100) div ntok`. */
   def qualityBp(text: Column): Column = {
+    // single-pass native byte scan (r12): the column tree below evaluates
+    // trim/translate/length chains that each copy the document — measured
+    // 9.5-11.9 s of a 0.9 s-floor sf10 corpus scan, the largest CPU term
+    // in the pipeline/text families. CharStatSpec pins bit-equality of
+    // QualityBpExpr against this form, which stays as the reference (and
+    // the shape the DuckDB oracle twins replicate).
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(QualityBpExpr(ColumnBridge.expression(text)))
+  }
+
+  /** The pre-r12 column form of [[qualityBp]] — the oracle-expressible
+   *  reference the spec pins the native twin to. */
+  private[graft] def qualityBpColumnForm(text: Column): Column = {
     def idiv(a: Column, b: Column): Column = call_function("div", a, b)
-    val ntok = tokenCount(text).cast("long")
+    val ntok = tokenCountColumnForm(text).cast("long")
     val len1 = greatest(length(text).cast("long"), lit(1L))
     val nonspace = length(translate(trim(text), " ", "")).cast("long")
     val m = when(ntok === 0L, 0L).otherwise(idiv(nonspace * 100L, ntok))

@@ -563,8 +563,7 @@ case class SubCellsExpr(left: Expression, right: Expression,
  *  The codebook rides the expression as plan data (the NearestCellExpr
  *  discipline). NULL for a null/misshapen/null-bearing vector. */
 case class PqEncodeExpr(child: Expression, gs: Double, cb: Array[Array[Long]],
-    subDim: Int) extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    subDim: Int) extends UnaryExpression {
   import org.apache.spark.sql.types.LongType
 
   override def prettyName: String = "pq_encode"
@@ -580,11 +579,36 @@ case class PqEncodeExpr(child: Expression, gs: Double, cb: Array[Array[Long]],
 
   @transient private lazy val childIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
-  @transient private lazy val dim: Int = cb.headOption.map(_.length).getOrElse(0)
-  @transient private lazy val m: Int = if (subDim > 0) dim / subDim else 0
 
-  override def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any =
+    PqOps.encode(v.asInstanceOf[ArrayData], gs, cb, subDim, childIsFloat)
+
+  // r12 (guide §4): was CodegenFallback — every row paid an interpreted
+  // eval() dispatch plus input-row boxing at the whole-stage boundary. The
+  // loop is shared with the interpreted path (PqOps), so the generated
+  // call is bit-identical by construction; the codebook rides the codegen
+  // references array.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", cb, "long[][]")
+    val gsRef = java.lang.Double.toString(gs) // Double.toString round-trips exactly
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.PqOps.encode($c, ${gsRef}d, $cbRef, $subDim, $childIsFloat);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** Shared primitive loops for the PQ expressions — ONE implementation
+ *  serves both the interpreted eval and the generated code, so the two
+ *  paths cannot drift. */
+object PqOps {
+  def encode(a: ArrayData, gs: Double, cb: Array[Array[Long]], subDim: Int,
+             childIsFloat: Boolean): ArrayData = {
+    val dim = if (cb.isEmpty) 0 else cb(0).length
+    val m = if (subDim > 0) dim / subDim else 0
     val n = a.numElements()
     if (n != dim || cb.isEmpty) return null
     val q = new Array[Long](n)
@@ -621,8 +645,20 @@ case class PqEncodeExpr(child: Expression, gs: Double, cb: Array[Array[Long]],
     new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
-    copy(child = newChild)
+  /** ADC lookup-sum; null (as a boxed Long) when the table and code
+   *  disagree on M — the caller's null flag derives from the reference. */
+  def adc(qt: ArrayData, code: ArrayData): java.lang.Long = {
+    val msub = code.numElements()
+    if (qt.numElements() != msub) return null
+    var s = 0
+    var acc = 0L
+    while (s < msub) {
+      val row = qt.getArray(s)
+      acc += row.getLong(code.getLong(s).toInt)
+      s += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
 }
 
 /** ADC lookup-sum — score one PQ code against one query's M×K distance
@@ -630,8 +666,7 @@ case class PqEncodeExpr(child: Expression, gs: Double, cb: Array[Array[Long]],
  *  [[graft.similarity.Ann.pqTopKOf]]. One primitive loop per (corpus row ×
  *  query) replaces the interpreted `aggregate(zip_with(element_at))` pair.
  *  NULL when either side is null (dense inputs never are). */
-case class PqAdcExpr(left: Expression, right: Expression) extends BinaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+case class PqAdcExpr(left: Expression, right: Expression) extends BinaryExpression {
   import org.apache.spark.sql.types.LongType
 
   override def prettyName: String = "pq_adc"
@@ -647,19 +682,19 @@ case class PqAdcExpr(left: Expression, right: Expression) extends BinaryExpressi
         s"got ${l.catalogString}, ${r.catalogString}")
   }
 
-  override def nullSafeEval(t: Any, c: Any): Any = {
-    val qt = t.asInstanceOf[ArrayData]
-    val code = c.asInstanceOf[ArrayData]
-    val msub = code.numElements()
-    if (qt.numElements() != msub) return null
-    var s = 0
-    var acc = 0L
-    while (s < msub) {
-      val row = qt.getArray(s)
-      acc += row.getLong(code.getLong(s).toInt)
-      s += 1
-    }
-    acc
+  override def nullSafeEval(t: Any, c: Any): Any =
+    PqOps.adc(t.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+
+  // r12 (guide §4): was CodegenFallback — this is the per-(corpus row ×
+  // query) scoring expression, so the interpreted-dispatch + boxing tax
+  // was paid on the query's hottest loop. Same shared loop as eval.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val boxed = ctx.freshName("adcBoxed")
+    nullSafeCodeGen(ctx, ev, (l, r) => s"""
+      java.lang.Long $boxed = graft.functions.PqOps.adc($l, $r);
+      ${ev.isNull} = ($boxed == null);
+      ${ev.value} = ${ev.isNull} ? -1L : $boxed.longValue();
+    """)
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqAdcExpr =
